@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Tuned for the test harness (local[N], small SF) but every setting is the
+  * one we'd ship on a 1000-executor cluster too:
+  *  - AQE on (runtime re-plan, skew-join splitting, partition coalescing),
+  *  - dynamic partition overwrite (idempotent partitioned re-export; replaces
+  *    the reference's delete-then-insert, /root/reference/src/py/yq_dag.py:16-19 + 71-73),
+  *  - UTC session time zone (oracle parity + reference uses naive timestamps).
+  *
+  * `spark.sql.shuffle.partitions` defaults to the local core count; on a real
+  * cluster AQE's coalescing makes the initial number mostly a ceiling.
+  */
+object GraftSession {
+  def builder(appName: String = "graft", master: Option[String] = None): SparkSession.Builder = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
+    val b = SparkSession
+      .builder()
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      .config("spark.sql.parquet.compression.codec", "snappy")
+      .config("spark.ui.enabled", "false")
+    master.fold(b)(m => b.master(m))
+  }
+
+  /** Local session for tests/benchmarks. */
+  def local(appName: String = "graft", cores: Int = 0): SparkSession = {
+    val n = if (cores > 0) cores.toString else sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val s = builder(appName, Some(s"local[$n]")).config("spark.sql.shuffle.partitions", n).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Idempotent per-session setup of graft SQL functions (unwrap, …). */
+  def prepare(spark: SparkSession): SparkSession = {
+    graft.functions.Yql.register(spark)
+    spark
+  }
+}

@@ -1,13 +1,31 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.queries.{ReferenceQueries => RefQ}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] is one operator/query shape from SURVEY.md §2 or
+  * a scale-extension (dedup / similarity / text analysis / multimodal);
+  * [[oracleSql]] carries the DuckDB-equivalent SQL for the driver's
+  * hash-compare at sf0.01.
+  */
 object SparkEntry {
+
+  private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+    Seq(
+      (RefQ.queries, RefQ.oracles)
+    )
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    RefQ.q3Federation(spark, "/root/testdata/sf0.001")
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.map(_._1).reduce(_ ++ _)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    modules.map(_._2).reduce(_ ++ _)
 }

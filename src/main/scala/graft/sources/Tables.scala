@@ -1,0 +1,34 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver test corpus (`TESTDATA.md`): one parquet file per
+  * table under a scale-factor directory. All reads go through `spark.read
+  * .parquet` so Catalyst's column pruning / filter pushdown reach the scan.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
+  def events(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Register every corpus table as a temp view so `spark.sql` text can
+    * address them by bare name — the Spark analog of the reference's single
+    * federated SQL namespace (SURVEY.md §1.3).
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
