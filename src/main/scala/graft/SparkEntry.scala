@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{ReferenceQueries => RefQ}
+import graft.queries.{DedupQueries, ReferenceQueries => RefQ, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,10 @@ object SparkEntry {
 
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (RefQ.queries, RefQ.oracles)
+      (RefQ.queries, RefQ.oracles),
+      (TextQueries.queries, TextQueries.oracles),
+      (DedupQueries.queries, DedupQueries.oracles),
+      (SimilarityQueries.queries, SimilarityQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

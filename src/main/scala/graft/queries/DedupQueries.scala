@@ -1,0 +1,277 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Text, Vectors}
+import graft.sources.Tables
+
+/** Deduplication operators over the `documents` / `embeddings` corpus — the
+  * exact / MinHash-LSH / SimHash / n-gram-Jaccard / embedding-cosine family
+  * a 100 TB pretraining pipeline runs (builder brief; SURVEY.md §7.1 step 7).
+  *
+  * Scale design: no operator materializes the document cross product.
+  * Candidate pairs come from equi-joins on *bucket keys* (shared shingle,
+  * MinHash band signature, SimHash band) so the shuffle keys are
+  * hash-partitionable and skew is bounded by a document-frequency cap —
+  * the standard way these run on thousands of executors. Hashes are
+  * md5-derived so the DuckDB oracle reproduces them bit-for-bit.
+  */
+object DedupQueries {
+
+  private val MinhashFns = 12   // hash family size
+  private val BandRows = 2      // MinHash rows per band → 6 bands
+  private val ShingleDfCap = 100 // drop shingles shared by > cap docs (skew guard)
+  private val SimhashBits = 32
+  private val SimhashBands = 4  // 8 bits per band
+
+  private def tokensDf(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+
+  /** (doc_id, shingle) — distinct word 3-grams, document-frequency capped. */
+  private def shinglesDf(spark: SparkSession, dir: String): DataFrame = {
+    val sh = tokensDf(spark, dir)
+      .select(col("doc_id"), explode(Text.shingles(col("tk"))).as("shingle"))
+    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") <= ShingleDfCap)
+    sh.join(df, "shingle").select("doc_id", "shingle")
+  }
+
+  private val shingleSqlBase: String =
+    s"""toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') tk
+       |  FROM documents),
+       |sh_all AS (
+       |  SELECT doc_id, unnest(list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in range(1, len(tk) - 1)])) AS shingle
+       |  FROM toks WHERE len(tk) >= 3),
+       |sh AS (
+       |  SELECT doc_id, shingle FROM sh_all
+       |  WHERE shingle IN (SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) <= $ShingleDfCap)),
+       |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1)""".stripMargin
+
+  /** Exact deduplication: hash-groupBy on the normalized-text fingerprint
+    * over a corpus with synthetic duplicates (every 10th doc re-appears
+    * under a shifted id — the re-crawl scenario). One shuffle on the
+    * fingerprint; keeper = min id, the usual deterministic survivor rule.
+    */
+  def d1ExactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.unionByName(
+      docs.where(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+    corpus
+      .groupBy(md5(Text.normText(col("text"))).as("fp"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+      .orderBy("keep_id")
+  }
+
+  val d1Oracle: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)
+      |SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+      |       count(1) AS n_copies, min(doc_id) AS keep_id
+      |FROM corpus GROUP BY 1 ORDER BY keep_id""".stripMargin
+
+  /** Exact n-gram Jaccard near-dup pairs: candidates share ≥1 shingle
+    * (inverted-index self-join, DF-capped), then |A∩B| / |A∪B| ≥ 0.5.
+    * At scale the shingle join is the one shuffle; the DF cap bounds the
+    * worst key to cap² pairs.
+    */
+  def d2NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shinglesDf(spark, dir).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"), Seq("shingle"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
+      .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
+      .withColumn("jaccard", col("i") * lit(1.0) / (col("na") + col("nb") - col("i")))
+      .where(col("jaccard") >= 0.5)
+      .select("da", "db", "jaccard")
+      .orderBy("da", "db")
+  }
+
+  val d2Oracle: String =
+    s"""WITH $shingleSqlBase,
+       |inter AS (
+       |  SELECT a.doc_id da, b.doc_id db, count(*) i
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT da, db, i * 1.0 / (sa.n + sb.n - i) AS jaccard
+       |FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+       |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+       |ORDER BY da, db""".stripMargin
+
+  /** MinHash + LSH near-dup: 12 md5-seeded min-hashes per doc, banded 2×6;
+    * band-signature equality proposes candidates (equi-join on the band
+    * key — the LSH trick that replaces the O(n²) scan), exact Jaccard ≥ 0.5
+    * verifies. Probabilistic *recall* but fully deterministic given the
+    * hash family, so the oracle reproduces it exactly.
+    */
+  def d3MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shinglesDf(spark, dir).cache()
+    val hashed = sh.select(
+      col("doc_id") +: (0 until MinhashFns).map(j =>
+        Text.md5LongSeeded(col("shingle"), j).as(s"h$j")): _*)
+    val sig = hashed.groupBy("doc_id")
+      .agg(min(col("h0")).as("m0"),
+        (1 until MinhashFns).map(j => min(col(s"h$j")).as(s"m$j")): _*)
+    val nBands = MinhashFns / BandRows
+    val bandArr = array((0 until nBands).map { k =>
+      struct(lit(k).as("band"),
+        concat_ws(",", (0 until BandRows).map(r => col(s"m${k * BandRows + r}")): _*).as("key"))
+    }: _*)
+    val bands = sig.select(col("doc_id"), explode(bandArr).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+    val cand = bands.as("a").join(bands.as("b"), Seq("band", "key"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("x"), col("x.doc_id") === col("da"))
+      .join(sh.as("y"), col("y.doc_id") === col("db") && col("y.shingle") === col("x.shingle"))
+      .groupBy("da", "db").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
+      .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
+      .withColumn("jaccard", col("i") * lit(1.0) / (col("na") + col("nb") - col("i")))
+      .where(col("jaccard") >= 0.5)
+      .select("da", "db", "jaccard")
+      .orderBy("da", "db")
+  }
+
+  val d3Oracle: String =
+    s"""WITH $shingleSqlBase,
+       |h AS (
+       |  SELECT doc_id, shingle, j, ('0x' || substr(md5(j::VARCHAR || ':' || shingle), 1, 15))::BIGINT hv
+       |  FROM sh, unnest(range(0, $MinhashFns)) AS r(j)),
+       |sig AS (SELECT doc_id, j, min(hv) m FROM h GROUP BY 1, 2),
+       |bands AS (
+       |  SELECT doc_id, j // $BandRows AS band, string_agg(m::VARCHAR, ',' ORDER BY j) AS key
+       |  FROM sig GROUP BY doc_id, j // $BandRows),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id da, b.doc_id db
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |inter AS (
+       |  SELECT c.da, c.db, count(*) i
+       |  FROM cand c JOIN sh x ON x.doc_id = c.da JOIN sh y ON y.doc_id = c.db AND y.shingle = x.shingle
+       |  GROUP BY 1, 2)
+       |SELECT da, db, i * 1.0 / (sa.n + sb.n - i) AS jaccard
+       |FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+       |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+       |ORDER BY da, db""".stripMargin
+
+  /** Term-frequency-weighted 32-bit SimHash per document. */
+  def d4Simhash(spark: SparkSession, dir: String): DataFrame = {
+    val tf = tokensDf(spark, dir)
+      .select(col("doc_id"), explode(col("tk")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val bits = tf
+      .withColumn("hv", Text.md5LongSeeded(col("tok"), 99))
+      .select(col("doc_id"), col("tf"), col("hv"), explode(sequence(lit(0), lit(SimhashBits - 1))).as("b"))
+      .groupBy("doc_id", "b")
+      .agg(sum(col("tf") * (expr("(hv >> b) & 1") * 2 - 1)).as("s"))
+    bits.groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, cast(b as int))")).otherwise(lit(0L))).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  val d4Oracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') tk
+       |  FROM documents),
+       |tf AS (SELECT doc_id, unnest(tk) tok FROM toks),
+       |tfc AS (SELECT doc_id, tok, count(*) tf FROM tf GROUP BY 1, 2),
+       |bits AS (
+       |  SELECT doc_id, b, sum(tf * (((('0x' || substr(md5('99:' || tok), 1, 15))::BIGINT >> b) & 1) * 2 - 1)) s
+       |  FROM tfc, unnest(range(0, $SimhashBits)) AS r(b)
+       |  GROUP BY 1, 2)
+       |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
+       |FROM bits GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  /** SimHash near-dup pairs: band-partitioned candidates (4×8-bit bands —
+    * pigeonhole-complete for Hamming ≤ 3), verified by popcount of the XOR.
+    */
+  def d5SimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sim = d4Simhash(spark, dir)
+    val bands = sim.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(SimhashBands - 1))).as("band"))
+      .withColumn("bkey", expr("(simhash >> (band * 8)) & 255"))
+    val cand = bands.as("a").join(bands.as("b"), Seq("band", "bkey"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int"))
+      .where(col("hamming") <= 3)
+      .select("da", "db", "hamming")
+      .orderBy("da", "db")
+  }
+
+  val d5Oracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') tk
+       |  FROM documents),
+       |tfc AS (SELECT doc_id, tok, count(*) tf FROM (SELECT doc_id, unnest(tk) tok FROM toks) GROUP BY 1, 2),
+       |bits AS (
+       |  SELECT doc_id, b, sum(tf * (((('0x' || substr(md5('99:' || tok), 1, 15))::BIGINT >> b) & 1) * 2 - 1)) s
+       |  FROM tfc, unnest(range(0, $SimhashBits)) AS r(b) GROUP BY 1, 2),
+       |sim AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash FROM bits GROUP BY 1),
+       |bands AS (
+       |  SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS bkey
+       |  FROM sim, unnest(range(0, $SimhashBands)) AS r(band)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id da, b.doc_id db, a.simhash sa, b.simhash sb
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+       |SELECT da, db, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+       |ORDER BY da, db""".stripMargin
+
+  /** Embedding-cosine near-dup pairs: anchor subset (vec_id ≡ 0 mod 5)
+    * against all higher ids, cosine ≥ 0.35. Brute-force form of the
+    * verify step; the bucketed scale path lives in SimilarityQueries.
+    */
+  def d6EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val a = e.where(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    a.join(b, col("va") < col("vb"))
+      .withColumn("cos", Vectors.cosine(col("ea"), col("eb")))
+      .where(col("cos") >= 0.35)
+      .select("va", "vb", "cos")
+      .orderBy("va", "vb")
+  }
+
+  val d6Oracle: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id va, b.vec_id vb,
+      |         list_reduce(list_prepend(0.0, list_transform(list_zip(a.v, b.v), s -> s[1] * s[2])), (x, y) -> x + y)
+      |         / sqrt(list_reduce(list_prepend(0.0, list_transform(a.v, x -> x * x)), (x, y) -> x + y)
+      |                * list_reduce(list_prepend(0.0, list_transform(b.v, x -> x * x)), (x, y) -> x + y)) AS cos
+      |  FROM e a JOIN e b ON a.vec_id % 5 = 0 AND a.vec_id < b.vec_id)
+      |SELECT va, vb, cos FROM p WHERE cos >= 0.35 ORDER BY va, vb""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup" -> (d1ExactDedup _),
+    "d2_ngram_jaccard" -> (d2NgramJaccard _),
+    "d3_minhash_lsh" -> (d3MinhashLsh _),
+    "d4_simhash" -> (d4Simhash _),
+    "d5_simhash_pairs" -> (d5SimhashPairs _),
+    "d6_embedding_neardup" -> (d6EmbeddingNearDup _))
+
+  val oracles: Map[String, String] = Map(
+    "d1_exact_dedup" -> d1Oracle,
+    "d2_ngram_jaccard" -> d2Oracle,
+    "d3_minhash_lsh" -> d3Oracle,
+    "d4_simhash" -> d4Oracle,
+    "d5_simhash_pairs" -> d5Oracle,
+    "d6_embedding_neardup" -> d6Oracle)
+}

@@ -1,0 +1,134 @@
+package graft.queries
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` corpus
+  * (builder brief; SURVEY.md §7.1 step 7).
+  *
+  *  - [[s1BruteTopK]] is the exact baseline: block cross-join + windowed
+  *    top-k. Quadratic — correct at any SF, affordable only because the
+  *    query block is bounded.
+  *  - [[s2LshTopK]] is the scale path: 8 deterministic random-hyperplane
+  *    signs bucket the corpus (expected bucket ≈ n/256); queries compare
+  *    only within their bucket. The bucket id is an equi-join key, so at
+  *    100 TB this is one hash-partitioned shuffle instead of a cross join.
+  *
+  * Hyperplane weights derive from md5 (same integers in the DuckDB oracle),
+  * so bucket assignment — and therefore the whole result — is reproducible
+  * across engines.
+  */
+object SimilarityQueries {
+
+  private val Dim = 64
+  private val Planes = 8
+  private val TopK = 5
+  private val QueryBlock = 50 // vec_id < 50 are the query vectors
+
+  /** Deterministic hyperplane weight w(p,d) ∈ [-1, 1]: md5-derived integer
+    * in [-1000, 1000] divided by 1000 — exactly the arithmetic the oracle
+    * repeats in SQL.
+    */
+  private[queries] def weightInt(p: Int, d: Int): Long = {
+    val md = MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"w:$p:$d".getBytes(StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16) % 2001 - 1000
+  }
+
+  private def planeCol(p: Int): Column =
+    array((0 until Dim).map(d => lit(weightInt(p, d)).cast("double") / lit(1000.0)): _*)
+
+  /** 8-bit LSH bucket of an embedding: bit p = [dot(v, w_p) > 0]. */
+  private def bucketCol(v: Column): Column =
+    (0 until Planes).map { p =>
+      when(Vectors.dot(v, planeCol(p)) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def bucketSql(vExpr: String): String =
+    (0 until Planes).map { p =>
+      val dot = s"list_reduce(list_prepend(0.0, list_transform(list_zip($vExpr, ${planeSql(p)}), s -> s[1] * s[2])), (x, y) -> x + y)"
+      s"CASE WHEN $dot > 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  private def planeSql(p: Int): String =
+    (0 until Dim).map(d => s"${weightInt(p, d)} / 1000.0").mkString("[", ", ", "]")
+
+  private val cosSql: String =
+    "list_reduce(list_prepend(0.0, list_transform(list_zip(a.v, b.v), s -> s[1] * s[2])), (x, y) -> x + y)" +
+      " / sqrt(list_reduce(list_prepend(0.0, list_transform(a.v, x -> x * x)), (x, y) -> x + y)" +
+      " * list_reduce(list_prepend(0.0, list_transform(b.v, x -> x * x)), (x, y) -> x + y))"
+
+  /** Exact top-k: query block × corpus, cosine, windowed rank. */
+  def s1BruteTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val q = e.where(col("vec_id") < QueryBlock)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val scored = q.join(e.where(col("vec_id") >= 0), col("vec_id") =!= col("qid"))
+      .withColumn("cos", Vectors.cosine(col("qv"), col("embedding")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+      .where(col("rank") <= TopK)
+      .select(col("qid"), col("vec_id").as("nid"), col("rank"), col("cos"))
+      .orderBy("qid", "rank")
+  }
+
+  val s1Oracle: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+       |scored AS (
+       |  SELECT a.vec_id qid, b.vec_id nid, $cosSql AS cos
+       |  FROM e a JOIN e b ON a.vec_id < $QueryBlock AND b.vec_id <> a.vec_id),
+       |ranked AS (
+       |  SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |  FROM scored)
+       |SELECT qid, nid, CAST(rank AS INTEGER) AS rank, cos FROM ranked WHERE rank <= $TopK
+       |ORDER BY qid, rank""".stripMargin
+
+  /** LSH-bucketed ANN: bucket both sides on the 8-bit hyperplane signature,
+    * equi-join on the bucket, rank within it. Approximate (recall < 1) but
+    * deterministic; the spec quantifies recall against [[s1BruteTopK]].
+    */
+  def s2LshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), bucketCol(col("embedding")).as("bucket"))
+    val q = e.where(col("vec_id") < QueryBlock)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("bucket"))
+    val scored = q.join(e, Seq("bucket")).where(col("vec_id") =!= col("qid"))
+      .withColumn("cos", Vectors.cosine(col("qv"), col("embedding")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+      .where(col("rank") <= TopK)
+      .select(col("qid"), col("vec_id").as("nid"), col("rank"), col("cos"))
+      .orderBy("qid", "rank")
+  }
+
+  val s2Oracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+       |eb AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e),
+       |scored AS (
+       |  SELECT a.vec_id qid, b.vec_id nid, $cosSql AS cos
+       |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < $QueryBlock AND b.vec_id <> a.vec_id),
+       |ranked AS (
+       |  SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |  FROM scored)
+       |SELECT qid, nid, CAST(rank AS INTEGER) AS rank, cos FROM ranked WHERE rank <= $TopK
+       |ORDER BY qid, rank""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_brute_topk" -> (s1BruteTopK _),
+    "s2_lsh_topk" -> (s2LshTopK _))
+
+  val oracles: Map[String, String] = Map(
+    "s1_brute_topk" -> s1Oracle,
+    "s2_lsh_topk" -> s2Oracle)
+}

@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.sources.Tables
+
+/** Text-analysis queries over the `documents` corpus table — the
+  * language-ID / quality-scoring / token-counting / fingerprinting surface a
+  * training-data pipeline needs (builder brief; SURVEY.md §7.1 step 7).
+  *
+  * Every query is pure narrow projection + aggregation: at 100 TB these run
+  * as a single scan with no shuffle except the final aggregates, and the
+  * parquet reader prunes to (doc_id, text).
+  */
+object TextQueries {
+
+  /** Per-document token statistics: whitespace tokens, BPE-ish subword
+    * count, character counts, average token length.
+    */
+  def t1TokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val tk = Text.tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(tk).cast("long").as("n_tokens"),
+        Text.bpeishCount(col("text")).cast("long").as("n_bpeish"),
+        aggregate(transform(tk, t => length(t)), lit(0), (a, x) => a + x).cast("long").as("token_chars"))
+      .withColumn("avg_token_len",
+        when(col("n_tokens") > 0, col("token_chars").cast("double") / col("n_tokens")))
+      .orderBy("doc_id")
+  }
+
+  val t1Oracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, text, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') tk
+       |  FROM documents)
+       |SELECT doc_id, length(text) AS n_chars, len(tk) AS n_tokens,
+       |       len(regexp_extract_all(lower(text), '${Text.bpeishPattern}')) AS n_bpeish,
+       |       list_reduce(list_prepend(0, list_transform(tk, x -> length(x))), (a, b) -> a + b) AS token_chars,
+       |       CASE WHEN len(tk) > 0 THEN CAST(list_reduce(list_prepend(0, list_transform(tk, x -> length(x))), (a, b) -> a + b) AS DOUBLE) / len(tk) END AS avg_token_len
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  /** Rule-based language ID (marker-stopword argmax with fixed tie-break)
+    * next to the corpus's labeled `lang` for agreement auditing.
+    */
+  def t2LangId(spark: SparkSession, dir: String): DataFrame = {
+    val tk = Text.tokens(col("text"))
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang").as("labeled_lang"), Text.langId(tk).as("detected_lang"))
+    scored.orderBy("doc_id")
+  }
+
+  val t2Oracle: String = {
+    val hits = Text.langMarkers.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(tk, x -> list_contains($list, x))) AS s_$lang"
+    }.mkString(",\n       ")
+    val langs = Text.langMarkers.map(_._1)
+    val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+    val cases = langs.map(l => s"WHEN s_$l = $best AND s_$l > 0 THEN '$l'").mkString("\n            ")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') tk
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, lang, $hits
+       |  FROM t)
+       |SELECT doc_id, lang AS labeled_lang,
+       |       CASE $cases
+       |            ELSE 'und' END AS detected_lang
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** Quality scoring: punctuation ratio, stopword ratio, length and
+    * token-shape gates combined into an integer score 0..4 (the usual
+    * pretraining-filter shape: each gate is one heuristic signal).
+    */
+  def t3Quality(spark: SparkSession, dir: String): DataFrame = {
+    val tk = Text.tokens(col("text"))
+    val stop = Text.langMarkers.flatMap(_._2)
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(tk).cast("long").as("n_tokens"),
+        length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("long").as("n_punct"),
+        Text.markerHits(tk, stop).cast("long").as("n_stop"))
+      .withColumn("punct_ratio",
+        when(col("n_chars") > 0, col("n_punct").cast("double") / col("n_chars")).otherwise(lit(0.0)))
+      .withColumn("stop_ratio",
+        when(col("n_tokens") > 0, col("n_stop").cast("double") / col("n_tokens")).otherwise(lit(0.0)))
+      .withColumn("quality_score",
+        (col("n_chars") >= 40 && col("n_chars") <= 20000).cast("int")
+          + (col("n_tokens") >= 8).cast("int")
+          + (col("punct_ratio") <= lit(0.2)).cast("int")
+          + (col("stop_ratio") >= lit(0.01)).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  val t3Oracle: String = {
+    val stop = Text.langMarkers.flatMap(_._2).map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, text, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') tk
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, length(text) AS n_chars, len(tk) AS n_tokens,
+       |         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+       |         len(list_filter(tk, x -> list_contains($stop, x))) AS n_stop
+       |  FROM t),
+       |r AS (
+       |  SELECT *, CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
+       |            CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_ratio
+       |  FROM m)
+       |SELECT doc_id, n_chars, n_tokens, n_punct, n_stop, punct_ratio, stop_ratio,
+       |       CAST(n_chars BETWEEN 40 AND 20000 AS INTEGER) + CAST(n_tokens >= 8 AS INTEGER)
+       |       + CAST(punct_ratio <= 0.2 AS INTEGER) + CAST(stop_ratio >= 0.01 AS INTEGER) AS quality_score
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
+  /** Document fingerprints: md5 of the whitespace-normalized text (exact-dup
+    * key), a 60-bit numeric fingerprint, and the distinct 3-gram shingle
+    * count (near-dup signal input).
+    */
+  def t4Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val norm = Text.normText(col("text"))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(norm).as("fp_md5"),
+        Text.md5Long(norm).as("fp64"),
+        size(Text.shingles(Text.tokens(col("text")))).cast("long").as("n_shingles"))
+      .orderBy("doc_id")
+  }
+
+  val t4Oracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm,
+       |         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') tk
+       |  FROM documents)
+       |SELECT doc_id, md5(norm) AS fp_md5,
+       |       ('0x' || substr(md5(norm), 1, 15))::BIGINT AS fp64,
+       |       CASE WHEN len(tk) >= 3
+       |            THEN len(list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in range(1, len(tk) - 1)]))
+       |            ELSE 0 END AS n_shingles
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_token_stats" -> (t1TokenStats _),
+    "t2_lang_id" -> (t2LangId _),
+    "t3_quality" -> (t3Quality _),
+    "t4_fingerprint" -> (t4Fingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "t1_token_stats" -> t1Oracle,
+    "t2_lang_id" -> t2Oracle,
+    "t3_quality" -> t3Oracle,
+    "t4_fingerprint" -> t4Oracle)
+}
