@@ -1,0 +1,127 @@
+package graft.pipeline
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Yql
+import graft.operators.ExclusionJoin
+import graft.sources.{ColdStore, PaymentsSource}
+
+/** The reference's whole DAG as one Spark driver program (SURVEY.md §2.9,
+  * §3.1): per run, move one year of `payments` from the hot store to
+  * Hive-partitioned parquet, verify the copy with the exclusion-join
+  * reconciliation, and only then drop the source partitions and advance the
+  * watermark.
+  *
+  *   delete target partition (K2, folded into dynamic overwrite)
+  *   → export window (Q1: yq_dag.py:65-74)
+  *   → reconcile (Q2: yq_dag.py:82-95) == 0        (C2 branch)
+  *   → drop source partitions (K3: yq_dag.py:106-122)
+  *   → advance watermark (C4: yq_dag.py:124-128)
+  *
+  * Crash-safety = the reference's own story, kept deliberately: export is
+  * idempotent (partition overwrite), reconcile is read-only, and the
+  * watermark moves last — a crash anywhere re-runs the same window to the
+  * same end state. A failed reconciliation throws (C3) *before* anything
+  * destructive, exactly like `raise ValueError('Data are not equal!')`
+  * (yq_dag.py:28-29).
+  */
+final class CoolingPipeline(
+    val source: PaymentsSource,
+    val cold: ColdStore,
+    val watermark: Watermark) {
+
+  /** The 6-column reconciliation key (yq_dag.py:93-94): NOT NULL columns
+    * only — nullable `descr` and the truncated `payment_date` are
+    * deliberately excluded; `amount` is a DOUBLE compared bit-exactly.
+    */
+  val reconcileKeys: Seq[String] = Seq("id", "doc_num", "accdt", "acckt", "amount", "state")
+
+  private def windowFilter(df: DataFrame, start: LocalDate, end: LocalDate): DataFrame =
+    df.filter(col("payment_date") >= lit(java.sql.Date.valueOf(start)) &&
+      col("payment_date") < lit(java.sql.Date.valueOf(end)))
+
+  /** Q1 "load" projection (yq_dag.py:65-74): unwrap the required id,
+    * second-truncate the timestamp (YQL Datetime cast), derive the
+    * partition year. Filter + projection reach the source scan.
+    */
+  def exportFrame(spark: SparkSession, start: LocalDate, end: LocalDate): DataFrame =
+    windowFilter(source.scan(spark), start, end)
+      .select(
+        Yql.unwrap(col("id")).as("id"),
+        col("doc_num"),
+        col("accdt"),
+        col("acckt"),
+        col("descr"),
+        col("amount"),
+        col("state"),
+        Yql.toDatetime(col("payment_date")).as("payment_date"))
+      .withColumn("payment_year", Yql.unwrap(Yql.paymentYear(col("payment_date"))))
+
+  /** Q2 "check" (yq_dag.py:82-95): exclusion-join cardinality across the
+    * two stores over the same window; 0 ⇔ the copy is faithful.
+    */
+  def reconcile(spark: SparkSession, start: LocalDate, end: LocalDate): Long = {
+    val hot = windowFilter(source.scan(spark), start, end)
+      .select(reconcileKeys.map(col): _*)
+    val coldSide = windowFilter(cold.scan(spark), start, end)
+      .select(reconcileKeys.map(col): _*)
+    ExclusionJoin.count(hot, coldSide, reconcileKeys)
+  }
+
+  /** One DAG run. Returns (year, rowsExported, diffCount). */
+  def runOnce(spark: SparkSession): (Int, Long, Long) = {
+    val start = watermark.value
+    val end = watermark.windowEnd
+    val year = start.getYear
+
+    // Q1 export — dynamic partition overwrite subsumes the delete step.
+    cold.exportYear(exportFrame(spark, start, end))
+
+    // Q2 reconcile, C2 branch, C3 fail.
+    val diff = reconcile(spark, start, end)
+    if (diff != 0L)
+      throw new IllegalStateException(
+        s"Data are not equal! exclusion-join count for $year = $diff; source partitions retained")
+
+    // K3 destructive drop, then C4 watermark advance — in that order.
+    val parts = source.listPartitions(spark, s"payments_y$year")
+    source.dropPartitions(spark, parts)
+    watermark.advance()
+
+    val exported = cold.scan(spark).where(col("payment_year") === year).count()
+    (year, exported, diff)
+  }
+
+  /** C5: drive runs until the hot store is exhausted — the
+    * Trigger.AvailableNow analog of the reference's hourly single-flight
+    * schedule (yq_dag.py:45-52).
+    */
+  def runAll(spark: SparkSession, maxRuns: Int = 100): Seq[(Int, Long, Long)] = {
+    val out = Seq.newBuilder[(Int, Long, Long)]
+    var more = true
+    var n = 0
+    while (more && n < maxRuns) {
+      val year = watermark.value.getYear
+      if (source.listPartitions(spark, s"payments_y$year").isEmpty) more = false
+      else { out += runOnce(spark); n += 1 }
+    }
+    out.result()
+  }
+
+  /** Q3 "federation analytics" (README_en.md:239-246): union the hot scan
+    * and the cold scan with source tags, count per (year, src), order.
+    */
+  def federationAnalytics(spark: SparkSession): DataFrame = {
+    val hot = source.scan(spark)
+      .select(col("id"), col("payment_date").as("pdate"), lit("pg").as("src"))
+    val coldSide = cold.scan(spark)
+      .select(col("id"), col("payment_date").as("pdate"), lit("s3").as("src"))
+    hot.unionAll(coldSide)
+      .groupBy(year(col("pdate")).as("dyear"), col("src"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("dyear", "src")
+  }
+}
