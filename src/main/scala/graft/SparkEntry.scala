@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{DedupQueries, ReferenceQueries => RefQ, SimilarityQueries, TextQueries}
+import graft.queries.{DedupQueries, EventQueries, ReferenceQueries => RefQ, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,6 +15,7 @@ object SparkEntry {
     Seq(
       (RefQ.queries, RefQ.oracles),
       (TextQueries.queries, TextQueries.oracles),
+      (EventQueries.queries, EventQueries.oracles),
       (DedupQueries.queries, DedupQueries.oracles),
       (SimilarityQueries.queries, SimilarityQueries.oracles)
     )

@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.streaming.StreamingOps
+
+/** Batch-side event/stream analytics over the `events` table. Each query is
+  * the batch twin of a streaming transform in [[graft.streaming.StreamingOps]]
+  * (same logical plan on a `readStream` source — StreamingSpec proves the
+  * equivalence); the DuckDB oracles pin the semantics.
+  *
+  * Double sums go through DECIMAL(18,2) so the aggregate is exact and
+  * order-independent — the cross-engine float-sum trap (verify skill notes).
+  */
+object EventQueries {
+
+  /** Tumbling 1-hour windows per event type (streaming twin: windowedCounts). */
+  def e1WindowedCounts(spark: SparkSession, dir: String): DataFrame =
+    StreamingOps.windowedCounts(Tables.events(spark, dir))
+      .orderBy("wstart", "event_type")
+
+  val e1Oracle: String =
+    """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS wstart, event_type, count(1) AS cnt
+      |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin
+
+  /** Sliding windows: 1 hour wide, every 15 minutes (streaming twin:
+    * slidingCounts). The oracle expands the 4 overlapping windows per event.
+    */
+  def e2SlidingCounts(spark: SparkSession, dir: String): DataFrame =
+    StreamingOps.slidingCounts(Tables.events(spark, dir))
+      .orderBy("wstart", "event_type")
+
+  val e2Oracle: String =
+    """WITH expanded AS (
+      |  SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS wstart, event_type
+      |  FROM events, unnest(range(0, 4)) AS r(k))
+      |SELECT wstart, event_type, count(1) AS cnt
+      |FROM expanded GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin
+
+  /** Gap-based sessionization (30-minute inactivity) via window functions —
+    * the declarative twin of the stateful flatMapGroupsWithState
+    * sessionizer. One shuffle on user_id; the per-user sort rides the same
+    * exchange.
+    */
+  def e3Sessions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        (col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L).cast("int"))
+      .withColumn("session_id", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .groupBy("user_id", "session_id")
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val e3Oracle: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, ts, value,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts, value,
+      |         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM marked)
+      |SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+      |       count(1) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin
+
+  /** Per-user rollup with exact decimal sums — the profile-table shape. */
+  def e4UserStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
+        max(col("ts")).as("last_seen"))
+      .orderBy("user_id")
+
+  val e4Oracle: String =
+    """SELECT user_id, count(1) AS n_events, count(DISTINCT event_type) AS n_types,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |       max(ts) AS last_seen
+      |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e1_windowed_counts" -> (e1WindowedCounts _),
+    "e2_sliding_counts" -> (e2SlidingCounts _),
+    "e3_sessions" -> (e3Sessions _),
+    "e4_user_stats" -> (e4UserStats _))
+
+  val oracles: Map[String, String] = Map(
+    "e1_windowed_counts" -> e1Oracle,
+    "e2_sliding_counts" -> e2Oracle,
+    "e3_sessions" -> e3Oracle,
+    "e4_user_stats" -> e4Oracle)
+}

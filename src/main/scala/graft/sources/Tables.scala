@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loaders for the driver test corpus (`TESTDATA.md`): one parquet file per
   * table under a scale-factor directory. All reads go through `spark.read
@@ -12,7 +13,16 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is physically TIMESTAMP(NANOS) parquet, which Spark's
+    * vectorized reader rejects; read it as raw nanos (legacy flag) and
+    * truncate to microseconds — the same truncation DuckDB applies, so
+    * oracle comparisons agree.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")
@@ -21,7 +31,10 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "events")
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
