@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{DedupQueries, EventQueries, ReferenceQueries => RefQ, SimilarityQueries, TextQueries}
+import graft.queries.{DedupQueries, EventQueries, MultimodalQueries, ReferenceQueries => RefQ, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,7 +17,8 @@ object SparkEntry {
       (TextQueries.queries, TextQueries.oracles),
       (EventQueries.queries, EventQueries.oracles),
       (DedupQueries.queries, DedupQueries.oracles),
-      (SimilarityQueries.queries, SimilarityQueries.oracles)
+      (SimilarityQueries.queries, SimilarityQueries.oracles),
+      (MultimodalQueries.queries, MultimodalQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
