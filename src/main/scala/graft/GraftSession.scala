@@ -40,9 +40,10 @@ object GraftSession {
     s
   }
 
-  /** Idempotent per-session setup of graft SQL functions (unwrap, …). */
+  /** Idempotent per-session setup of graft SQL functions (unwrap, graft_dot, …). */
   def prepare(spark: SparkSession): SparkSession = {
     graft.functions.Yql.register(spark)
+    graft.functions.VectorExpressions.register(spark)
     spark
   }
 }

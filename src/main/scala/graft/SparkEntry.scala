@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{DedupQueries, EventQueries, MultimodalQueries, ReferenceQueries => RefQ, SimilarityQueries, TextQueries}
+import graft.queries.{DedupQueries, EventQueries, JoinQueries, MultimodalQueries, ReferenceQueries => RefQ, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,6 +14,7 @@ object SparkEntry {
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (RefQ.queries, RefQ.oracles),
+      (JoinQueries.queries, JoinQueries.oracles),
       (TextQueries.queries, TextQueries.oracles),
       (EventQueries.queries, EventQueries.oracles),
       (DedupQueries.queries, DedupQueries.oracles),

@@ -14,24 +14,42 @@ import org.apache.spark.sql.functions._
   */
 object Vectors {
 
-  private def toD(v: Column): Column = transform(v, x => x.cast("double"))
+  /** float[] → double[] (exact widening). Materialize this ONCE per vector
+    * (projection before the join) — casting inside an O(n²) pair loop was
+    * the dominant cost of the brute-force queries.
+    */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
   /** Sequential left-fold sum of a double array. */
   def foldSum(v: Column): Column = aggregate(v, lit(0.0), (acc, x) => acc + x)
 
-  /** dot(a, b) as an in-order fold over element products. */
-  def dot(a: Column, b: Column): Column =
-    foldSum(zip_with(toD(a), toD(b), (x, y) => x * y))
-
-  /** Squared L2 norm. */
-  def norm2(a: Column): Column = {
-    val d = toD(a)
-    foldSum(zip_with(d, d, (x, y) => x * y))
-  }
-
-  /** cosine(a, b) = dot / sqrt(|a|² * |b|²) — single sqrt so the oracle's
-    * rounding path is identical.
+  /** dot(a, b) over already-double arrays: the codegen'd single-pass loop
+    * ([[DotProductDouble]] — registered by GraftSession.prepare). Bit-equal
+    * to the fold-of-products form, ~an order of magnitude faster inside
+    * pair joins.
     */
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / sqrt(norm2(a) * norm2(b))
+  def dotD(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Squared L2 norm of an already-double array. */
+  def norm2D(a: Column): Column = dotD(a, a)
+
+  /** dot(a, b) with on-the-fly widening (one-shot use). */
+  def dot(a: Column, b: Column): Column = dotD(toDouble(a), toDouble(b))
+
+  /** Squared L2 norm with on-the-fly widening (one-shot use). */
+  def norm2(a: Column): Column = norm2D(toDouble(a))
+
+  /** cosine from precomputed double arrays + squared norms:
+    * dot / sqrt(na2 * nb2) — single sqrt; precomputing the norms yields the
+    * same IEEE operations on the same values, so results are bit-identical
+    * to the inline form (and to the DuckDB oracle).
+    */
+  def cosinePre(a: Column, na2: Column, b: Column, nb2: Column): Column =
+    dotD(a, b) / sqrt(na2 * nb2)
+
+  /** cosine(a, b) one-shot (tests / single pairs). */
+  def cosine(a: Column, b: Column): Column = {
+    val (da, db) = (toDouble(a), toDouble(b))
+    dotD(da, db) / sqrt(norm2D(da) * norm2D(db))
+  }
 }

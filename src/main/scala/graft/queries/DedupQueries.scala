@@ -25,6 +25,18 @@ object DedupQueries {
   private val SimhashBits = 32
   private val SimhashBands = 4  // 8 bits per band
 
+  /** Universal-hash family h_j(x) = (a_j·h32(x) + b_j) mod p over ONE md5
+    * base hash — 12 multiplications instead of 12 md5 digests per shingle
+    * (the md5 calls dominated the MinHash profile). p = 2⁶¹−1 (Mersenne
+    * prime); a_j < 2²⁹ keeps a_j·h32 < 2⁶² — no 64-bit overflow in either
+    * engine, so the oracle reproduces every value exactly.
+    */
+  private val MersenneP = (1L << 61) - 1
+  private[queries] def affineA(j: Int): Long =
+    math.abs(("a:" + j).hashCode.toLong % ((1L << 29) - 1)) * 2 + 1 // odd, < 2^30
+  private[queries] def affineB(j: Int): Long =
+    math.abs(("b:" + j).hashCode.toLong) % MersenneP
+
   private def tokensDf(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
@@ -115,9 +127,11 @@ object DedupQueries {
     */
   def d3MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = shinglesDf(spark, dir).cache()
-    val hashed = sh.select(
-      col("doc_id") +: (0 until MinhashFns).map(j =>
-        Text.md5LongSeeded(col("shingle"), j).as(s"h$j")): _*)
+    val hashed = sh
+      .withColumn("h32", Text.md5Long(col("shingle")).bitwiseAND(lit(0xFFFFFFFFL)))
+      .select(
+        col("doc_id") +: (0 until MinhashFns).map(j =>
+          ((col("h32") * affineA(j) + affineB(j)) % MersenneP).as(s"h$j")): _*)
     val sig = hashed.groupBy("doc_id")
       .agg(min(col("h0")).as("m0"),
         (1 until MinhashFns).map(j => min(col(s"h$j")).as(s"m$j")): _*)
@@ -148,7 +162,10 @@ object DedupQueries {
   val d3Oracle: String =
     s"""WITH $shingleSqlBase,
        |h AS (
-       |  SELECT doc_id, shingle, j, ('0x' || substr(md5(j::VARCHAR || ':' || shingle), 1, 15))::BIGINT hv
+       |  SELECT doc_id, shingle, j,
+       |         ((('0x' || substr(md5(shingle), 1, 15))::BIGINT & 4294967295)
+       |          * ([${(0 until MinhashFns).map(affineA).mkString(", ")}][j + 1])
+       |          + ([${(0 until MinhashFns).map(affineB).mkString(", ")}][j + 1])) % ${MersenneP} hv
        |  FROM sh, unnest(range(0, $MinhashFns)) AS r(j)),
        |sig AS (SELECT doc_id, j, min(hv) m FROM h GROUP BY 1, 2),
        |bands AS (
@@ -166,18 +183,24 @@ object DedupQueries {
        |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
        |ORDER BY da, db""".stripMargin
 
-  /** Term-frequency-weighted 32-bit SimHash per document. */
+  /** Term-frequency-weighted 32-bit SimHash per document. One aggregation
+    * with 32 codegen'd sum expressions (one per bit) — no 32× row
+    * explosion, no second shuffle; the per-bit sums then assemble into the
+    * signature in a single projection.
+    */
   def d4Simhash(spark: SparkSession, dir: String): DataFrame = {
     val tf = tokensDf(spark, dir)
       .select(col("doc_id"), explode(col("tk")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val bits = tf
       .withColumn("hv", Text.md5LongSeeded(col("tok"), 99))
-      .select(col("doc_id"), col("tf"), col("hv"), explode(sequence(lit(0), lit(SimhashBits - 1))).as("b"))
-      .groupBy("doc_id", "b")
-      .agg(sum(col("tf") * (expr("(hv >> b) & 1") * 2 - 1)).as("s"))
-    bits.groupBy("doc_id")
-      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, cast(b as int))")).otherwise(lit(0L))).as("simhash"))
+    val bitSums = tf.groupBy("doc_id").agg(
+      sum(col("tf") * (shiftright(col("hv"), 0).bitwiseAND(lit(1L)) * 2 - 1)).as("s0"),
+      (1 until SimhashBits).map(b =>
+        sum(col("tf") * (shiftright(col("hv"), b).bitwiseAND(lit(1L)) * 2 - 1)).as(s"s$b")): _*)
+    bitSums
+      .select(col("doc_id") +: Seq(
+        (0 until SimhashBits).map(b =>
+          when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _).as("simhash")): _*)
       .orderBy("doc_id")
   }
 
@@ -238,12 +261,15 @@ object DedupQueries {
     * verify step; the bucketed scale path lives in SimilarityQueries.
     */
   def d6EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    graft.GraftSession.prepare(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
+      .withColumn("n2", Vectors.norm2D(col("v"))) // widen + norm once per vector, not per pair
     val a = e.where(col("vec_id") % 5 === 0)
-      .select(col("vec_id").as("va"), col("embedding").as("ea"))
-    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+      .select(col("vec_id").as("va"), col("v").as("ea"), col("n2").as("na2"))
+    val b = e.select(col("vec_id").as("vb"), col("v").as("eb"), col("n2").as("nb2"))
     a.join(b, col("va") < col("vb"))
-      .withColumn("cos", Vectors.cosine(col("ea"), col("eb")))
+      .withColumn("cos", Vectors.cosinePre(col("ea"), col("na2"), col("eb"), col("nb2")))
       .where(col("cos") >= 0.35)
       .select("va", "vb", "cos")
       .orderBy("va", "vb")

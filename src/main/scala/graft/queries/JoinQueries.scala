@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Multi-way join / top-k / window analytics over the TPC-H-shaped corpus —
+  * the headline shapes a warehouse runs constantly, tuned the way they must
+  * run at 100 TB:
+  *
+  *  - dimensions (`nation`, `customer`, `part`) are `broadcast()` so the
+  *    fact scan joins map-side — no fact-table shuffle for dim joins;
+  *  - aggregations go partial→final on the fact table *before* meeting
+  *    small sides where possible (j2 aggregates lineitem down to one row
+  *    per part before the dim join);
+  *  - revenue math is exact integer cents (`round(x*100)::BIGINT`), making
+  *    the aggregate order-independent — double sums would differ between
+  *    engines (and between runs at different parallelism).
+  */
+object JoinQueries {
+
+  /** revenue in "centi-cent" integer units: price-cents × (100 − discount-cents). */
+  private def revCents2(price: Column, discount: Column): Column =
+    round(price * 100).cast("long") * (lit(100L) - round(discount * 100).cast("long"))
+
+  private val revSql =
+    "CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+
+  /** Revenue per nation: lineitem ⋈ orders ⋈ customer ⋈ nation with the
+    * dims broadcast. The only big shuffle is lineitem⋈orders on orderkey.
+    */
+  def j1RevenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), revCents2(col("l_extendedprice"), col("l_discount")).as("rc2"))
+    val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val nat = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_items"),
+        (sum(col("rc2")) / 10000.0).as("revenue"))
+      .orderBy("n_name")
+  }
+
+  val j1Oracle: String =
+    s"""SELECT n_name, count(1) AS n_items, sum($revSql) / 10000.0 AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Top-10 parts by revenue: aggregate the fact table FIRST (partial agg
+    * map-side), then broadcast-join the `part` dim onto 10⁴× fewer rows.
+    */
+  def j2TopParts(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), revCents2(col("l_extendedprice"), col("l_discount")).as("rc2"))
+      .groupBy("l_partkey")
+      .agg(sum(col("rc2")).as("rc2sum"), count(lit(1)).as("n_items"))
+    val part = Tables.part(spark, dir).select(col("p_partkey"), col("p_name"), col("p_brand"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("n_items"),
+        (col("rc2sum") / 10000.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("p_partkey"))
+      .limit(10)
+  }
+
+  val j2Oracle: String =
+    s"""WITH li AS (
+       |  SELECT l_partkey, sum($revSql) AS rc2sum, count(1) AS n_items
+       |  FROM lineitem GROUP BY 1)
+       |SELECT p_partkey, p_name, p_brand, n_items, rc2sum / 10000.0 AS revenue
+       |FROM li JOIN part ON l_partkey = p_partkey
+       |ORDER BY revenue DESC, p_partkey LIMIT 10""".stripMargin
+
+  /** Window ranking: top-3 orders by price within each priority class
+    * (ranking window over a shuffled-by-key partition — no global sort).
+    */
+  def j3TopOrdersPerPriority(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  val j3Oracle: String =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |       CAST(row_number() OVER (PARTITION BY o_orderpriority
+      |                               ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+      |FROM orders QUALIFY rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin
+
+  /** Anti/semi-join pair: customers with no orders in 1997 (anti) next to
+    * the count of those with orders (semi) — the classic existence shapes,
+    * broadcast-free (both sides keyed, one shuffle each).
+    */
+  def j4CustomerActivity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord97 = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+        col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+      .select(col("o_custkey"))
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"))
+    val active = cust.join(ord97, col("c_custkey") === col("o_custkey"), "left_semi").count()
+    val inactive = cust.join(ord97, col("c_custkey") === col("o_custkey"), "left_anti").count()
+    Seq((active, inactive)).toDF("n_active", "n_inactive")
+  }
+
+  val j4Oracle: String =
+    """SELECT
+      |  (SELECT count(1) FROM customer WHERE EXISTS (
+      |     SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |       AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')) AS n_active,
+      |  (SELECT count(1) FROM customer WHERE NOT EXISTS (
+      |     SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |       AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')) AS n_inactive""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j1_revenue_by_nation" -> (j1RevenueByNation _),
+    "j2_top_parts" -> (j2TopParts _),
+    "j3_top_orders_per_priority" -> (j3TopOrdersPerPriority _),
+    "j4_customer_activity" -> (j4CustomerActivity _))
+
+  val oracles: Map[String, String] = Map(
+    "j1_revenue_by_nation" -> j1Oracle,
+    "j2_top_parts" -> j2Oracle,
+    "j3_top_orders_per_priority" -> j3Oracle,
+    "j4_customer_activity" -> j4Oracle)
+}

@@ -46,10 +46,10 @@ object SimilarityQueries {
   private def planeCol(p: Int): Column =
     array((0 until Dim).map(d => lit(weightInt(p, d)).cast("double") / lit(1000.0)): _*)
 
-  /** 8-bit LSH bucket of an embedding: bit p = [dot(v, w_p) > 0]. */
+  /** 8-bit LSH bucket of an already-double embedding: bit p = [dot(v, w_p) > 0]. */
   private def bucketCol(v: Column): Column =
     (0 until Planes).map { p =>
-      when(Vectors.dot(v, planeCol(p)) > 0, lit(1L << p)).otherwise(lit(0L))
+      when(Vectors.dotD(v, planeCol(p)) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   private def bucketSql(vExpr: String): String =
@@ -66,13 +66,18 @@ object SimilarityQueries {
       " / sqrt(list_reduce(list_prepend(0.0, list_transform(a.v, x -> x * x)), (x, y) -> x + y)" +
       " * list_reduce(list_prepend(0.0, list_transform(b.v, x -> x * x)), (x, y) -> x + y))"
 
-  /** Exact top-k: query block × corpus, cosine, windowed rank. */
+  /** Exact top-k: query block × corpus, cosine, windowed rank. Arrays are
+    * widened and norms computed once per vector before the pair join.
+    */
   def s1BruteTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val q = e.where(col("vec_id") < QueryBlock)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val scored = q.join(e.where(col("vec_id") >= 0), col("vec_id") =!= col("qid"))
-      .withColumn("cos", Vectors.cosine(col("qv"), col("embedding")))
+    graft.GraftSession.prepare(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
+      .withColumn("n2", Vectors.norm2D(col("v")))
+    val q = e.select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+      .where(col("qid") < QueryBlock)
+    val scored = q.join(e, col("vec_id") =!= col("qid"))
+      .withColumn("cos", Vectors.cosinePre(col("qv"), col("qn2"), col("v"), col("n2")))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
@@ -97,12 +102,15 @@ object SimilarityQueries {
     * deterministic; the spec quantifies recall against [[s1BruteTopK]].
     */
   def s2LshTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.prepare(spark)
     val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"), bucketCol(col("embedding")).as("bucket"))
+      .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
+      .withColumn("n2", Vectors.norm2D(col("v")))
+      .withColumn("bucket", bucketCol(col("v")))
     val q = e.where(col("vec_id") < QueryBlock)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("bucket"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"), col("bucket"))
     val scored = q.join(e, Seq("bucket")).where(col("vec_id") =!= col("qid"))
-      .withColumn("cos", Vectors.cosine(col("qv"), col("embedding")))
+      .withColumn("cos", Vectors.cosinePre(col("qv"), col("qn2"), col("v"), col("n2")))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
