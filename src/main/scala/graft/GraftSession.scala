@@ -20,6 +20,7 @@ object GraftSession {
     val b = SparkSession
       .builder()
       .appName(appName)
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1,0 +1,71 @@
+package graft.plans
+
+import java.time.{Instant, ZoneOffset}
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{IntegerType, TimestampType}
+
+/** Optimizer rule (SURVEY.md §4, §7.3): derive a `payment_year` partition
+  * predicate from a half-open `payment_date` range filter.
+  *
+  * The reference's reconciliation query filters the Object-Storage side on
+  * `payment_date` only (/root/reference/src/py/yq_dag.py:90-91), so YQ —
+  * and stock Spark — scan every `payment_year=*` partition of the cold
+  * store. Since the store writes `payment_year = year(payment_date)`
+  * (yq_dag.py:73), a date window `[lo, hi)` implies
+  * `payment_year BETWEEN year(lo) AND year(hi - 1µs)`; adding that
+  * predicate lets Spark's partition pruning skip whole directories — the
+  * difference between touching 1 year and touching 100 TB.
+  *
+  * Contract: applies only to plans that expose BOTH `payment_date:
+  * timestamp` and `payment_year: int` — the cold-store schema
+  * (sources.ColdStore), where the invariant holds by construction.
+  */
+object PartitionYearPruningRule extends Rule[LogicalPlan] {
+
+  private def yearOfMicros(us: Long): Int =
+    Instant.EPOCH.plusNanos(us * 1000L).atZone(ZoneOffset.UTC).getYear
+
+  private def boundsOf(cond: Expression, dateAttr: Attribute): (Option[Long], Option[Long]) = {
+    var lo: Option[Long] = None
+    var hi: Option[Long] = None
+    cond.foreach {
+      case GreaterThanOrEqual(a: Attribute, Literal(v: Long, TimestampType)) if a.semanticEquals(dateAttr) =>
+        lo = Some(lo.fold(v)(math.max(_, v)))
+      case LessThan(a: Attribute, Literal(v: Long, TimestampType)) if a.semanticEquals(dateAttr) =>
+        hi = Some(hi.fold(v)(math.min(_, v)))
+      case _ => ()
+    }
+    (lo, hi)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, child)
+        if child.output.exists(a => a.name == "payment_year" && a.dataType == IntegerType) &&
+          child.output.exists(a => a.name == "payment_date" && a.dataType == TimestampType) &&
+          !cond.references.exists(_.name == "payment_year") =>
+      val dateAttr = child.output.find(_.name == "payment_date").get
+      val yearAttr = child.output.find(_.name == "payment_year").get
+      boundsOf(cond, dateAttr) match {
+        case (Some(lo), Some(hi)) if hi > lo =>
+          val yLo = yearOfMicros(lo)
+          val yHi = yearOfMicros(hi - 1) // half-open upper bound
+          val pruned = And(
+            GreaterThanOrEqual(yearAttr, Literal(yLo, IntegerType)),
+            LessThanOrEqual(yearAttr, Literal(yHi, IntegerType)))
+          Filter(And(cond, pruned), child)
+        case _ => f
+      }
+  }
+}
+
+/** `spark.sql.extensions`-style installer, also callable from
+  * `SparkSession.builder.withExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => PartitionYearPruningRule)
+}
