@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{DedupQueries, EventQueries, JoinQueries, MultimodalQueries, ReferenceQueries => RefQ, SimilarityQueries, TextQueries}
+import graft.queries.{AnalyticsQueries, DedupQueries, EventQueries, JoinQueries, MultimodalQueries, ReferenceQueries => RefQ, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,6 +15,7 @@ object SparkEntry {
     Seq(
       (RefQ.queries, RefQ.oracles),
       (JoinQueries.queries, JoinQueries.oracles),
+      (AnalyticsQueries.queries, AnalyticsQueries.oracles),
       (TextQueries.queries, TextQueries.oracles),
       (EventQueries.queries, EventQueries.oracles),
       (DedupQueries.queries, DedupQueries.oracles),

@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+import graft.sources.Tables
+
+/** Time-series and OLAP analytics beyond the reference surface: the as-of
+  * join (point-in-time lookup — composed as one keyed window, see
+  * operators.AsOfJoin), rollup/cube hierarchies, and bag/set operations.
+  * DuckDB's native ASOF JOIN is the oracle for ours.
+  */
+object AnalyticsQueries {
+
+  /** Each purchase event joined to the user's most recent signup at or
+    * before it (inner as-of semantics).
+    */
+  def a1AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val signups = ev.where(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("signup_ts"), col("value").as("signup_value"))
+    AsOfJoin(purchases, signups, "user_id", "ts", "signup_ts", Seq("signup_value"))
+      .orderBy("event_id")
+  }
+
+  val a1Oracle: String =
+    """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+      |     s AS (SELECT user_id, ts AS signup_ts, value AS signup_value FROM events WHERE event_type = 'signup')
+      |SELECT p.event_id, p.user_id, p.ts, p.value, s.signup_ts, s.signup_value
+      |FROM p ASOF JOIN s ON p.user_id = s.user_id AND p.ts >= s.signup_ts
+      |ORDER BY event_id""".stripMargin
+
+  /** ROLLUP hierarchy: (year, status) → (year) → (). */
+  def g1Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(year(col("o_orderdate")).cast("int").as("dyear"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("dyear").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+
+  val g1Oracle: String =
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS dyear, o_orderstatus, count(1) AS cnt
+      |FROM orders GROUP BY ROLLUP(dyear, o_orderstatus)
+      |ORDER BY dyear NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
+
+  /** CUBE over (priority, status). */
+  def g2Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("o_orderpriority").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+
+  val g2Oracle: String =
+    """SELECT o_orderpriority, o_orderstatus, count(1) AS cnt
+      |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+      |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
+
+  /** INTERSECT / EXCEPT (set semantics): customers ordering in both 1996
+    * and 1997, and in 1996 only.
+    */
+  def g3SetOps(spark: SparkSession, dir: String): DataFrame = {
+    def buyers(y: Int) = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= to_timestamp(lit(s"$y-01-01 00:00:00")) &&
+        col("o_orderdate") < to_timestamp(lit(s"${y + 1}-01-01 00:00:00")))
+      .select(col("o_custkey"))
+    val both = buyers(1996).intersect(buyers(1997))
+      .select(col("o_custkey"), lit("both").as("tag"))
+    val only96 = buyers(1996).except(buyers(1997))
+      .select(col("o_custkey"), lit("only96").as("tag"))
+    both.unionByName(only96).orderBy("tag", "o_custkey")
+  }
+
+  val g3Oracle: String =
+    """WITH b96 AS (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'),
+      |     b97 AS (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+      |SELECT o_custkey, 'both' AS tag FROM (SELECT o_custkey FROM b96 INTERSECT SELECT o_custkey FROM b97)
+      |UNION ALL
+      |SELECT o_custkey, 'only96' AS tag FROM (SELECT o_custkey FROM b96 EXCEPT SELECT o_custkey FROM b97)
+      |ORDER BY tag, o_custkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a1_asof_join" -> (a1AsofJoin _),
+    "g1_rollup" -> (g1Rollup _),
+    "g2_cube" -> (g2Cube _),
+    "g3_setops" -> (g3SetOps _))
+
+  val oracles: Map[String, String] = Map(
+    "a1_asof_join" -> a1Oracle,
+    "g1_rollup" -> g1Oracle,
+    "g2_cube" -> g2Oracle,
+    "g3_setops" -> g3Oracle)
+}

@@ -1,0 +1,49 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.AsOfJoin
+
+/** AsOfJoin edge semantics: greatest right ts <= left ts per key, equal
+  * timestamps match, probes before any state row drop (inner), keys never
+  * cross.
+  */
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("as-of join picks the latest prior state, inner semantics") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), 5.0),   // after two states → latest wins
+      (2L, 10L, ts("2024-01-01 08:00:00"), 6.0),   // before any state → dropped
+      (3L, 10L, ts("2024-01-01 09:00:00"), 7.0),   // equal ts → matches (>=)
+      (4L, 20L, ts("2024-01-01 12:00:00"), 8.0)    // other key, no state → dropped
+    ).toDF("event_id", "user_id", "ts", "value")
+    val right = Seq(
+      (10L, ts("2024-01-01 09:00:00"), 1.0),
+      (10L, ts("2024-01-01 09:30:00"), 2.0),
+      (30L, ts("2024-01-01 00:00:00"), 9.0) // unrelated key
+    ).toDF("user_id", "signup_ts", "signup_value")
+
+    val got = AsOfJoin(left, right, "user_id", "ts", "signup_ts", Seq("signup_value"))
+      .orderBy("event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(4), r.getDouble(5)))
+
+    assert(got.toSeq == Seq(
+      (1L, ts("2024-01-01 09:30:00"), 2.0),
+      (3L, ts("2024-01-01 09:00:00"), 1.0)))
+  }
+
+  test("as-of join output keeps all left columns") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, ts("2024-01-01 10:00:00"), 5.0)).toDF("event_id", "user_id", "ts", "value")
+    val right = Seq((10L, ts("2024-01-01 09:00:00"), 1.0)).toDF("user_id", "signup_ts", "signup_value")
+    val out = AsOfJoin(left, right, "user_id", "ts", "signup_ts", Seq("signup_value"))
+    assert(out.columns.toSeq == Seq("event_id", "user_id", "ts", "value", "signup_ts", "signup_value"))
+  }
+}
