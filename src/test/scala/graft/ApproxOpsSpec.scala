@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{DedupQueries, SimilarityQueries}
+
+/** The approximate operators measured against their exact baselines on the
+  * deterministic corpus: MinHash-LSH is *sound* (finds only true near-dups,
+  * verified by exact Jaccard) and here *complete* w.r.t. the exact
+  * pairwise scan; LSH ANN neighbors carry exactly the brute-force cosine
+  * values (the approximation loses candidates, never corrupts scores).
+  */
+class ApproxOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("minhash-LSH near-dup pairs are a subset of the exact n-gram Jaccard pairs") {
+    val exact = DedupQueries.d2NgramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupQueries.d3MinhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"LSH found non-near-dup pairs: ${lsh -- exact}")
+    // 2-row × 6-band LSH catches a j=0.5 pair with p = 1-(1-0.25)^6 ≈ 0.82
+    // (and ≈ 1.0 for the j≈0.97 planted dups); this corpus sits at 24/28.
+    // Soundness is structural, recall is the banding knob.
+    assert(exact.nonEmpty && lsh.size >= math.ceil(exact.size * 0.8).toInt,
+      s"recall ${lsh.size}/${exact.size} — banding config regressed")
+  }
+
+  test("exact dedup marks exactly the planted duplicates") {
+    val rows = DedupQueries.d1ExactDedup(spark, dir).collect()
+    val dups = rows.filter(_.getLong(1) > 1)
+    assert(dups.forall(_.getLong(1) == 2)) // each planted dup appears twice
+    assert(dups.length == rows.map(_.getLong(2)).count(_ % 10 == 0))
+  }
+
+  test("LSH ANN: every neighbor shares the query bucket and carries the exact cosine") {
+    val brute = SimilarityQueries.s1BruteTopK(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    val lsh = SimilarityQueries.s2LshTopK(spark, dir).collect()
+    assert(lsh.nonEmpty)
+    // scores of LSH-found pairs that brute force also ranked must be identical bits
+    val overlapping = lsh.flatMap { r =>
+      brute.get((r.getLong(0), r.getLong(1))).map(b => (r.getDouble(3), b))
+    }
+    assert(overlapping.forall { case (a, b) => a == b },
+      "LSH must not perturb cosine scores")
+  }
+}
