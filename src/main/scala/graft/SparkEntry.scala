@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{AnalyticsQueries, DedupQueries, EventQueries, JoinQueries, MultimodalQueries, ReferenceQueries => RefQ, SimilarityQueries, TextQueries}
+import graft.queries.{AnalyticsQueries, CorpusQueries, DedupQueries, EventQueries, JoinQueries, MultimodalQueries, ReferenceQueries => RefQ, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,7 +20,8 @@ object SparkEntry {
       (EventQueries.queries, EventQueries.oracles),
       (DedupQueries.queries, DedupQueries.oracles),
       (SimilarityQueries.queries, SimilarityQueries.oracles),
-      (MultimodalQueries.queries, MultimodalQueries.oracles)
+      (MultimodalQueries.queries, MultimodalQueries.oracles),
+      (CorpusQueries.queries, CorpusQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.sources.Tables
+
+/** Corpus-preparation operators (training-data pipeline, builder brief):
+  * vocabulary construction, benchmark decontamination, and character-level
+  * language profiles. All single-scan + keyed-aggregation shapes — the
+  * 100 TB versions differ only in partition counts.
+  */
+object CorpusQueries {
+
+  private val NGram = 8 // decontamination gram size (the common n for eval leakage)
+
+  /** Vocabulary: top-200 tokens by corpus frequency, deterministic
+    * tie-break — the BPE/tokenizer-training input. Map-side partial
+    * aggregation does the heavy lifting; only (token, count) pairs shuffle.
+    */
+  def v1Vocab(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(Text.tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(200)
+
+  val v1Oracle: String =
+    """SELECT token, count(1) AS cnt
+      |FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS token
+      |      FROM documents)
+      |GROUP BY token ORDER BY cnt DESC, token LIMIT 200""".stripMargin
+
+  /** Decontamination: training docs sharing any 8-token gram with the eval
+    * split (stand-in: doc_id ≡ 0 mod 11) are flagged with their overlap
+    * count. Inverted-index equi-join on the gram — same scale shape as the
+    * dedup candidate join; the eval side is tiny and broadcasts.
+    */
+  def v2Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Text.shingles(Text.tokens(col("text")), NGram)).as("gram"))
+    val eval_ = grams.where(col("doc_id") % 11 === 0).select(col("gram")).distinct()
+    val train = grams.where(col("doc_id") % 11 =!= 0)
+    train.join(eval_, "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_shared_grams"))
+      .orderBy("doc_id")
+  }
+
+  val v2Oracle: String = {
+    val gram = (0 until NGram).map(o => s"tk[i+$o]").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') tk
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, unnest(list_distinct([$gram for i in range(1, len(tk) - ${NGram - 2})])) AS gram
+       |  FROM toks WHERE len(tk) >= $NGram),
+       |ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 11 = 0)
+       |SELECT doc_id, count(DISTINCT gram) AS n_shared_grams
+       |FROM grams JOIN ev USING (gram)
+       |WHERE doc_id % 11 <> 0
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** Character-trigram profile per language label: top-10 trigrams each —
+    * the statistical fingerprint real language-ID models train on.
+    */
+  def v3CharTrigrams(spark: SparkSession, dir: String): DataFrame = {
+    val lowered = lower(col("text"))
+    val grams = Tables.documents(spark, dir)
+      .select(col("lang"), explode(
+        when(length(lowered) >= 3,
+          transform(sequence(lit(1), length(lowered) - 2), i => lowered.substr(i, lit(3))))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+    val counted = grams.groupBy("lang", "gram").agg(count(lit(1)).as("cnt"))
+    counted
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("cnt").desc, col("gram"))))
+      .where(col("rn") <= 10)
+      .select(col("lang"), col("rn").cast("int").as("rn"), col("gram"), col("cnt"))
+      .orderBy("lang", "rn")
+  }
+
+  val v3Oracle: String =
+    """WITH grams AS (
+      |  SELECT lang, unnest([substr(lower(text), i, 3) for i in range(1, length(text) - 1)]) AS gram
+      |  FROM documents WHERE length(text) >= 3),
+      |counted AS (SELECT lang, gram, count(1) AS cnt FROM grams GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT lang, gram, cnt,
+      |         CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram) AS INTEGER) AS rn
+      |  FROM counted)
+      |SELECT lang, rn, gram, cnt FROM ranked WHERE rn <= 10 ORDER BY lang, rn""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v1_vocab" -> (v1Vocab _),
+    "v2_decontaminate" -> (v2Decontaminate _),
+    "v3_char_trigrams" -> (v3CharTrigrams _))
+
+  val oracles: Map[String, String] = Map(
+    "v1_vocab" -> v1Oracle,
+    "v2_decontaminate" -> v2Oracle,
+    "v3_char_trigrams" -> v3Oracle)
+}

@@ -40,7 +40,13 @@ final class JdbcPaymentsSource(
     user: String = "",
     password: String = "",
     fetchPar: Int = 8,
-    idBounds: (Long, Long) = (0L, 1L << 40)) extends PaymentsSource {
+    idBounds: (Long, Long) = (0L, 1L << 40),
+    /** Catalog enumeration SQL for a partition-name prefix — PostgreSQL
+      * dialect by default (the reference's `pg_tables` scan,
+      * yq_dag.py:112); Derby/H2 tests inject their own dialect.
+      */
+    catalogQuery: String => String = prefix =>
+      s"select tablename from pg_tables where tablename like '$prefix%'") extends PaymentsSource {
 
   private def props: java.util.Properties = {
     val p = new java.util.Properties()
@@ -60,7 +66,7 @@ final class JdbcPaymentsSource(
   override def listPartitions(spark: SparkSession, prefix: String): Seq[String] = {
     // The reference's catalog scan: select tablename from pg_tables where
     // tablename like 'payments_y…%' (yq_dag.py:112).
-    val q = s"(select tablename from pg_tables where tablename like '$prefix%') t"
+    val q = s"(${catalogQuery(prefix)}) t"
     spark.read.jdbc(url, q, props).collect().map(_.getString(0)).toSeq.sorted
   }
 
@@ -69,8 +75,9 @@ final class JdbcPaymentsSource(
     try {
       val st = conn.createStatement()
       // Mirrors the PL/pgSQL loop `execute 'drop table ' || part_name`
-      // (yq_dag.py:113-116); names come from the catalog, not user input.
-      names.foreach(n => st.execute(s"drop table if exists $n"))
+      // (yq_dag.py:113-116); names come from the catalog scan (S4), so
+      // plain DROP TABLE like the reference (no IF EXISTS — Derby lacks it).
+      names.foreach(n => st.execute(s"drop table $n"))
     } finally conn.close()
   }
 }

@@ -1,0 +1,71 @@
+package graft
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.JdbcPaymentsSource
+
+/** S1/S4/K3/C8 over a REAL JDBC engine: embedded Derby (ships with Spark)
+  * stands in for the reference's PostgreSQL. Exercises the parallel
+  * range-split scan with predicate pushdown, the catalog partition
+  * enumeration, and the destructive partition drop — the exact code paths
+  * production runs against `pg-finance`.
+  */
+class JdbcSourceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val url = "jdbc:derby:memory:graftdb;create=true"
+
+  private lazy val setup: Unit = {
+    val conn = DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute("""CREATE TABLE payments (
+      id BIGINT NOT NULL, doc_num VARCHAR(10) NOT NULL,
+      accdt BIGINT NOT NULL, acckt BIGINT NOT NULL,
+      amount DOUBLE NOT NULL, payment_date TIMESTAMP NOT NULL,
+      descr VARCHAR(64), state VARCHAR(10) NOT NULL)""")
+    val ins = conn.prepareStatement("INSERT INTO payments VALUES (?,?,?,?,?,?,?,?)")
+    (1 to 240).foreach { i => // 2 years, ~10 rows/month
+      ins.setLong(1, i); ins.setString(2, i.toString)
+      ins.setLong(3, i % 100); ins.setLong(4, 100 - i % 100)
+      ins.setDouble(5, i * 1.25)
+      ins.setTimestamp(6, java.sql.Timestamp.valueOf(
+        f"${2020 + (i - 1) / 120}-${(i - 1) / 10 % 12 + 1}%02d-0${(i - 1) % 10 % 9 + 1} 12:00:00"))
+      ins.setString(7, s"payment $i"); ins.setString(8, "done")
+      ins.addBatch()
+    }
+    ins.executeBatch()
+    // monthly "child partition" marker tables, reference naming
+    Seq("payments_y2020m01", "payments_y2020m02", "payments_y2021m01")
+      .foreach(t => st.execute(s"CREATE TABLE $t (id BIGINT)"))
+    conn.close()
+  }
+
+  private def source = new JdbcPaymentsSource(
+    url, fetchPar = 4, idBounds = (0L, 256L),
+    catalogQuery = prefix =>
+      s"SELECT tablename FROM SYS.SYSTABLES WHERE tablename LIKE '${prefix.toUpperCase}%'")
+
+  test("parallel JDBC scan with window filter pushed to the database") {
+    setup
+    val df = source.scan(spark)
+      .filter(col("payment_date") >= lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00")) &&
+        col("payment_date") < lit(java.sql.Timestamp.valueOf("2021-01-01 00:00:00")))
+    assert(df.count() == 120)
+    assert(df.rdd.getNumPartitions == 4) // range-split over id — parallel read
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("PAYMENT_DATE"),
+      s"window filter should reach the JDBC source:\n$plan")
+  }
+
+  test("catalog partition enumeration and destructive drop (S4 + K3)") {
+    setup
+    assert(source.listPartitions(spark, "payments_y2020") ==
+      Seq("PAYMENTS_Y2020M01", "PAYMENTS_Y2020M02"))
+    source.dropPartitions(spark, Seq("PAYMENTS_Y2020M01", "PAYMENTS_Y2020M02"))
+    assert(source.listPartitions(spark, "payments_y2020").isEmpty)
+    assert(source.listPartitions(spark, "payments_y2021") == Seq("PAYMENTS_Y2021M01"))
+  }
+}
