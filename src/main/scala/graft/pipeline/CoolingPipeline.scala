@@ -49,14 +49,14 @@ final class CoolingPipeline(
     */
   def exportFrame(spark: SparkSession, start: LocalDate, end: LocalDate): DataFrame =
     windowFilter(source.scan(spark), start, end)
-      .select(
-        Yql.unwrap(col("id")).as("id"),
-        col("doc_num"),
-        col("accdt"),
-        col("acckt"),
-        col("descr"),
-        col("amount"),
-        col("state"),
+      .select( // every column re-aliased: JDBC sources may surface
+        Yql.unwrap(col("id")).as("id"), // dialect-uppercased names (Derby)
+        col("doc_num").as("doc_num"),
+        col("accdt").as("accdt"),
+        col("acckt").as("acckt"),
+        col("descr").as("descr"),
+        col("amount").as("amount"),
+        col("state").as("state"),
         Yql.toDatetime(col("payment_date")).as("payment_date"))
       .withColumn("payment_year", Yql.unwrap(Yql.paymentYear(col("payment_date"))))
 

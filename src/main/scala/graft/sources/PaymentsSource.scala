@@ -82,6 +82,47 @@ final class JdbcPaymentsSource(
   }
 }
 
+/** JDBC implementation for *physically partitioned* hot stores: each
+  * monthly partition is its own table (`payments_yYYYYmMM`) — how the
+  * reference's PG table is actually laid out (db_init.sql:57-59). The scan
+  * unions the child tables enumerated from the catalog (one JDBC read per
+  * partition → executors fetch partitions concurrently, like PG's
+  * partition-wise scans); dropping a partition drops real data, so the
+  * federated pipeline semantics are exact.
+  */
+final class JdbcPartitionedPaymentsSource(
+    url: String,
+    catalogQuery: String => String,
+    user: String = "",
+    password: String = "") extends PaymentsSource {
+
+  private val flat = new JdbcPaymentsSource(url, "payments", user, password,
+    catalogQuery = catalogQuery)
+
+  private def props: java.util.Properties = {
+    val p = new java.util.Properties()
+    if (user.nonEmpty) p.setProperty("user", user)
+    if (password.nonEmpty) p.setProperty("password", password)
+    p
+  }
+
+  override def scan(spark: SparkSession): DataFrame = {
+    val parts = listPartitions(spark, "payments_y")
+    if (parts.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        // child tables carry the payments schema; reuse the parquet twin's
+        new ParquetPaymentsSource("/nonexistent").schema)
+    else
+      parts.map(t => spark.read.jdbc(url, t, props)).reduce(_ unionByName _)
+  }
+
+  override def listPartitions(spark: SparkSession, prefix: String): Seq[String] =
+    flat.listPartitions(spark, prefix)
+
+  override def dropPartitions(spark: SparkSession, names: Seq[String]): Unit =
+    flat.dropPartitions(spark, names)
+}
+
 /** Test/bench implementation: the hot store is a directory of monthly
   * parquet partitions `payments_yYYYYmMM/` — the same physical layout the
   * PG table has logically. Partition drop = recursive directory delete
