@@ -28,6 +28,8 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft-warehouse") // keep catalog tables out of the repo
       .config("spark.sql.parquet.compression.codec", "snappy")
       .config("spark.ui.enabled", "false")
     master.fold(b)(m => b.master(m))

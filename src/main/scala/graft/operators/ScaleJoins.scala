@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Join techniques for the 100 TB tier (builder brief): bucketing to
+  * pre-shuffle fact tables once at write time, and key salting to spread a
+  * skewed build side when AQE's runtime splitting isn't available (e.g.
+  * deterministic plans, or skew known up front).
+  */
+object ScaleJoins {
+
+  /** Write both sides bucketed by the join key into the session catalog:
+    * every future equi-join on `key` between them is shuffle-free (the
+    * exchange happens once, at write). This is how repeated fact⋈fact
+    * joins amortize at scale — `numBuckets` matches the executor-count
+    * order of magnitude.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    // idempotent: clear the catalog entry AND any orphaned location left by
+    // a previous process (overwrite alone refuses a dangling directory)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    graft.sources.FsUtil.delete(spark, s"$warehouse/$table")
+    df.write
+      .mode("overwrite")
+      .bucketBy(numBuckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Salted equi-join for a skewed LEFT side: the right side is replicated
+    * `saltFactor` ways, the left side scatters its hot keys uniformly over
+    * the replicas, and the join key becomes (key, salt) — the worst
+    * partition shrinks by ~saltFactor. Correctness is unchanged: every
+    * left row still meets exactly one copy of each matching right row.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String, saltFactor: Int = 8): DataFrame = {
+    val saltedLeft = left.withColumn("_salt",
+      pmod(hash(col(key), monotonically_increasing_id()), lit(saltFactor)))
+    val saltedRight = right.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    saltedLeft.join(saltedRight, Seq(key, "_salt")).drop("_salt")
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.EventQueries
+import graft.sources.Tables
+import graft.streaming.StreamingOps
+
+/** Exactly-once stateful recovery: the sessionizer runs over the first
+  * half of the event timeline, the query STOPS (checkpoint persists the
+  * open-session state), the second half arrives, and a NEW query run
+  * resumes from the checkpoint — the union of emitted sessions must equal
+  * the batch sessionization of the full data (sessions spanning the
+  * restart boundary included). This is the streaming analog of the
+  * pipeline's crash-safe watermark ordering (SURVEY.md C4).
+  */
+class StreamingRecoverySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("flatMapGroupsWithState sessionization survives a restart via checkpoint") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-recovery").toString
+    val srcDir = s"$root/src"; val outDir = s"$root/out"; val ck = s"$root/ck"
+    new java.io.File(srcDir).mkdirs()
+
+    val events = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val cut = events.agg(expr("percentile_approx(cast(ts as long), 0.5)")).head.getLong(0)
+
+    def run(): Unit = {
+      val stream = graft.sources.Tables.normalizeEventTs(
+          spark.readStream.schema(StreamingOps.rawEventSchema).parquet(srcDir))
+        .select("event_id", "ts", "user_id", "event_type", "value").as[StreamingOps.Event]
+      val q = StreamingOps.sessionize(spark, stream).toDF()
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+
+    // first half arrives (raw nanos schema, as on disk), stream runs, stops
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val cutMicros = cut * 1000000L
+    raw.where(expr(s"ts div 1000 <= ${cutMicros}L")).write.mode("append").parquet(srcDir)
+    run()
+    // second half arrives; a NEW query recovers state from the checkpoint
+    raw.where(expr(s"ts div 1000 > ${cutMicros}L")).write.mode("append").parquet(srcDir)
+    run()
+
+    val got = spark.read.parquet(outDir)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .orderBy("user_id", "session_start").collect()
+
+    val all = EventQueries.e3Sessions(spark, sfDir)
+    val lastPerUser = all.groupBy("user_id").agg(max(col("session_id")).as("session_id"))
+    val want = all.join(lastPerUser, Seq("user_id", "session_id"), "left_anti")
+      .select("user_id", "session_start", "session_end", "n_events")
+      .orderBy("user_id", "session_start").collect()
+
+    assert(got.length == want.length,
+      s"emitted ${got.length} closed sessions, batch says ${want.length}")
+    assert(got.sameElements(want))
+  }
+}
