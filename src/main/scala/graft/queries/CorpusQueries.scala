@@ -40,8 +40,12 @@ object CorpusQueries {
     * dedup candidate join; the eval side is tiny and broadcasts.
     */
   def v2Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    // materialize tokens BEFORE the shingle lambda: HOFs are interpreted
+    // (no codegen/CSE), so an inlined tokens() would re-run the regex split
+    // for every element_at — ~100x slower at sf0.1
     val grams = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(Text.shingles(Text.tokens(col("text")), NGram)).as("gram"))
+      .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), explode(Text.shingles(col("tk"), NGram)).as("gram"))
     val eval_ = grams.where(col("doc_id") % 11 === 0).select(col("gram")).distinct()
     val train = grams.where(col("doc_id") % 11 =!= 0)
     train.join(eval_, "gram")
@@ -69,11 +73,11 @@ object CorpusQueries {
     * the statistical fingerprint real language-ID models train on.
     */
   def v3CharTrigrams(spark: SparkSession, dir: String): DataFrame = {
-    val lowered = lower(col("text"))
     val grams = Tables.documents(spark, dir)
+      .select(col("lang"), lower(col("text")).as("lo")) // materialized before the lambda
       .select(col("lang"), explode(
-        when(length(lowered) >= 3,
-          transform(sequence(lit(1), length(lowered) - 2), i => lowered.substr(i, lit(3))))
+        when(length(col("lo")) >= 3,
+          transform(sequence(lit(1), length(col("lo")) - 2), i => col("lo").substr(i, lit(3))))
           .otherwise(array().cast("array<string>"))).as("gram"))
     val counted = grams.groupBy("lang", "gram").agg(count(lit(1)).as("cnt"))
     counted

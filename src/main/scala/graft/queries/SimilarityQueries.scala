@@ -132,11 +132,79 @@ object SimilarityQueries {
        |SELECT qid, nid, CAST(rank AS INTEGER) AS rank, cos FROM ranked WHERE rank <= $TopK
        |ORDER BY qid, rank""".stripMargin
 
+  private val Cells = 16   // IVF centroid count
+  private val Probes = 2   // cells probed per query
+
+  /** IVF ANN: an inverted-file index with deterministic "centroids" (the
+    * first 16 vectors — a k-means stand-in that keeps the oracle exact).
+    * Every vector is assigned to its nearest centroid (the inverted
+    * lists); a query probes its `Probes` nearest cells and ranks only
+    * their members. At scale the assignment is one broadcast-map pass and
+    * the probe is an equi-join on cell id — the IVF trade: recall vs the
+    * fraction of lists touched.
+    */
+  def s3IvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.prepare(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
+      .withColumn("n2", Vectors.norm2D(col("v")))
+    val cents = e.where(col("vec_id") < Cells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
+
+    // nearest-centroid assignment (rank 1) and per-query probe list (rank <= Probes)
+    def cellRank(of: DataFrame, idCol: String) = of.join(broadcast(cents))
+      .withColumn("ccos", Vectors.cosinePre(col("v"), col("n2"), col("cv"), col("cn2")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(idCol).orderBy(col("ccos").desc, col("cid"))))
+
+    val assigned = cellRank(e, "vec_id").where(col("crank") === 1)
+      .select(col("vec_id"), col("v"), col("n2"), col("cid"))
+    val probes = cellRank(e.where(col("vec_id") < QueryBlock), "vec_id").where(col("crank") <= Probes)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"), col("cid"))
+
+    val scored = probes.join(assigned, Seq("cid")).where(col("vec_id") =!= col("qid"))
+      .withColumn("cos", Vectors.cosinePre(col("qv"), col("qn2"), col("v"), col("n2")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+      .where(col("rank") <= TopK)
+      .select(col("qid"), col("vec_id").as("nid"), col("rank"), col("cos"))
+      .orderBy("qid", "rank")
+  }
+
+  val s3Oracle: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $Cells),
+       |ranked_cells AS (
+       |  SELECT a.vec_id, b.cid, $cosSqlAB AS ccos,
+       |         row_number() OVER (PARTITION BY a.vec_id ORDER BY $cosSqlAB DESC, b.cid) AS crank
+       |  FROM e a CROSS JOIN c b),
+       |assigned AS (SELECT vec_id, cid FROM ranked_cells WHERE crank = 1),
+       |probes AS (SELECT vec_id AS qid, cid FROM ranked_cells WHERE crank <= $Probes AND vec_id < $QueryBlock),
+       |scored AS (
+       |  SELECT p.qid, x.vec_id nid, $cosSqlQX AS cos
+       |  FROM probes p JOIN assigned x ON p.cid = x.cid AND x.vec_id <> p.qid
+       |  JOIN e a ON a.vec_id = p.qid JOIN e b ON b.vec_id = x.vec_id),
+       |fin AS (
+       |  SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |  FROM scored)
+       |SELECT qid, nid, CAST(rank AS INTEGER) AS rank, cos FROM fin WHERE rank <= $TopK
+       |ORDER BY qid, rank""".stripMargin
+
+  private def cosSqlAB: String =
+    "list_reduce(list_prepend(0.0, list_transform(list_zip(a.v, b.cv), s -> s[1] * s[2])), (x, y) -> x + y)" +
+      " / sqrt(list_reduce(list_prepend(0.0, list_transform(a.v, x -> x * x)), (x, y) -> x + y)" +
+      " * list_reduce(list_prepend(0.0, list_transform(b.cv, x -> x * x)), (x, y) -> x + y))"
+
+  private def cosSqlQX: String = cosSql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_brute_topk" -> (s1BruteTopK _),
-    "s2_lsh_topk" -> (s2LshTopK _))
+    "s2_lsh_topk" -> (s2LshTopK _),
+    "s3_ivf_topk" -> (s3IvfTopK _))
 
   val oracles: Map[String, String] = Map(
     "s1_brute_topk" -> s1Oracle,
-    "s2_lsh_topk" -> s2Oracle)
+    "s2_lsh_topk" -> s2Oracle,
+    "s3_ivf_topk" -> s3Oracle)
 }

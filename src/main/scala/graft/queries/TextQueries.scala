@@ -126,11 +126,14 @@ object TextQueries {
   def t4Fingerprint(spark: SparkSession, dir: String): DataFrame = {
     val norm = Text.normText(col("text"))
     Tables.documents(spark, dir)
-      .select(
-        col("doc_id"),
+      .select( // tokens materialized before the shingle lambda (HOFs are
+        col("doc_id"), // interpreted — an inlined tokens() re-splits per element)
         md5(norm).as("fp_md5"),
         Text.md5Long(norm).as("fp64"),
-        size(Text.shingles(Text.tokens(col("text")))).cast("long").as("n_shingles"))
+        Text.tokens(col("text")).as("tk"))
+      .select(
+        col("doc_id"), col("fp_md5"), col("fp64"),
+        size(Text.shingles(col("tk"))).cast("long").as("n_shingles"))
       .orderBy("doc_id")
   }
 
