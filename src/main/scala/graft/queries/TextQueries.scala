@@ -20,14 +20,17 @@ object TextQueries {
     * count, character counts, average token length.
     */
   def t1TokenStats(spark: SparkSession, dir: String): DataFrame = {
-    val tk = Text.tokens(col("text"))
     Tables.documents(spark, dir)
+      .select( // tokens materialized first: HOF lambdas are interpreted and
+        col("doc_id"), // would re-split the text per element otherwise
+        col("text"),
+        Text.tokens(col("text")).as("tk"))
       .select(
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
-        size(tk).cast("long").as("n_tokens"),
+        size(col("tk")).cast("long").as("n_tokens"),
         Text.bpeishCount(col("text")).cast("long").as("n_bpeish"),
-        aggregate(transform(tk, t => length(t)), lit(0), (a, x) => a + x).cast("long").as("token_chars"))
+        aggregate(transform(col("tk"), t => length(t)), lit(0), (a, x) => a + x).cast("long").as("token_chars"))
       .withColumn("avg_token_len",
         when(col("n_tokens") > 0, col("token_chars").cast("double") / col("n_tokens")))
       .orderBy("doc_id")
@@ -46,12 +49,11 @@ object TextQueries {
   /** Rule-based language ID (marker-stopword argmax with fixed tie-break)
     * next to the corpus's labeled `lang` for agreement auditing.
     */
-  def t2LangId(spark: SparkSession, dir: String): DataFrame = {
-    val tk = Text.tokens(col("text"))
-    val scored = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang").as("labeled_lang"), Text.langId(tk).as("detected_lang"))
-    scored.orderBy("doc_id")
-  }
+  def t2LangId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), Text.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("lang").as("labeled_lang"), Text.langId(col("tk")).as("detected_lang"))
+      .orderBy("doc_id")
 
   val t2Oracle: String = {
     val hits = Text.langMarkers.map { case (lang, words) =>
@@ -78,15 +80,15 @@ object TextQueries {
     * pretraining-filter shape: each gate is one heuristic signal).
     */
   def t3Quality(spark: SparkSession, dir: String): DataFrame = {
-    val tk = Text.tokens(col("text"))
     val stop = Text.langMarkers.flatMap(_._2)
     Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), Text.tokens(col("text")).as("tk"))
       .select(
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
-        size(tk).cast("long").as("n_tokens"),
+        size(col("tk")).cast("long").as("n_tokens"),
         length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("long").as("n_punct"),
-        Text.markerHits(tk, stop).cast("long").as("n_stop"))
+        Text.markerHits(col("tk"), stop).cast("long").as("n_stop"))
       .withColumn("punct_ratio",
         when(col("n_chars") > 0, col("n_punct").cast("double") / col("n_chars")).otherwise(lit(0.0)))
       .withColumn("stop_ratio",
