@@ -99,13 +99,32 @@ object CorpusQueries {
       |  FROM counted)
       |SELECT lang, rn, gram, cnt FROM ranked WHERE rn <= 10 ORDER BY lang, rn""".stripMargin
 
+  /** Corpus profiling with approximate distinct (HyperLogLog++): the
+    * constant-memory cardinality pass a 100 TB profiler runs where exact
+    * distinct would shuffle the world. No DuckDB oracle — HLL sketches are
+    * engine-specific — so the driver records a rows-only check and
+    * ApproxOpsSpec bounds the estimation error against exact counts.
+    */
+  def v4ProfileApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), col("lang"), Text.tokens(col("text")).as("tk"))
+      .select(col("source"), col("lang"), explode(col("tk")).as("token"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        approx_count_distinct(col("token"), 0.02).as("approx_vocab"),
+        approx_count_distinct(col("lang")).as("approx_langs"))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_vocab" -> (v1Vocab _),
     "v2_decontaminate" -> (v2Decontaminate _),
-    "v3_char_trigrams" -> (v3CharTrigrams _))
+    "v3_char_trigrams" -> (v3CharTrigrams _),
+    "v4_profile_approx" -> (v4ProfileApprox _))
 
   val oracles: Map[String, String] = Map(
     "v1_vocab" -> v1Oracle,
     "v2_decontaminate" -> v2Oracle,
     "v3_char_trigrams" -> v3Oracle)
+    // v4_profile_approx: intentionally no oracle (HLL is engine-specific)
 }

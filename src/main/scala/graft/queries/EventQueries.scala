@@ -97,15 +97,44 @@ object EventQueries {
       |       max(ts) AS last_seen
       |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin
 
+  /** Semi-structured parsing: the `props` column is a JSON document;
+    * extract the typed field with schema-on-read (`from_json`) and
+    * aggregate — the event-payload shape every telemetry pipeline has.
+    */
+  def e5PropsJson(spark: SparkSession, dir: String): DataFrame = {
+    val props = from_json(col("props"),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType))))
+    Tables.events(spark, dir)
+      .select(col("event_type"), props.getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        sum(col("k")).as("sum_k"))
+      .orderBy("event_type")
+  }
+
+  val e5Oracle: String =
+    """SELECT event_type, count(1) AS n,
+      |       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+      |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_windowed_counts" -> (e1WindowedCounts _),
     "e2_sliding_counts" -> (e2SlidingCounts _),
     "e3_sessions" -> (e3Sessions _),
-    "e4_user_stats" -> (e4UserStats _))
+    "e4_user_stats" -> (e4UserStats _),
+    "e5_props_json" -> (e5PropsJson _))
 
   val oracles: Map[String, String] = Map(
     "e1_windowed_counts" -> e1Oracle,
     "e2_sliding_counts" -> e2Oracle,
     "e3_sessions" -> e3Oracle,
-    "e4_user_stats" -> e4Oracle)
+    "e4_user_stats" -> e4Oracle,
+    "e5_props_json" -> e5Oracle)
 }

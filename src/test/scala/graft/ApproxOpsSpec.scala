@@ -35,6 +35,21 @@ class ApproxOpsSpec extends AnyFunSuite {
     assert(dups.length == rows.map(_.getLong(2)).count(_ % 10 == 0))
   }
 
+  test("approx_count_distinct profile stays within the configured error of exact") {
+    import org.apache.spark.sql.functions._
+    val approx = graft.queries.CorpusQueries.v4ProfileApprox(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap
+    val exact = graft.sources.Tables.documents(spark, dir)
+      .select(col("source"), explode(graft.functions.Text.tokens(col("text"))).as("token"))
+      .groupBy("source").agg(countDistinct(col("token")).as("v")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (src, ex) =>
+      val ap = approx(src)
+      assert(math.abs(ap - ex).toDouble / ex < 0.1, s"$src: approx $ap vs exact $ex")
+    }
+  }
+
   test("LSH ANN: every neighbor shares the query bucket and carries the exact cosine") {
     val brute = SimilarityQueries.s1BruteTopK(spark, dir).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
