@@ -37,7 +37,9 @@ object GraftSession {
 
   /** Local session for tests/benchmarks. */
   def local(appName: String = "graft", cores: Int = 0): SparkSession = {
-    val n = if (cores > 0) cores.toString else sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val n = if (cores > 0) cores.toString
+      else sys.env.getOrElse("SPARK_GRAFT_CPUS",
+        Runtime.getRuntime.availableProcessors().toString)
     val s = builder(appName, Some(s"local[$n]")).config("spark.sql.shuffle.partitions", n).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
