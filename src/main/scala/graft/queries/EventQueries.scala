@@ -97,6 +97,32 @@ object EventQueries {
       |       max(ts) AS last_seen
       |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin
 
+  /** Sessionization #3 — Spark's native `session_window` (dynamic-gap
+    * merge windows). Same 30-minute gap semantics as e3's window-function
+    * form and the stateful sessionizer: a new session starts strictly
+    * after prev_ts + gap. Works identically on a stream with a watermark.
+    */
+  def e6SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"), col("n_events"))
+      .orderBy("user_id", "session_start")
+
+  val e6Oracle: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked)
+      |SELECT user_id, min(ts) AS session_start, count(1) AS n_events
+      |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+
   /** Semi-structured parsing: the `props` column is a JSON document;
     * extract the typed field with schema-on-read (`from_json`) and
     * aggregate — the event-payload shape every telemetry pipeline has.
@@ -129,12 +155,14 @@ object EventQueries {
     "e2_sliding_counts" -> (e2SlidingCounts _),
     "e3_sessions" -> (e3Sessions _),
     "e4_user_stats" -> (e4UserStats _),
-    "e5_props_json" -> (e5PropsJson _))
+    "e5_props_json" -> (e5PropsJson _),
+    "e6_session_window" -> (e6SessionWindow _))
 
   val oracles: Map[String, String] = Map(
     "e1_windowed_counts" -> e1Oracle,
     "e2_sliding_counts" -> e2Oracle,
     "e3_sessions" -> e3Oracle,
     "e4_user_stats" -> e4Oracle,
-    "e5_props_json" -> e5Oracle)
+    "e5_props_json" -> e5Oracle,
+    "e6_session_window" -> e6Oracle)
 }
