@@ -101,6 +101,55 @@ object ExclusionJoinProps extends Properties("graft") {
       }
     }
 
+  property("count form == row form on duplicate-free keys; counts multiplicity drift otherwise") =
+    forAll(relGen, relGen) { (l0, r0) =>
+      val spark = sc_
+      import spark.implicits._
+      // distinct non-null rows: both formulations must agree
+      val l = l0.collect { case (Some(k), Some(v)) => (k, v) }.distinct
+      val r = r0.collect { case (Some(k), Some(v)) => (k, v) }.distinct
+      val ldf = l.toDF("k", "v"); val rdf = r.toDF("k", "v")
+      val rowForm = ExclusionJoin(ldf, rdf, Seq("k", "v")).count()
+      val countForm = ExclusionJoin.count(ldf, rdf, Seq("k", "v"))
+      rowForm == countForm && {
+        // with a duplicated left row, the count form flags the drift the
+        // anti-join row form cannot see (documented ExclusionJoin contract)
+        if (l.isEmpty || !r.contains(l.head)) true
+        else {
+          val dup = (l :+ l.head).toDF("k", "v")
+          ExclusionJoin(dup, rdf, Seq("k", "v")).count() == rowForm &&
+            ExclusionJoin.count(dup, rdf, Seq("k", "v")) == countForm + 1
+        }
+      }
+    }
+
+  private val asofEventGen: Gen[(Long, Long, Double)] = for {
+    key <- Gen.choose(0L, 2L)
+    ts <- Gen.choose(0L, 50L)
+    v <- Gen.choose(0, 100).map(_.toDouble)
+  } yield (key, ts, v)
+
+  property("asOfJoin == pure model: greatest right ts <= left ts per key") =
+    forAll(Gen.listOfN(10, asofEventGen), Gen.listOfN(6, asofEventGen)) { (ls, rs0) =>
+      val spark = sc_
+      import spark.implicits._
+      // right side unique per (key, ts) — the operator's documented contract
+      val rs = rs0.groupBy(t => (t._1, t._2)).map(_._2.head).toList
+      val left = ls.zipWithIndex.map { case ((k, t, v), i) =>
+        (i.toLong, k, new Timestamp(t * 1000), v) }
+      val right = rs.map { case (k, t, v) => (k, new Timestamp(t * 1000), v) }
+      val got = graft.operators.AsOfJoin(
+          left.toDF("event_id", "k", "ts", "value"),
+          right.toDF("k", "rts", "rvalue"), "k", "ts", "rts", Seq("rvalue"))
+        .collect().map(r => (r.getLong(0), r.getTimestamp(4).getTime, r.getDouble(5))).toSet
+      val want = left.flatMap { case (id, k, ts, _) =>
+        rs.filter(r => r._1 == k && r._2 * 1000 <= ts.getTime)
+          .sortBy(r => (r._2, r._3)).lastOption // unique ts per key ⇒ max ts row
+          .map(r => (id, r._2 * 1000, r._3))
+      }.toSet
+      got == want
+    }
+
   property("yearly windows partition the timeline: every row lands in exactly one export") =
     forAll(Gen.listOfN(20, tsGen)) { ts =>
       val spark = sc_
