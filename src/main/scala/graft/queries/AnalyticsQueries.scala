@@ -80,15 +80,56 @@ object AnalyticsQueries {
       |SELECT o_custkey, 'only96' AS tag FROM (SELECT o_custkey FROM b96 EXCEPT SELECT o_custkey FROM b97)
       |ORDER BY tag, o_custkey""".stripMargin
 
+  /** PIVOT: order counts cross-tabulated status × priority (explicit value
+    * list — the only scalable form: an open value list needs a pre-pass).
+    */
+  def g4Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(
+        col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("cnt_f"),
+        coalesce(col("O"), lit(0L)).as("cnt_o"),
+        coalesce(col("P"), lit(0L)).as("cnt_p"))
+      .orderBy("o_orderpriority")
+
+  val g4Oracle: String =
+    """SELECT o_orderpriority,
+      |       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_f,
+      |       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_o,
+      |       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_p
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** UNPIVOT (melt): wide numeric columns → long (metric, value) rows. */
+  def g5Unpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .unpivot(
+        Array(col("c_custkey")),
+        Array(col("c_acctbal"), col("c_nationkey").cast("double").as("c_nationkey")),
+        "metric", "value")
+      .orderBy("c_custkey", "metric")
+
+  val g5Oracle: String =
+    """SELECT c_custkey, 'c_acctbal' AS metric, c_acctbal AS value FROM customer
+      |UNION ALL
+      |SELECT c_custkey, 'c_nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS value FROM customer
+      |ORDER BY c_custkey, metric""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_asof_join" -> (a1AsofJoin _),
     "g1_rollup" -> (g1Rollup _),
     "g2_cube" -> (g2Cube _),
-    "g3_setops" -> (g3SetOps _))
+    "g3_setops" -> (g3SetOps _),
+    "g4_pivot" -> (g4Pivot _),
+    "g5_unpivot" -> (g5Unpivot _))
 
   val oracles: Map[String, String] = Map(
     "a1_asof_join" -> a1Oracle,
     "g1_rollup" -> g1Oracle,
     "g2_cube" -> g2Oracle,
-    "g3_setops" -> g3Oracle)
+    "g3_setops" -> g3Oracle,
+    "g4_pivot" -> g4Oracle,
+    "g5_unpivot" -> g5Oracle)
 }
