@@ -18,19 +18,28 @@ object Bench {
 
     // Min of 3 repetitions per query: the host shows heavy run-to-run
     // variance (co-tenant load), and the minimum is the standard estimator
-    // of steady-state engine cost under external noise.
+    // of steady-state engine cost under external noise. A query that throws
+    // is reported in "failed" rather than recorded as a near-zero timing
+    // (ADVICE r1: silent catch made breakage look like a speedup).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 3).map { _ =>
+      val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case t: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${t.getClass.getSimpleName}: ${t.getMessage}")
+            false
+        }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      name -> times.min
+      val good = runs.filter(_._2).map(_._1)
+      (name, if (good.nonEmpty) Some(good.min) else None)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val ok = results.collect { case (k, Some(v)) => k -> v }
+    val failed = results.collect { case (k, None) => k }
+    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = ok.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -34,24 +34,33 @@ object AsOfJoin {
     */
   def apply(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, rightCols: Seq[String]): DataFrame = {
+    // working columns get a deterministic collision-free suffix so a left
+    // side that already has e.g. `_ts` can't shadow them (ADVICE r1)
+    val taken = (left.columns ++ right.columns).toSet
+    val sfx = Iterator.from(0)
+      .map(i => if (i == 0) "" else s"_$i")
+      .find(s => Seq("_ts", "_side", "_state", "_latest").forall(c => !taken.contains(c + s)))
+      .get
+    val cTs = s"_ts$sfx"; val cSide = s"_side$sfx"; val cState = s"_state$sfx"; val cLatest = s"_latest$sfx"
+
     val payload = struct(col(rightTs).as(rightTs) +: rightCols.map(col): _*)
     val r = right.select(
-      col(key), col(rightTs).as("_ts"), lit(0).as("_side"), payload.as("_state"))
+      col(key), col(rightTs).as(cTs), lit(0).as(cSide), payload.as(cState))
     val leftCols = left.columns.toSeq
     val l = left.select(
-      col(key) +: col(leftTs).as("_ts") +: lit(1).as("_side") +:
-        lit(null).cast(r.schema("_state").dataType).as("_state") +:
+      col(key) +: col(leftTs).as(cTs) +: lit(1).as(cSide) +:
+        lit(null).cast(r.schema(cState).dataType).as(cState) +:
         leftCols.filterNot(_ == key).map(col): _*)
 
-    val w = Window.partitionBy(key).orderBy(col("_ts"), col("_side"))
+    val w = Window.partitionBy(key).orderBy(col(cTs), col(cSide))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r.select((l.columns.toSeq.map {
-        case c @ ("_ts" | "_side" | "_state") => col(c)
+        case c if c == cTs || c == cSide || c == cState => col(c)
         case c if c == key => col(c)
         case c => lit(null).as(c)
       }): _*))
-      .withColumn("_latest", last(col("_state"), ignoreNulls = true).over(w))
-      .where(col("_side") === 1 && col("_latest").isNotNull)
-      .select(leftCols.map(col) ++ (rightTs +: rightCols).map(c => col(s"_latest.$c").as(c)): _*)
+      .withColumn(cLatest, last(col(cState), ignoreNulls = true).over(w))
+      .where(col(cSide) === 1 && col(cLatest).isNotNull)
+      .select(leftCols.map(col) ++ (rightTs +: rightCols).map(c => col(s"$cLatest.$c").as(c)): _*)
   }
 }

@@ -19,10 +19,19 @@ object ScaleJoins {
   def writeBucketed(df: DataFrame, table: String, key: String, numBuckets: Int): Unit = {
     val spark = df.sparkSession
     // idempotent: clear the catalog entry AND any orphaned location left by
-    // a previous process (overwrite alone refuses a dangling directory)
+    // a previous process (overwrite alone refuses a dangling directory).
+    // Resolve the real location from the catalog while the entry exists;
+    // only fall back to the default-database warehouse layout for an
+    // unqualified name (ADVICE r1: raw $warehouse/$table concat can miss a
+    // non-default-db table or hit an unrelated directory).
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val catalog = spark.sessionState.catalog
+    val loc =
+      if (catalog.tableExists(ident)) Some(catalog.getTableMetadata(ident).location.toString)
+      else if (!table.contains(".")) Some(s"${spark.conf.get("spark.sql.warehouse.dir")}/$table")
+      else None
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    graft.sources.FsUtil.delete(spark, s"$warehouse/$table")
+    loc.foreach(graft.sources.FsUtil.delete(spark, _))
     df.write
       .mode("overwrite")
       .bucketBy(numBuckets, key)

@@ -24,7 +24,7 @@ case class OpenSession(start: Long, end: Long, n: Long, total: Double)
   * source — the Structured Streaming contract that batch and stream share
   * one logical plan.
   */
-object StreamingOps {
+object StreamingOps extends Serializable {
 
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -70,48 +70,109 @@ object StreamingOps {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("wstart"), col("event_type"), col("cnt"))
 
+  private def micros(t: Timestamp): Long =
+    t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+
+  private def fromMicros(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000L))
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Per-batch session fold shared by [[sessionize]] and
+    * [[sessionizeStream]]. Late events (t ≤ open.end) that still fall within
+    * the gap of the open session are *absorbed* — `start = min`, `end = max`
+    * — so a session can never invert (end < start) and subsequent gap
+    * decisions stay monotone. An event older than `start − gap` of the open
+    * session belongs to an already-emitted session; re-opening it would
+    * violate append-mode (it may have been output), so it is absorbed too —
+    * the documented limit of gap sessionization over unordered input; the
+    * watermarked variant bounds how stale such an event can be.
+    */
+  private def foldBatch(
+      userId: Long,
+      it: Iterator[Event],
+      open0: Option[OpenSession],
+      gapUs: Long): (Seq[Session], Option[OpenSession]) = {
+    val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+    var open = open0
+    val closed = Seq.newBuilder[Session]
+    sorted.foreach { e =>
+      val t = micros(e.ts)
+      open match {
+        case Some(s) if t - s.end <= gapUs =>
+          open = Some(s.copy(
+            start = math.min(s.start, t),
+            end = math.max(s.end, t),
+            n = s.n + 1, total = s.total + e.value))
+        case Some(s) =>
+          closed += Session(userId, fromMicros(s.start), fromMicros(s.end), s.n, s.total)
+          open = Some(OpenSession(t, t, 1L, e.value))
+        case None =>
+          open = Some(OpenSession(t, t, 1L, e.value))
+      }
+    }
+    (closed.result(), open)
+  }
+
   /** Gap-based sessionization with explicit state
     * (`flatMapGroupsWithState`): a session closes when the next event of
     * the user arrives more than `gapMinutes` later. Emits *closed* sessions;
-    * the open tail of each user stays in state (in production a timeout
-    * would flush it — kept un-timed here so emission is deterministic for
-    * the batch-equivalence spec).
+    * the open tail of each user stays in state (no timeout, so emission is
+    * deterministic for the batch-equivalence spec). For unbounded streams
+    * use [[sessionizeStream]], which adds a watermark and event-time
+    * timeouts so state cannot grow without bound.
     */
   def sessionize(spark: SparkSession, events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
     import spark.implicits._
-    val gapMs = gapMinutes * 60000L * 1000L // microseconds, matching the batch twin
-
-    def micros(t: Timestamp): Long =
-      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
-
-    def fromMicros(us: Long): Timestamp = {
-      val t = new Timestamp(Math.floorDiv(us, 1000L))
-      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-      t
-    }
+    val gapUs = gapMinutes * 60000L * 1000L
 
     def fold(userId: Long, it: Iterator[Event], state: GroupState[OpenSession]): Iterator[Session] = {
-      val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-      var open = state.getOption
-      val closed = Seq.newBuilder[Session]
-      sorted.foreach { e =>
-        val t = micros(e.ts)
-        open match {
-          case Some(s) if t - s.end <= gapMs =>
-            open = Some(s.copy(end = t, n = s.n + 1, total = s.total + e.value))
-          case Some(s) =>
-            closed += Session(userId, fromMicros(s.start), fromMicros(s.end), s.n, s.total)
-            open = Some(OpenSession(t, t, 1L, e.value))
-          case None =>
-            open = Some(OpenSession(t, t, 1L, e.value))
-        }
-      }
+      val (closed, open) = foldBatch(userId, it, state.getOption, gapUs)
       open.foreach(state.update)
-      closed.result().iterator
+      closed.iterator
     }
 
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fold)
+  }
+
+  /** Production sessionizer for unbounded streams: event-time watermark +
+    * `EventTimeTimeout`. Once the watermark passes `end + gap`, the open
+    * session can no longer be extended (later events would be dropped by
+    * the watermark anyway), so the timeout flushes it and frees the state —
+    * state size stays O(active users) instead of O(all users ever seen).
+    */
+  def sessionizeStream(
+      spark: SparkSession,
+      events: Dataset[Event],
+      gapMinutes: Int = 30,
+      watermarkDelay: String = "2 hours"): Dataset[Session] = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60000L * 1000L
+
+    def fold(userId: Long, it: Iterator[Event], state: GroupState[OpenSession]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(Session(userId, fromMicros(s.start), fromMicros(s.end), s.n, s.total))
+      } else {
+        val (closed, open) = foldBatch(userId, it, state.getOption, gapUs)
+        open.foreach { s =>
+          state.update(s)
+          // timeout at end + gap (ms event time); must stay above the
+          // current watermark or Spark rejects the registration
+          val flushAtMs = math.max(s.end / 1000L + gapUs / 1000L, state.getCurrentWatermarkMs() + 1L)
+          state.setTimeoutTimestamp(flushAtMs)
+        }
+        closed.iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fold)
   }
 }

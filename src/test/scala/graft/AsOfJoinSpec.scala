@@ -46,4 +46,19 @@ class AsOfJoinSpec extends AnyFunSuite {
     val out = AsOfJoin(left, right, "user_id", "ts", "signup_ts", Seq("signup_value"))
     assert(out.columns.toSeq == Seq("event_id", "user_id", "ts", "value", "signup_ts", "signup_value"))
   }
+
+  test("left side may use the internal working-column names (collision-free suffix)") {
+    import spark.implicits._
+    // `_ts`/`_side`/`_state`/`_latest` as USER columns must survive untouched
+    val left = Seq((1L, 10L, ts("2024-01-01 10:00:00"), "u_ts", "u_side", "u_state", "u_latest"))
+      .toDF("event_id", "user_id", "ts", "_ts", "_side", "_state", "_latest")
+    val right = Seq((10L, ts("2024-01-01 09:00:00"), 1.0)).toDF("user_id", "signup_ts", "signup_value")
+    val out = AsOfJoin(left, right, "user_id", "ts", "signup_ts", Seq("signup_value"))
+    assert(out.columns.toSeq ==
+      Seq("event_id", "user_id", "ts", "_ts", "_side", "_state", "_latest", "signup_ts", "signup_value"))
+    val r = out.collect().head
+    assert(r.getString(3) == "u_ts" && r.getString(4) == "u_side" &&
+      r.getString(5) == "u_state" && r.getString(6) == "u_latest")
+    assert(r.getTimestamp(7) == ts("2024-01-01 09:00:00") && r.getDouble(8) == 1.0)
+  }
 }

@@ -25,6 +25,12 @@ class PartitionPruningSpec extends AnyFunSuite {
     p.cold
   }
 
+  /** Just the `PartitionFilters: [...]` segments, not whole FileScan lines
+    * (those also list `payment_year` as an output column).
+    */
+  private def partitionFilters(plan: String): String =
+    "PartitionFilters: \\[[^\\]]*\\]".r.findAllIn(plan).mkString("; ")
+
   private def windowed = cold.scan(spark)
     .filter(col("payment_date") >= lit(java.sql.Timestamp.valueOf("2021-01-01 00:00:00")) &&
       col("payment_date") < lit(java.sql.Timestamp.valueOf("2022-01-01 00:00:00")))
@@ -48,5 +54,38 @@ class PartitionPruningSpec extends AnyFunSuite {
     // the derived predicate must not fire when payment_year is already constrained
     val explicit = cold.scan(spark).filter(col("payment_year") === 2021)
     assert(explicit.count() == 525600L)
+  }
+
+  test("date bounds under OR must NOT derive a year range (regression: disjunct drop)") {
+    val win = col("payment_date") >= lit(java.sql.Timestamp.valueOf("2021-01-01 00:00:00")) &&
+      col("payment_date") < lit(java.sql.Timestamp.valueOf("2022-01-01 00:00:00"))
+    val orFilter = cold.scan(spark).filter(win || col("amount") > lit(500.0))
+    // oracle decomposition: window rows + high-amount rows outside the window
+    // (neither branch lets the rule harvest bounds: the first has no amount
+    // disjunct, the second has payment_date only under NOT)
+    val inWin = cold.scan(spark).filter(win).count()
+    val outHi = cold.scan(spark).filter(!win && col("amount") > lit(500.0)).count()
+    assert(orFilter.count() == inWin + outHi,
+      s"OR-filter dropped rows: got ${orFilter.count()}, expected ${inWin + outHi}")
+    // and the plan must not contain a derived payment_year partition filter
+    orFilter.collect()
+    val planStr = orFilter.queryExecution.executedPlan.toString
+    val pf = partitionFilters(planStr)
+    assert(!pf.contains("payment_year"), s"unsound derived partition filter in: $pf")
+  }
+
+  test("date bounds in a conjunct alongside an OR conjunct still prune (sound case)") {
+    val win = col("payment_date") >= lit(java.sql.Timestamp.valueOf("2021-01-01 00:00:00")) &&
+      col("payment_date") < lit(java.sql.Timestamp.valueOf("2022-01-01 00:00:00"))
+    // cond = window AND (amount > 500 OR state = 'x'): window is a top-level
+    // conjunct, so the year range is implied and pruning is sound
+    val df = cold.scan(spark).filter(win && (col("amount") > lit(500.0) || col("state") === "x"))
+    df.collect()
+    val planStr = df.queryExecution.executedPlan.toString
+    val pf = partitionFilters(planStr)
+    assert(pf.contains("payment_year"), s"expected payment_year pruning in:\n$planStr")
+    val oracle = cold.scan(spark).filter(col("payment_year") === 2021)
+      .filter(col("amount") > lit(500.0) || col("state") === "x").count()
+    assert(df.count() == oracle)
   }
 }

@@ -70,6 +70,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.sameElements(want))
   }
 
+  test("late event within gap is absorbed — session never inverts (ADVICE r1)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.Event]
+    val q = StreamingOps.sessionize(spark, mem.toDS()).toDF()
+      .writeStream.format("memory").queryName("late_sess").outputMode("append").start()
+    try {
+      mem.addData(StreamingOps.Event(1L, ts("2024-01-01 10:00:00"), 1L, "a", 1.0))
+      q.processAllAvailable()
+      // out-of-order event from a later micro-batch, within the 30m gap:
+      // must extend start backwards, NOT rewind end below start
+      mem.addData(StreamingOps.Event(2L, ts("2024-01-01 09:50:00"), 1L, "a", 2.0))
+      q.processAllAvailable()
+      // far-future event closes the session
+      mem.addData(StreamingOps.Event(3L, ts("2024-01-01 13:00:00"), 1L, "a", 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("late_sess")
+      .select("user_id", "session_start", "session_end", "n_events").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getTimestamp(1) == ts("2024-01-01 09:50:00"))
+    assert(rows.head.getTimestamp(2) == ts("2024-01-01 10:00:00"))
+    assert(rows.head.getLong(3) == 2L)
+  }
+
+  test("sessionizeStream flushes idle sessions via event-time timeout") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.Event]
+    val q = StreamingOps.sessionizeStream(spark, mem.toDS(), gapMinutes = 30, watermarkDelay = "1 hour")
+      .toDF()
+      .writeStream.format("memory").queryName("wm_sess").outputMode("append").start()
+    try {
+      mem.addData(
+        StreamingOps.Event(1L, ts("2024-01-01 10:00:00"), 1L, "a", 1.0),
+        StreamingOps.Event(2L, ts("2024-01-01 10:10:00"), 1L, "a", 2.0))
+      q.processAllAvailable()
+      // advance the watermark far past user 1's end+gap via another user:
+      // wm = 20:00 − 1h = 19:00 > 10:40 ⇒ user 1's open session must flush
+      // even though no further user-1 event ever arrives
+      mem.addData(StreamingOps.Event(3L, ts("2024-01-01 20:00:00"), 2L, "a", 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val u1 = spark.table("wm_sess").filter($"user_id" === 1L)
+      .select("session_start", "session_end", "n_events").collect()
+    assert(u1.length == 1, s"expected user 1's idle session flushed, got ${u1.length} rows")
+    assert(u1.head.getTimestamp(0) == ts("2024-01-01 10:00:00"))
+    assert(u1.head.getTimestamp(1) == ts("2024-01-01 10:10:00"))
+    assert(u1.head.getLong(2) == 2L)
+  }
+
   test("batch sessionization totals are exact decimal sums (order-independent)") {
     val df = EventQueries.e3Sessions(spark, sfDir)
     val total = df.agg(sum(col("total_value").cast("decimal(18,2)")).cast("double")).head.getDouble(0)
