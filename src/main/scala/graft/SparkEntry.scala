@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{AnalyticsQueries, CorpusQueries, DedupQueries, EventQueries, JoinQueries, MultimodalQueries, ReferenceQueries => RefQ, SimilarityQueries, TextQueries}
+import graft.queries.{AnalyticsQueries, CorpusQueries, DedupQueries, EventQueries, IntervalQueries, JoinQueries, MultimodalQueries, ReferenceQueries => RefQ, SamplingQueries, SimilarityQueries, TextQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,7 +21,10 @@ object SparkEntry {
       (DedupQueries.queries, DedupQueries.oracles),
       (SimilarityQueries.queries, SimilarityQueries.oracles),
       (MultimodalQueries.queries, MultimodalQueries.oracles),
-      (CorpusQueries.queries, CorpusQueries.oracles)
+      (CorpusQueries.queries, CorpusQueries.oracles),
+      (WindowQueries.queries, WindowQueries.oracles),
+      (IntervalQueries.queries, IntervalQueries.oracles),
+      (SamplingQueries.queries, SamplingQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

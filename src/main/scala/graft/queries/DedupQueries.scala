@@ -237,8 +237,11 @@ object DedupQueries {
       .orderBy("da", "db")
   }
 
-  val d5Oracle: String =
-    s"""WITH toks AS (
+  /** CTE chain up to `pairs` (da, db, hamming) — shared by d5 and the d7
+    * clustering oracle.
+    */
+  private val simhashPairsSqlBase: String =
+    s"""toks AS (
        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') tk
        |  FROM documents),
        |tfc AS (SELECT doc_id, tok, count(*) tf FROM (SELECT doc_id, unnest(tk) tok FROM toks) GROUP BY 1, 2),
@@ -251,9 +254,14 @@ object DedupQueries {
        |  FROM sim, unnest(range(0, $SimhashBands)) AS r(band)),
        |cand AS (
        |  SELECT DISTINCT a.doc_id da, b.doc_id db, a.simhash sa, b.simhash sb
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
-       |SELECT da, db, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
-       |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT da, db, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+       |  FROM cand WHERE bit_count(xor(sa, sb)) <= 3)""".stripMargin
+
+  val d5Oracle: String =
+    s"""WITH $simhashPairsSqlBase
+       |SELECT da, db, hamming FROM pairs
        |ORDER BY da, db""".stripMargin
 
   /** Embedding-cosine near-dup pairs: anchor subset (vec_id ≡ 0 mod 5)
@@ -285,13 +293,44 @@ object DedupQueries {
       |  FROM e a JOIN e b ON a.vec_id % 5 = 0 AND a.vec_id < b.vec_id)
       |SELECT va, vb, cos FROM p WHERE cos >= 0.35 ORDER BY va, vb""".stripMargin
 
+  /** Duplicate *clusters* from the SimHash pair graph: connected components
+    * (operators.ConnectedComponents — iterative min-label propagation) turn
+    * pairwise near-dup hits into groups; component = min doc_id is the
+    * survivor each group keeps. The oracle reproduces the clustering with a
+    * recursive CTE (transitive closure — affordable for the oracle's small
+    * graph; the Spark side is the scalable path).
+    */
+  def d7DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = d5SimhashPairs(spark, dir).select(col("da"), col("db"))
+    val labels = graft.operators.ConnectedComponents(pairs)
+      .withColumnRenamed("id", "doc_id")
+    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "comp")
+      .select(col("doc_id"), col("comp").as("component"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  val d7Oracle: String =
+    s"""WITH RECURSIVE $simhashPairsSqlBase,
+       |und AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs),
+       |reach(id, m) AS (
+       |  SELECT DISTINCT a, a FROM und
+       |  UNION
+       |  SELECT r.id, u.b FROM reach r JOIN und u ON u.a = r.m),
+       |comp AS (SELECT id AS doc_id, min(m) AS component FROM reach GROUP BY 1),
+       |sizes AS (SELECT component, count(*) AS csize FROM comp GROUP BY 1)
+       |SELECT c.doc_id, CAST(c.component AS BIGINT) AS component, CAST(s.csize AS BIGINT) AS cluster_size
+       |FROM comp c JOIN sizes s USING (component)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_ngram_jaccard" -> (d2NgramJaccard _),
     "d3_minhash_lsh" -> (d3MinhashLsh _),
     "d4_simhash" -> (d4Simhash _),
     "d5_simhash_pairs" -> (d5SimhashPairs _),
-    "d6_embedding_neardup" -> (d6EmbeddingNearDup _))
+    "d6_embedding_neardup" -> (d6EmbeddingNearDup _),
+    "d7_dup_clusters" -> (d7DupClusters _))
 
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" -> d1Oracle,
@@ -299,5 +338,6 @@ object DedupQueries {
     "d3_minhash_lsh" -> d3Oracle,
     "d4_simhash" -> d4Oracle,
     "d5_simhash_pairs" -> d5Oracle,
-    "d6_embedding_neardup" -> d6Oracle)
+    "d6_embedding_neardup" -> d6Oracle,
+    "d7_dup_clusters" -> d7Oracle)
 }

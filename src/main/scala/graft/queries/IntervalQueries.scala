@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.RangeJoin
+import graft.sources.Tables
+
+/** Interval/range joins (operators.RangeJoin) — the attribution-window
+  * query class: "events of B within a time band around each event of A".
+  * The reference has no theta joins (SURVEY.md §2.11); this supplies the
+  * banded form with a shuffle-scalable plan (time bucketing, no
+  * broadcast-nested-loop).
+  */
+object IntervalQueries {
+
+  private val HourUs = 3600L * 1000000L
+
+  /** r1: for every purchase, how many clicks the same user made in the
+    * preceding hour `[ts−1h, ts)` — classic conversion-attribution window.
+    * Inner band-join counts, then a left join restores zero-click
+    * purchases.
+    */
+  def r1IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"))
+    val counts = RangeJoin.bandJoin(p, c, "user_id", "p_ts", "c_ts", -HourUs, 0L)
+      .groupBy("p_id").agg(count(lit(1)).as("clicks_1h"))
+    p.join(counts, Seq("p_id"), "left")
+      .select(col("p_id"), col("user_id"), col("p_ts"),
+        coalesce(col("clicks_1h"), lit(0L)).as("clicks_1h"))
+      .orderBy("p_id")
+  }
+
+  val r1Oracle: String =
+    """WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'),
+      |     c AS (SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click')
+      |SELECT p.p_id, p.user_id, p.p_ts, CAST(count(c.user_id) AS BIGINT) AS clicks_1h
+      |FROM p LEFT JOIN c ON c.user_id = p.user_id
+      |  AND epoch_us(c.c_ts) >= epoch_us(p.p_ts) - 3600000000
+      |  AND epoch_us(c.c_ts) < epoch_us(p.p_ts)
+      |GROUP BY 1, 2, 3
+      |ORDER BY p_id""".stripMargin
+
+  /** r2: band-join pairs themselves (error events within ±5 minutes of a
+    * purchase by the same user) — exercises the symmetric band and the
+    * pair-level output path of the operator.
+    */
+  def r2NearbyErrors(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val e = ev.where(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("e_id"), col("ts").as("e_ts"))
+    RangeJoin.bandJoin(p, e, "user_id", "p_ts", "e_ts", -5L * 60 * 1000000L, 5L * 60 * 1000000L)
+      .select(col("p_id"), col("e_id"),
+        (unix_micros(col("e_ts")) - unix_micros(col("p_ts"))).as("delta_us"))
+      .orderBy("p_id", "e_id")
+  }
+
+  val r2Oracle: String =
+    """WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'),
+      |     e AS (SELECT user_id, event_id AS e_id, ts AS e_ts FROM events WHERE event_type = 'error')
+      |SELECT p.p_id, e.e_id, epoch_us(e.e_ts) - epoch_us(p.p_ts) AS delta_us
+      |FROM p JOIN e ON e.user_id = p.user_id
+      |  AND epoch_us(e.e_ts) >= epoch_us(p.p_ts) - 300000000
+      |  AND epoch_us(e.e_ts) < epoch_us(p.p_ts) + 300000000
+      |ORDER BY p_id, e_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r1_interval_join" -> (r1IntervalJoin _),
+    "r2_nearby_errors" -> (r2NearbyErrors _))
+
+  val oracles: Map[String, String] = Map(
+    "r1_interval_join" -> r1Oracle,
+    "r2_nearby_errors" -> r2Oracle)
+}

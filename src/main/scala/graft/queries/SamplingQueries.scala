@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.sources.Tables
+
+/** Deterministic sampling and record compaction — training-pipeline
+  * staples. `df.sample()` is seed-dependent per partitioning and therefore
+  * neither reproducible across engines nor stable under repartition; the
+  * scalable reproducible form is HASH sampling: a row is in the sample iff
+  * md5(stable key) mod N < rate — embarrassingly parallel, no shuffle at
+  * all, identical on any engine and any partition layout.
+  */
+object SamplingQueries {
+
+  /** n1: 5% Bernoulli hash-sample of lineitem on the (orderkey, linenumber)
+    * natural key. Pure map-side filter — the sample of 100 TB costs one
+    * scan, no shuffle.
+    */
+  def n1HashSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(pmod(Text.md5Long(concat_ws("_", col("l_orderkey"), col("l_linenumber"))), lit(100L)) < 5)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val n1Oracle: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity
+      |FROM lineitem
+      |WHERE ('0x' || substr(md5(l_orderkey || '_' || l_linenumber), 1, 15))::BIGINT % 100 < 5
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** n2: stratified hash-sample — per-stratum rates (10% of URGENT orders,
+    * 2% of the rest), reported as per-stratum sampled counts. Rate lives in
+    * a CASE expression, so the whole stratified design is still one
+    * shuffle-free scan + one count aggregation.
+    */
+  def n2StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val rate = when(col("o_orderpriority") === "1-URGENT", lit(10L)).otherwise(lit(2L))
+    Tables.orders(spark, dir)
+      .where(pmod(Text.md5Long(col("o_orderkey").cast("string")), lit(100L)) < rate)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_sampled"), min("o_orderkey").as("first_key"))
+      .orderBy("o_orderpriority")
+  }
+
+  val n2Oracle: String =
+    """SELECT o_orderpriority, count(1) AS n_sampled, min(o_orderkey) AS first_key
+      |FROM orders
+      |WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 100
+      |      < (CASE WHEN o_orderpriority = '1-URGENT' THEN 10 ELSE 2 END)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** n3: latest-record-per-key compaction (the upsert/changelog resolution
+    * step: many versions per key in, exactly one — the newest — out).
+    * One shuffle on the key; the deterministic tiebreak (ts, event_id)
+    * makes the survivor unique.
+    */
+  def n3LatestPerKey(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+      .orderBy("user_id")
+  }
+
+  val n3Oracle: String =
+    """SELECT user_id, event_id, ts, event_type, value
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "n1_hash_sample" -> (n1HashSample _),
+    "n2_stratified_sample" -> (n2StratifiedSample _),
+    "n3_latest_per_key" -> (n3LatestPerKey _))
+
+  val oracles: Map[String, String] = Map(
+    "n1_hash_sample" -> n1Oracle,
+    "n2_stratified_sample" -> n2Oracle,
+    "n3_latest_per_key" -> n3Oracle)
+}

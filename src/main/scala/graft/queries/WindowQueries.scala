@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Analytic window functions (SURVEY.md §2.11 lists them as absent from the
+  * reference surface — this module supplies the full class: running
+  * aggregates, lag/lead deltas, ranking/tiles, and frame-bounded moving
+  * aggregates).
+  *
+  * Scale notes: every query here is a single hash shuffle on the partition
+  * key followed by an in-partition sort — the same cost envelope as a
+  * groupBy. Partition keys are chosen with bounded per-key cardinality
+  * (orders per customer, events per user, customers per nation), so no
+  * single window partition can approach executor memory even at 100 TB.
+  * Cross-engine determinism: money runs in integer cents, gaps in integer
+  * microseconds, averages as exact-int sums divided in double — see the
+  * repo determinism notes.
+  */
+object WindowQueries {
+
+  /** w1: running order count + running spend (cents) per customer, ordered
+    * by (date, key) so ties can't reorder.
+    */
+  def w1RunningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        count(lit(1)).over(w).cast("int").as("run_cnt"),
+        sum(round(col("o_totalprice") * 100).cast("long")).over(w).as("run_cents"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val w1Oracle: String =
+    """SELECT o_custkey, o_orderkey,
+      |       CAST(count(1) OVER w AS INTEGER) AS run_cnt,
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT) AS run_cents
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** w2: per-user inter-event gap (µs) and value delta (cents) vs the
+    * previous event — LAG with a deterministic (ts, event_id) order.
+    */
+  def w2LagDelta(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"), col("user_id"),
+        (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"),
+        (round(col("value") * 100).cast("long") -
+          lag(round(col("value") * 100).cast("long"), 1).over(w)).as("dvalue_cents"))
+      .orderBy("event_id")
+  }
+
+  val w2Oracle: String =
+    """SELECT event_id, user_id,
+      |       epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us,
+      |       CAST(round(value * 100) AS BIGINT) -
+      |         lag(CAST(round(value * 100) AS BIGINT), 1) OVER w AS dvalue_cents
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY event_id""".stripMargin
+
+  /** w3: ranking battery per nation over account balance — rank,
+    * dense_rank, quartile tile, percent_rank, cume_dist in one pass (one
+    * shuffle, one sort serves all five).
+    */
+  def w3RankTiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(spark, dir)
+      .select(
+        col("c_custkey"), col("c_nationkey"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("tile"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy("c_custkey")
+  }
+
+  val w3Oracle: String =
+    """SELECT c_custkey, c_nationkey,
+      |       CAST(rank() OVER w AS INTEGER) AS rnk,
+      |       CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+      |       CAST(ntile(4) OVER w AS INTEGER) AS tile,
+      |       percent_rank() OVER w AS prank,
+      |       cume_dist() OVER w AS cdist
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** w4: 7-day moving average of daily revenue — pre-aggregate to days
+    * (shrinks the window input from O(orders) to O(days)), then a 7-row
+    * frame. The average is exact-int sum / count in double, so both
+    * engines agree bit-for-bit.
+    */
+  def w4MovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val w = Window.orderBy(col("day")).rowsBetween(-6, Window.currentRow)
+    daily
+      .select(
+        col("day"),
+        col("cents"),
+        (sum(col("cents")).over(w).cast("double") / count(lit(1)).over(w)).as("mov7"))
+      .orderBy("day")
+  }
+
+  val w4Oracle: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1)
+      |SELECT day, cents,
+      |       CAST(sum(cents) OVER w AS DOUBLE) / (count(1) OVER w) AS mov7
+      |FROM daily
+      |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY day""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w1_running_total" -> (w1RunningTotal _),
+    "w2_lag_delta" -> (w2LagDelta _),
+    "w3_rank_tiles" -> (w3RankTiles _),
+    "w4_moving_avg" -> (w4MovingAvg _))
+
+  val oracles: Map[String, String] = Map(
+    "w1_running_total" -> w1Oracle,
+    "w2_lag_delta" -> w2Oracle,
+    "w3_rank_tiles" -> w3Oracle,
+    "w4_moving_avg" -> w4Oracle)
+}
