@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{AnalyticsQueries, CorpusQueries, DedupQueries, EventQueries, IntervalQueries, JoinQueries, MultimodalQueries, ReferenceQueries => RefQ, SamplingQueries, SimilarityQueries, TextQueries, WindowQueries}
+import graft.queries.{AnalyticsQueries, CorpusQueries, DedupQueries, EventQueries, FormatQueries, IntervalQueries, JoinQueries, MultimodalQueries, ReferenceQueries => RefQ, SamplingQueries, SimilarityQueries, TextQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,7 +24,8 @@ object SparkEntry {
       (CorpusQueries.queries, CorpusQueries.oracles),
       (WindowQueries.queries, WindowQueries.oracles),
       (IntervalQueries.queries, IntervalQueries.oracles),
-      (SamplingQueries.queries, SamplingQueries.oracles)
+      (SamplingQueries.queries, SamplingQueries.oracles),
+      (FormatQueries.queries, FormatQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -150,13 +150,38 @@ object EventQueries {
       |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** e7: at-least-once replay dedup — the corpus with every 3rd event
+    * redelivered, deduplicated on event_id, then per-type totals (streaming
+    * twin: StreamingOps.dedupEvents with dropDuplicatesWithinWatermark).
+    * One shuffle on the dedup key; at 100 TB the watermark bounds how long
+    * each id stays in state, which the batch form has no analog of.
+    */
+  def e7DedupEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val replayed = ev.unionByName(ev.where(col("event_id") % 3 === 0))
+    replayed.dropDuplicates("event_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      .orderBy("event_type")
+  }
+
+  val e7Oracle: String =
+    """WITH replayed AS (
+      |  SELECT * FROM events UNION ALL SELECT * FROM events WHERE event_id % 3 = 0),
+      |deduped AS (SELECT DISTINCT * FROM replayed)
+      |SELECT event_type, count(1) AS cnt,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM deduped GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_windowed_counts" -> (e1WindowedCounts _),
     "e2_sliding_counts" -> (e2SlidingCounts _),
     "e3_sessions" -> (e3Sessions _),
     "e4_user_stats" -> (e4UserStats _),
     "e5_props_json" -> (e5PropsJson _),
-    "e6_session_window" -> (e6SessionWindow _))
+    "e6_session_window" -> (e6SessionWindow _),
+    "e7_dedup_events" -> (e7DedupEvents _))
 
   val oracles: Map[String, String] = Map(
     "e1_windowed_counts" -> e1Oracle,
@@ -164,5 +189,6 @@ object EventQueries {
     "e3_sessions" -> e3Oracle,
     "e4_user_stats" -> e4Oracle,
     "e5_props_json" -> e5Oracle,
-    "e6_session_window" -> e6Oracle)
+    "e6_session_window" -> e6Oracle,
+    "e7_dedup_events" -> e7Oracle)
 }

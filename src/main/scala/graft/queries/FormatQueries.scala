@@ -1,0 +1,79 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Source/sink format coverage beyond parquet: CSV and JSON-lines write →
+  * read → aggregate round-trips. The reference's only format is parquet
+  * (img/YQLink2.png); a usable engine must also ingest the interchange
+  * formats raw corpora arrive in. Values are carried in exact
+  * representations (longs, strings, integer cents) so the text round-trip
+  * is lossless and the DuckDB oracle — which reads the original parquet —
+  * must agree bit-for-bit with the round-tripped result.
+  *
+  * Scale note: both formats read splittable here (CSV uncompressed,
+  * JSON-lines) so a 100 TB ingest parallelizes per-block like parquet;
+  * schemas are declared, never inferred — inference would scan the data
+  * twice and race against schema drift.
+  */
+object FormatQueries {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** f1: nation → CSV (header, quoted strings) → declared-schema read →
+    * join region → per-region nation count. The CSV reader must survive
+    * commas inside quoted text fields.
+    */
+  def f1CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("graft-csv")
+    Tables.nation(spark, dir).write.mode("overwrite")
+      .option("header", "true").csv(out)
+    val nation = spark.read
+      .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
+      .option("header", "true").csv(out)
+    nation.join(Tables.region(spark, dir), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name").agg(count(lit(1)).as("n_nations"))
+      .orderBy("r_name")
+  }
+
+  val f1Oracle: String =
+    """SELECT r_name, count(1) AS n_nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  /** f2: orders (cents-encoded price) → JSON lines → declared-schema read →
+    * per-priority totals. Money as integer cents: exact in text, exact in
+    * the sum, exact vs the oracle.
+    */
+  def f2JsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("graft-json")
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .write.mode("overwrite").json(out)
+    spark.read
+      .schema("o_orderkey BIGINT, o_orderpriority STRING, cents BIGINT")
+      .json(out)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("total_cents"))
+      .orderBy("o_orderpriority")
+  }
+
+  val f2Oracle: String =
+    """SELECT o_orderpriority, count(1) AS n_orders,
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f1_csv_roundtrip" -> (f1CsvRoundtrip _),
+    "f2_json_roundtrip" -> (f2JsonRoundtrip _))
+
+  val oracles: Map[String, String] = Map(
+    "f1_csv_roundtrip" -> f1Oracle,
+    "f2_json_roundtrip" -> f2Oracle)
+}

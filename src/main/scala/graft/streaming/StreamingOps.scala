@@ -175,4 +175,28 @@ object StreamingOps extends Serializable {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fold)
   }
+
+  /** Exactly-once view over an at-least-once stream: drop redelivered
+    * events by id. `dropDuplicatesWithinWatermark` keeps each id in state
+    * only until the watermark passes its event time + delay — bounded
+    * state, unlike plain dropDuplicates which remembers every id forever.
+    */
+  def dedupEvents(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream interval join: purchases ⋈ clicks of the same user with
+    * `c_ts ∈ [p_ts − 1h, p_ts)`. Watermarks on BOTH sides let Spark evict
+    * join state: a click can only match purchases up to 1 h later, so click
+    * state ages out at (watermark − 0), purchase state at (watermark − 1 h).
+    * Column names are side-prefixed because stream-stream joins can't alias
+    * through a common `user_id`.
+    */
+  def attributionJoin(purchases: DataFrame, clicks: DataFrame,
+      watermarkDelay: String = "2 hours"): DataFrame =
+    purchases.withWatermark("p_ts", watermarkDelay)
+      .join(
+        clicks.withWatermark("c_ts", watermarkDelay),
+        expr("p_user = c_user AND c_ts >= p_ts - interval 1 hour AND c_ts < p_ts"))
 }

@@ -125,6 +125,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(u1.head.getLong(2) == 2L)
   }
 
+  test("streaming dedup (dropDuplicatesWithinWatermark) == batch distinct across batches") {
+    // the same file delivered twice in two micro-batches = at-least-once
+    // redelivery; state must dedupe across the batch boundary
+    val d = Files.createTempDirectory("graft-dedup").toString
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), Paths.get(s"$d/a.parquet"))
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), Paths.get(s"$d/b.parquet"))
+    val stream = graft.sources.Tables.normalizeEventTs(
+      spark.readStream.schema(StreamingOps.rawEventSchema)
+        .option("maxFilesPerTrigger", "1").parquet(d))
+    // delay wider than the data span: nothing is late, so every batch-2 row
+    // is dropped by dedup STATE, not by the lateness filter
+    val got = runStream(StreamingOps.dedupEvents(stream, "60 days"), "append", "dedup")
+      .groupBy("event_type").count().orderBy("event_type").collect()
+    val want = graft.sources.Tables.events(spark, sfDir)
+      .dropDuplicates("event_id")
+      .groupBy("event_type").count().orderBy("event_type").collect()
+    assert(got.sameElements(want))
+  }
+
+  test("stream-stream interval join == batch band join") {
+    def purchases(df: DataFrame) = df.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    def clicks(df: DataFrame) = df.where(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+
+    val stream = graft.sources.Tables.normalizeEventTs(
+      spark.readStream.schema(StreamingOps.rawEventSchema).parquet(streamDir))
+    val got = runStream(
+        StreamingOps.attributionJoin(purchases(stream), clicks(stream), "40 days")
+          .select("p_id", "c_id"), "append", "attr")
+      .orderBy("p_id", "c_id").collect()
+
+    val batch = graft.sources.Tables.events(spark, sfDir)
+    val want = StreamingOps.attributionJoin(purchases(batch), clicks(batch))
+      .select("p_id", "c_id").orderBy("p_id", "c_id").collect()
+    assert(got.length == want.length && got.sameElements(want))
+
+    // cross-check the same semantics against the RangeJoin operator
+    val bj = graft.operators.RangeJoin.bandJoin(
+        purchases(batch).withColumnRenamed("p_user", "user_id"),
+        clicks(batch).withColumnRenamed("c_user", "user_id"),
+        "user_id", "p_ts", "c_ts", -3600L * 1000000L, 0L)
+      .select("p_id", "c_id").orderBy("p_id", "c_id").collect()
+    assert(bj.sameElements(want))
+  }
+
   test("batch sessionization totals are exact decimal sums (order-independent)") {
     val df = EventQueries.e3Sessions(spark, sfDir)
     val total = df.agg(sum(col("total_value").cast("decimal(18,2)")).cast("double")).head.getDouble(0)
