@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{AnalyticsQueries, CorpusQueries, DedupQueries, EventQueries, FormatQueries, IntervalQueries, JoinQueries, MultimodalQueries, ReferenceQueries => RefQ, SamplingQueries, SimilarityQueries, TextQueries, WindowQueries}
+import graft.queries.{AnalyticsQueries, CorpusQueries, DedupQueries, EventQueries, FormatQueries, IntervalQueries, JoinQueries, MultimodalQueries, ReferenceQueries => RefQ, SamplingQueries, SimilarityQueries, StatQueries, TextQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,7 +25,8 @@ object SparkEntry {
       (WindowQueries.queries, WindowQueries.oracles),
       (IntervalQueries.queries, IntervalQueries.oracles),
       (SamplingQueries.queries, SamplingQueries.oracles),
-      (FormatQueries.queries, FormatQueries.oracles)
+      (FormatQueries.queries, FormatQueries.oracles),
+      (StatQueries.queries, StatQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -117,13 +117,41 @@ object AnalyticsQueries {
       |SELECT c_custkey, 'c_nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS value FROM customer
       |ORDER BY c_custkey, metric""".stripMargin
 
+  /** g6: explicit GROUPING SETS — the two marginal distributions (by
+    * priority, by status) in ONE aggregation pass, disambiguated by
+    * `grouping()` flags (rollup/cube are just fixed grouping-set lists;
+    * this is the general form).
+    */
+  def g6GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_g6")
+    spark.sql(
+      """SELECT o_orderpriority, o_orderstatus,
+        |       CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+        |       CAST(grouping(o_orderstatus) AS INT) AS g_stat,
+        |       count(1) AS cnt
+        |FROM orders_g6
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        |ORDER BY g_prio, g_stat, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+        |""".stripMargin)
+  }
+
+  val g6Oracle: String =
+    """SELECT o_orderpriority, o_orderstatus,
+      |       CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+      |       CAST(grouping(o_orderstatus) AS INT) AS g_stat,
+      |       count(1) AS cnt
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+      |ORDER BY g_prio, g_stat, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_asof_join" -> (a1AsofJoin _),
     "g1_rollup" -> (g1Rollup _),
     "g2_cube" -> (g2Cube _),
     "g3_setops" -> (g3SetOps _),
     "g4_pivot" -> (g4Pivot _),
-    "g5_unpivot" -> (g5Unpivot _))
+    "g5_unpivot" -> (g5Unpivot _),
+    "g6_grouping_sets" -> (g6GroupingSets _))
 
   val oracles: Map[String, String] = Map(
     "a1_asof_join" -> a1Oracle,
@@ -131,5 +159,6 @@ object AnalyticsQueries {
     "g2_cube" -> g2Oracle,
     "g3_setops" -> g3Oracle,
     "g4_pivot" -> g4Oracle,
-    "g5_unpivot" -> g5Oracle)
+    "g5_unpivot" -> g5Oracle,
+    "g6_grouping_sets" -> g6Oracle)
 }

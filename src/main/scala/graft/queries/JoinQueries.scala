@@ -122,15 +122,85 @@ object JoinQueries {
       |     SELECT 1 FROM orders WHERE o_custkey = c_custkey
       |       AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')) AS n_inactive""".stripMargin
 
+  /** j5: the TPC-H Q1 pricing-summary shape — multi-aggregate scan-side
+    * rollup with derived expressions (disc price, charge). The canonical
+    * "is partial aggregation working" benchmark: one scan, map-side
+    * combine, 4-row result. Money through DECIMAL so every engine sums
+    * exactly; averages derived from exact sums in double.
+    */
+  def j5PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("l_extendedprice") * 100).cast("long")
+    val disc = round(col("l_discount") * 100).cast("long")   // discount in % points
+    val tax = round(col("l_tax") * 100).cast("long")
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(cents).as("sum_base_cents"),
+        sum(cents * (lit(100L) - disc)).as("sum_disc_price_c4"),  // cents × 10⁻²·%
+        sum(cents * (lit(100L) - disc) * (lit(100L) + tax)).as("sum_charge_c6"),
+        (sum(col("l_quantity").cast("long")).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(cents).cast("double") / count(lit(1))).as("avg_cents"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val j5Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_price_c4,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT) AS sum_charge_c6,
+      |       CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(1) AS avg_qty,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / count(1) AS avg_cents,
+      |       count(1) AS n
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** j6: correlated scalar subquery — customers whose single largest order
+    * is more than twice THEIR OWN average order. Catalyst decorrelates the
+    * correlated aggregate into a join against a grouped subplan (one
+    * shuffle), the same plan the hand-written groupBy+join would produce.
+    */
+  def j6CorrelatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_j6")
+    spark.sql(
+      """SELECT o_custkey,
+        |       CAST(max(round(o_totalprice * 100)) AS BIGINT) AS max_cents
+        |FROM orders_j6 o
+        |GROUP BY o_custkey
+        |HAVING max(round(o_totalprice * 100)) >
+        |       2 * (SELECT avg(round(o2.o_totalprice * 100))
+        |            FROM orders_j6 o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_custkey""".stripMargin)
+  }
+
+  val j6Oracle: String =
+    """SELECT o_custkey,
+      |       CAST(max(round(o_totalprice * 100)) AS BIGINT) AS max_cents
+      |FROM orders o
+      |GROUP BY o_custkey
+      |HAVING max(round(o_totalprice * 100)) >
+      |       2 * (SELECT avg(round(o2.o_totalprice * 100))
+      |            FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j1_revenue_by_nation" -> (j1RevenueByNation _),
     "j2_top_parts" -> (j2TopParts _),
     "j3_top_orders_per_priority" -> (j3TopOrdersPerPriority _),
-    "j4_customer_activity" -> (j4CustomerActivity _))
+    "j4_customer_activity" -> (j4CustomerActivity _),
+    "j5_pricing_summary" -> (j5PricingSummary _),
+    "j6_correlated_subquery" -> (j6CorrelatedSubquery _))
 
   val oracles: Map[String, String] = Map(
     "j1_revenue_by_nation" -> j1Oracle,
     "j2_top_parts" -> j2Oracle,
     "j3_top_orders_per_priority" -> j3Oracle,
-    "j4_customer_activity" -> j4Oracle)
+    "j4_customer_activity" -> j4Oracle,
+    "j5_pricing_summary" -> j5Oracle,
+    "j6_correlated_subquery" -> j6Oracle)
 }

@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Statistical profiling and slowly-changing-dimension construction.
+  *
+  * Variance/stddev are NOT computed with the built-in `stddev` — engines
+  * disagree in the last float bits because the streaming (Welford)
+  * accumulation order differs per partitioning. The deterministic scalable
+  * form is exact integer moments: Σx and Σx² in DECIMAL(38,0) (one
+  * partial-aggregated pass, order-independent), then the double-precision
+  * moment formula applied once to exact sums — same single-scan cost, bit-
+  * stable on any engine and any partition count.
+  */
+object StatQueries {
+
+  /** x1: per-priority spend distribution from exact moments — mean,
+    * population variance and stddev derived from Σcents / Σcents².
+    */
+  def x1Moments(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast("long").cast("decimal(38,0)")
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(cents).as("s1"),
+        sum(cents * cents).as("s2"))
+      .select(
+        col("o_orderpriority"), col("n"),
+        col("s1").cast("double").as("sum_cents"),
+        (col("s1").cast("double") / col("n")).as("mean_cents"),
+        (col("s2").cast("double") / col("n") -
+          (col("s1").cast("double") / col("n")) * (col("s1").cast("double") / col("n"))).as("var_cents"),
+        sqrt(col("s2").cast("double") / col("n") -
+          (col("s1").cast("double") / col("n")) * (col("s1").cast("double") / col("n"))).as("sd_cents"))
+      .orderBy("o_orderpriority")
+  }
+
+  val x1Oracle: String =
+    """WITH m AS (
+      |  SELECT o_orderpriority, count(1) AS n,
+      |         sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS s1,
+      |         sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DECIMAL(38,0))
+      |             * CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS s2
+      |  FROM orders GROUP BY 1)
+      |SELECT o_orderpriority, n,
+      |       CAST(s1 AS DOUBLE) AS sum_cents,
+      |       CAST(s1 AS DOUBLE) / n AS mean_cents,
+      |       CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS var_cents,
+      |       sqrt(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS sd_cents
+      |FROM m ORDER BY o_orderpriority""".stripMargin
+
+  /** x2: SCD-type-2 dimension build from a changelog — each user's event
+    * stream becomes validity intervals [valid_from, valid_to) via LEAD,
+    * open tail marked current. One shuffle on the key; this is how a
+    * 100 TB changelog compacts into a point-in-time dimension.
+    */
+  def x2Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("valid_from"), col("event_id"))
+    Tables.events(spark, dir)
+      .where(col("event_type").isin("signup", "purchase"))
+      .select(col("user_id"), col("event_id"), col("ts").as("valid_from"),
+        col("event_type").as("state"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
+  val x2Oracle: String =
+    """SELECT user_id, event_id, ts AS valid_from, event_type AS state,
+      |       lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+      |       lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+      |FROM events
+      |WHERE event_type IN ('signup', 'purchase')
+      |ORDER BY user_id, valid_from, event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x1_moments" -> (x1Moments _),
+    "x2_scd2" -> (x2Scd2 _))
+
+  val oracles: Map[String, String] = Map(
+    "x1_moments" -> x1Oracle,
+    "x2_scd2" -> x2Oracle)
+}
