@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ZOrder
+
+/** ZOrder: the clustered layout must (a) preserve the data exactly and
+  * (b) let a stats-aware reader skip files on predicates over EITHER
+  * dimension. The honest metric is file-level min/max overlap: for a
+  * point predicate on one column, how many files' [min,max] ranges must
+  * be opened. A linear sort on x answers x-predicates with ~1 file but
+  * every y-predicate touches ALL files; z-order answers both dimensions
+  * with a fraction of the file set.
+  */
+class ZOrderSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val sfDir = "/root/testdata/sf0.01"
+  private val nFiles = 32
+
+  /** Per-file [min,max] of a column across the written layout. */
+  private def fileRanges(path: String, c: String): Array[(Long, Long)] =
+    spark.read.parquet(path)
+      .groupBy(input_file_name())
+      .agg(min(col(c).cast("long")).as("lo"), max(col(c).cast("long")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+
+  /** Mean number of files a point predicate `c = v` must open. */
+  private def meanFilesTouched(path: String, c: String, values: Seq[Long]): Double = {
+    val ranges = fileRanges(path, c)
+    values.map(v => ranges.count { case (lo, hi) => lo <= v && v <= hi }).sum.toDouble / values.size
+  }
+
+  test("z-order serves point predicates on both dimensions from a file subset") {
+    val root = Files.createTempDirectory("graft-zorder").toString
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+
+    ZOrder.writeClustered(li, s"$root/z", "l_partkey", "l_suppkey", nFiles)
+    li.repartitionByRange(nFiles, col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(s"$root/linear")
+
+    // correctness: the clustered copy is the same multiset of rows
+    val a = spark.read.parquet(s"$root/z")
+    assert(a.count() == li.count())
+    assert(a.exceptAll(li).isEmpty && li.exceptAll(a).isEmpty)
+
+    // probe values evenly spaced inside each column's actual range, so
+    // every probe hits real data on both layouts
+    def probes(c: String): Seq[Long] = {
+      val r = li.agg(min(col(c).cast("long")), max(col(c).cast("long"))).head
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      (0 until 5).map(i => lo + (hi - lo) * i / 4)
+    }
+    val parts = probes("l_partkey")
+    val supps = probes("l_suppkey")
+    val zCost = meanFilesTouched(s"$root/z", "l_partkey", parts) +
+      meanFilesTouched(s"$root/z", "l_suppkey", supps)
+    val linCost = meanFilesTouched(s"$root/linear", "l_partkey", parts) +
+      meanFilesTouched(s"$root/linear", "l_suppkey", supps)
+    // linear: ~1 + all 32; z: a fraction of 32 on each axis
+    assert(zCost < linCost * 0.6,
+      s"z layout touches $zCost files (x+y point lookups), linear $linCost")
+  }
+
+  test("z-value interleaves bits correctly") {
+    import spark.implicits._
+    // x=0b101 (5), y=0b011 (3): x bits at even positions → 1+16, y bits at
+    // odd positions → 2+8; z = 27
+    val z = Seq((5L, 3L)).toDF("x", "y")
+      .select(ZOrder.zValue(col("x"), col("y"), 3).as("z"))
+      .head.getLong(0)
+    assert(z == 27L)
+  }
+}
