@@ -49,6 +49,7 @@ object GraftSession {
   def prepare(spark: SparkSession): SparkSession = {
     graft.functions.Yql.register(spark)
     graft.functions.VectorExpressions.register(spark)
+    graft.functions.TextExpressions.register(spark)
     spark
   }
 }

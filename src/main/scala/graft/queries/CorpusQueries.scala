@@ -73,12 +73,12 @@ object CorpusQueries {
     * the statistical fingerprint real language-ID models train on.
     */
   def v3CharTrigrams(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.prepare(spark)
+    // graft_char_ngrams: codegen'd single loop (the transform/substr HOF
+    // form runs interpreted — it was the bench's slowest scan query)
     val grams = Tables.documents(spark, dir)
-      .select(col("lang"), lower(col("text")).as("lo")) // materialized before the lambda
-      .select(col("lang"), explode(
-        when(length(col("lo")) >= 3,
-          transform(sequence(lit(1), length(col("lo")) - 2), i => col("lo").substr(i, lit(3))))
-          .otherwise(array().cast("array<string>"))).as("gram"))
+      .select(col("lang"),
+        explode(call_function("graft_char_ngrams", lower(col("text")), lit(3))).as("gram"))
     val counted = grams.groupBy("lang", "gram").agg(count(lit(1)).as("cnt"))
     counted
       .withColumn("rn", row_number().over(

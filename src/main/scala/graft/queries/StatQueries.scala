@@ -78,11 +78,64 @@ object StatQueries {
       |WHERE event_type IN ('signup', 'purchase')
       |ORDER BY user_id, valid_from, event_id""".stripMargin
 
+  /** x3: exact rank-based percentiles (p50/p90/p99) per priority — the
+    * r = ceil(p·n) smallest value, selected by row_number. Engines'
+    * `percentile_cont` implementations interpolate in different float
+    * orders, so the INTEGER rank selection is the cross-engine-stable
+    * percentile; one shuffle + in-partition sort, same envelope as any
+    * window query.
+    */
+  def x3Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val w = Window.partitionBy("o_orderpriority").orderBy(col("c"), col("o_orderkey"))
+    val ranked = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"), cents.as("c"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("o_orderpriority")))
+    def pick(p: Double) = max(when(col("rn") === ceil(lit(p) * col("n")), col("c")))
+    ranked.groupBy("o_orderpriority")
+      .agg(pick(0.5).as("p50_cents"), pick(0.9).as("p90_cents"), pick(0.99).as("p99_cents"))
+      .orderBy("o_orderpriority")
+  }
+
+  val x3Oracle: String =
+    """WITH ranked AS (
+      |  SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+      |         row_number() OVER (PARTITION BY o_orderpriority
+      |                            ORDER BY CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey) AS rn,
+      |         count(1) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM orders)
+      |SELECT o_orderpriority,
+      |       CAST(max(CASE WHEN rn = ceil(0.5 * n) THEN c END) AS BIGINT) AS p50_cents,
+      |       CAST(max(CASE WHEN rn = ceil(0.9 * n) THEN c END) AS BIGINT) AS p90_cents,
+      |       CAST(max(CASE WHEN rn = ceil(0.99 * n) THEN c END) AS BIGINT) AS p99_cents
+      |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** x4: fixed-width histogram of order values (one $1000 bin per row) —
+    * the distribution profile a data-quality pass emits. Pure groupBy on a
+    * derived bin key: map-side combinable, no sort, no window.
+    */
+  def x4Histogram(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    Tables.orders(spark, dir)
+      .groupBy((cents / 100000L).cast("long").as("bin_1k"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("bin_1k")
+  }
+
+  val x4Oracle: String =
+    """SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 100000 AS bin_1k, count(1) AS cnt
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_moments" -> (x1Moments _),
-    "x2_scd2" -> (x2Scd2 _))
+    "x2_scd2" -> (x2Scd2 _),
+    "x3_percentiles" -> (x3Percentiles _),
+    "x4_histogram" -> (x4Histogram _))
 
   val oracles: Map[String, String] = Map(
     "x1_moments" -> x1Oracle,
-    "x2_scd2" -> x2Oracle)
+    "x2_scd2" -> x2Oracle,
+    "x3_percentiles" -> x3Oracle,
+    "x4_histogram" -> x4Oracle)
 }
