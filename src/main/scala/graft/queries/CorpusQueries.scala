@@ -116,15 +116,36 @@ object CorpusQueries {
         approx_count_distinct(col("lang")).as("approx_langs"))
       .orderBy("source")
 
+  /** v5: Count-Min-Sketch heavy hitters — the constant-memory frequency
+    * profile of a 100 TB key stream (the sketch build is one distributed
+    * pass; only the fixed-size sketch reaches the driver, K4-style). For
+    * the top-10 exact keys, report exact count next to the CMS estimate.
+    * Like v4, no DuckDB oracle (sketch layouts are engine-specific); the
+    * driver records rows-only and ApproxOpsSpec enforces the CMS
+    * guarantee: exact ≤ estimate ≤ exact + ε·N at confidence 1−δ.
+    */
+  def v5HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keys = Tables.lineitem(spark, dir).select(col("l_partkey"))
+    val cms = keys.stat.countMinSketch("l_partkey", 0.001, 0.99, 42)
+    val top = keys.groupBy("l_partkey").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("l_partkey")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    top.map { case (k, exact) => (k, exact, cms.estimateCount(k)) }.toSeq
+      .toDF("l_partkey", "exact_cnt", "cms_cnt")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_vocab" -> (v1Vocab _),
     "v2_decontaminate" -> (v2Decontaminate _),
     "v3_char_trigrams" -> (v3CharTrigrams _),
-    "v4_profile_approx" -> (v4ProfileApprox _))
+    "v4_profile_approx" -> (v4ProfileApprox _),
+    "v5_heavy_hitters" -> (v5HeavyHitters _))
 
   val oracles: Map[String, String] = Map(
     "v1_vocab" -> v1Oracle,
     "v2_decontaminate" -> v2Oracle,
     "v3_char_trigrams" -> v3Oracle)
-    // v4_profile_approx: intentionally no oracle (HLL is engine-specific)
+    // v4_profile_approx, v5_heavy_hitters: intentionally no oracle
+    // (HLL/CMS sketches are engine-specific); ApproxOpsSpec bounds both
 }

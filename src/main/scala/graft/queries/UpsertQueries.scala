@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{ArgMaxLong, ArgValue}
+import graft.operators.Upsert
+import graft.sources.Tables
+
+/** User-defined aggregation (typed Aggregator UDAF) and MERGE/upsert —
+  * API surfaces SURVEY.md §2.11 marks absent from the reference, supplied
+  * as library primitives with cross-engine oracles.
+  */
+object UpsertQueries {
+
+  /** u1: per customer, the order id carrying their maximum spend — the
+    * typed ArgMaxLong Aggregator through groupByKey (partial-aggregates
+    * map-side like a built-in; ties break to the smallest order id so the
+    * oracle's row_number formulation agrees exactly).
+    */
+  def u1ArgmaxAggregator(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val agg = new ArgMaxLong().toColumn
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        col("o_orderkey").as("arg"),
+        round(col("o_totalprice") * 100).cast("long").as("value"))
+      .as[(Long, Long, Long)]
+      .map { case (c, a, v) => (c, ArgValue(a, v)) }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.name("best"))
+      .select(col("key").as("o_custkey"),
+        col("best.arg").as("best_orderkey"),
+        col("best.value").as("best_cents"))
+      .orderBy("o_custkey")
+  }
+
+  val u1Oracle: String =
+    """SELECT o_custkey, best_orderkey, best_cents
+      |FROM (SELECT o_custkey, o_orderkey AS best_orderkey,
+      |             CAST(round(o_totalprice * 100) AS BIGINT) AS best_cents,
+      |             row_number() OVER (PARTITION BY o_custkey
+      |                                ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+      |                                         o_orderkey) AS rn
+      |      FROM orders)
+      |WHERE rn = 1 ORDER BY o_custkey""".stripMargin
+
+  /** u2: CDC merge — every 7th customer gets a balance bump (update) and a
+    * shifted-id copy arrives as an insert; Upsert must replace the former,
+    * append the latter, and carry everything else. Balances in cents so
+    * the +1000.00 update is exact.
+    */
+  def u2Upsert(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+    val changed = cust.where(col("c_custkey") % 7 === 0)
+      .withColumn("bal_cents", col("bal_cents") + 100000L)
+    val inserted = cust.where(col("c_custkey") % 13 === 0)
+      .withColumn("c_custkey", col("c_custkey") + 10000000L)
+    Upsert(cust, changed.unionByName(inserted), Seq("c_custkey"))
+      .orderBy("c_custkey")
+  }
+
+  val u2Oracle: String =
+    """WITH cust AS (
+      |  SELECT c_custkey, c_name, c_nationkey,
+      |         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      |  FROM customer),
+      |updates AS (
+      |  SELECT c_custkey, c_name, c_nationkey, bal_cents + 100000 AS bal_cents
+      |  FROM cust WHERE c_custkey % 7 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000, c_name, c_nationkey, bal_cents
+      |  FROM cust WHERE c_custkey % 13 = 0)
+      |SELECT c_custkey, c_name, c_nationkey, CAST(bal_cents AS BIGINT) AS bal_cents FROM updates
+      |UNION ALL
+      |SELECT c.c_custkey, c.c_name, c.c_nationkey, CAST(c.bal_cents AS BIGINT) AS bal_cents
+      |FROM cust c ANTI JOIN updates u ON c.c_custkey = u.c_custkey
+      |ORDER BY c_custkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u1_argmax_aggregator" -> (u1ArgmaxAggregator _),
+    "u2_upsert" -> (u2Upsert _))
+
+  val oracles: Map[String, String] = Map(
+    "u1_argmax_aggregator" -> u1Oracle,
+    "u2_upsert" -> u2Oracle)
+}

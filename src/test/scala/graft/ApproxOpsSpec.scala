@@ -62,4 +62,16 @@ class ApproxOpsSpec extends AnyFunSuite {
     assert(overlapping.forall { case (a, b) => a == b },
       "LSH must not perturb cosine scores")
   }
+
+  test("count-min heavy hitters honor the CMS one-sided error bound") {
+    val rows = graft.queries.CorpusQueries.v5HeavyHitters(spark, dir).collect()
+    assert(rows.length == 10)
+    val n = graft.sources.Tables.lineitem(spark, dir).count()
+    val epsN = math.ceil(0.001 * n).toLong
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"CMS must never undercount: key ${r.getLong(0)} est $est < exact $exact")
+      assert(est <= exact + epsN, s"key ${r.getLong(0)}: est $est exceeds exact+εN ${exact + epsN}")
+    }
+  }
 }
