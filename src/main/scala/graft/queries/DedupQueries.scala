@@ -240,7 +240,7 @@ object DedupQueries {
   /** CTE chain up to `pairs` (da, db, hamming) — shared by d5 and the d7
     * clustering oracle.
     */
-  private val simhashPairsSqlBase: String =
+  private[queries] val simhashPairsSqlBase: String =
     s"""toks AS (
        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') tk
        |  FROM documents),

@@ -151,15 +151,40 @@ object TextQueries {
        |            ELSE 0 END AS n_shingles
        |FROM t ORDER BY doc_id""".stripMargin
 
+  /** t5: edit distance across the SimHash near-dup pairs — the fuzzy
+    * verification layer on top of candidate generation (levenshtein is
+    * O(len²) per pair, so it only ever runs on the LSH-reduced candidate
+    * set, never the corpus cross product; prefixes cap the cost).
+    */
+  def t5EditDistance(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupQueries.d5SimhashPairs(spark, dir).select("da", "db")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), substring(lower(col("text")), 1, 40).as("prefix"))
+    pairs
+      .join(docs.select(col("doc_id").as("da"), col("prefix").as("pa")), "da")
+      .join(docs.select(col("doc_id").as("db"), col("prefix").as("pb")), "db")
+      .select(col("da"), col("db"), levenshtein(col("pa"), col("pb")).as("edit40"))
+      .orderBy("da", "db")
+  }
+
+  val t5Oracle: String =
+    s"""WITH ${DedupQueries.simhashPairsSqlBase},
+       |docs AS (SELECT doc_id, substr(lower(text), 1, 40) AS prefix FROM documents)
+       |SELECT p.da, p.db, CAST(levenshtein(a.prefix, b.prefix) AS INTEGER) AS edit40
+       |FROM pairs p JOIN docs a ON a.doc_id = p.da JOIN docs b ON b.doc_id = p.db
+       |ORDER BY da, db""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats" -> (t1TokenStats _),
     "t2_lang_id" -> (t2LangId _),
     "t3_quality" -> (t3Quality _),
-    "t4_fingerprint" -> (t4Fingerprint _))
+    "t4_fingerprint" -> (t4Fingerprint _),
+    "t5_edit_distance" -> (t5EditDistance _))
 
   val oracles: Map[String, String] = Map(
     "t1_token_stats" -> t1Oracle,
     "t2_lang_id" -> t2Oracle,
     "t3_quality" -> t3Oracle,
-    "t4_fingerprint" -> t4Oracle)
+    "t4_fingerprint" -> t4Oracle,
+    "t5_edit_distance" -> t5Oracle)
 }

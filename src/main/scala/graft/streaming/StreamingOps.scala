@@ -186,6 +186,27 @@ object StreamingOps extends Serializable {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Exactly-once file sink via foreachBatch: each micro-batch overwrites
+    * its own `batch_id=<id>` partition, so replaying a batch after a crash
+    * (same checkpoint) or even a full from-scratch reprocess rewrites the
+    * same directories instead of duplicating rows — idempotence is the
+    * exactly-once story for non-transactional sinks, the same
+    * delete-then-insert the reference pipeline uses per year
+    * (yq_dag.py:16-19; SURVEY.md §1.4).
+    */
+  def idempotentPartitionedSink(out: DataFrame, outDir: String, checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
+    out.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write
+          .mode("overwrite")
+          .parquet(s"$outDir/batch_id=$batchId")
+      }
+      .start()
+
   /** Stream-stream interval join: purchases ⋈ clicks of the same user with
     * `c_ts ∈ [p_ts − 1h, p_ts)`. Watermarks on BOTH sides let Spark evict
     * join state: a click can only match purchases up to 1 h later, so click
