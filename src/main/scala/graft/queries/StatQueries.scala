@@ -20,38 +20,46 @@ object StatQueries {
 
   /** x1: per-priority spend distribution from exact moments — mean,
     * population variance and stddev derived from Σcents / Σcents².
+    *
+    * The whole moment calculation stays in exact integer arithmetic:
+    * var = ⌊(n·Σx² − (Σx)²) / n²⌋ computed in DECIMAL(38,0) (Spark) /
+    * HUGEINT (DuckDB). Σx² alone is ~10²⁰ at sf0.1 — past double's exact
+    * range, where the two engines' decimal→double casts round DIFFERENTLY
+    * (found as a real sf0.1 hash mismatch). Only values < 2⁵³ (Σx, the
+    * floored variance) ever cross into double, so every conversion is
+    * exact and sqrt sees identical input bits.
     */
   def x1Moments(spark: SparkSession, dir: String): DataFrame = {
-    val cents = round(col("o_totalprice") * 100).cast("long").cast("decimal(38,0)")
+    val cents = round(col("o_totalprice") * 100).cast("long")
     Tables.orders(spark, dir)
       .groupBy("o_orderpriority")
       .agg(
         count(lit(1)).as("n"),
-        sum(cents).as("s1"),
-        sum(cents * cents).as("s2"))
+        sum(cents.cast("decimal(38,0)")).as("s1"),
+        sum((cents * cents).cast("decimal(38,0)")).as("s2"))
+      .withColumn("var_cents2", expr(
+        "CAST((CAST(n AS DECIMAL(38,0)) * s2 - s1 * s1) div (CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))) AS BIGINT)"))
       .select(
         col("o_orderpriority"), col("n"),
         col("s1").cast("double").as("sum_cents"),
         (col("s1").cast("double") / col("n")).as("mean_cents"),
-        (col("s2").cast("double") / col("n") -
-          (col("s1").cast("double") / col("n")) * (col("s1").cast("double") / col("n"))).as("var_cents"),
-        sqrt(col("s2").cast("double") / col("n") -
-          (col("s1").cast("double") / col("n")) * (col("s1").cast("double") / col("n"))).as("sd_cents"))
+        col("var_cents2"),
+        sqrt(col("var_cents2").cast("double")).as("sd_cents"))
       .orderBy("o_orderpriority")
   }
 
   val x1Oracle: String =
     """WITH m AS (
       |  SELECT o_orderpriority, count(1) AS n,
-      |         sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS s1,
-      |         sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DECIMAL(38,0))
-      |             * CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS s2
+      |         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS s1,
+      |         sum(CAST(round(o_totalprice * 100) AS BIGINT)
+      |             * CAST(round(o_totalprice * 100) AS BIGINT)) AS s2
       |  FROM orders GROUP BY 1)
       |SELECT o_orderpriority, n,
       |       CAST(s1 AS DOUBLE) AS sum_cents,
       |       CAST(s1 AS DOUBLE) / n AS mean_cents,
-      |       CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS var_cents,
-      |       sqrt(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS sd_cents
+      |       CAST((CAST(n AS HUGEINT) * s2 - s1 * s1) // (CAST(n AS HUGEINT) * n) AS BIGINT) AS var_cents2,
+      |       sqrt(CAST(CAST((CAST(n AS HUGEINT) * s2 - s1 * s1) // (CAST(n AS HUGEINT) * n) AS BIGINT) AS DOUBLE)) AS sd_cents
       |FROM m ORDER BY o_orderpriority""".stripMargin
 
   /** x2: SCD-type-2 dimension build from a changelog — each user's event
