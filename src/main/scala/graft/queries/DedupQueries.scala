@@ -323,6 +323,27 @@ object DedupQueries {
        |FROM comp c JOIN sizes s USING (component)
        |ORDER BY doc_id""".stripMargin
 
+  /** d8: triangle count in the near-dup pair graph — the density signal
+    * that distinguishes a genuine duplicate cluster (clique-like, many
+    * triangles) from chained false positives (path-like, none). The
+    * canonical distributed formulation: orient every edge small→large id,
+    * then one self-join on the middle vertex + one edge-existence
+    * semi-join — two hash shuffles, no per-node adjacency materialization.
+    */
+  def d8Triangles(spark: SparkSession, dir: String): DataFrame = {
+    val e = d5SimhashPairs(spark, dir).select(col("da").as("a"), col("db").as("b"))
+    val wedges = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("wa"), col("e1.b").as("wb"), col("e2.b").as("wc"))
+    wedges.join(e.as("e3"), col("wa") === col("e3.a") && col("wc") === col("e3.b"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  val d8Oracle: String =
+    s"""WITH $simhashPairsSqlBase,
+       |e AS (SELECT da AS a, db AS b FROM pairs)
+       |SELECT count(1) AS n_triangles
+       |FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_ngram_jaccard" -> (d2NgramJaccard _),
@@ -330,7 +351,8 @@ object DedupQueries {
     "d4_simhash" -> (d4Simhash _),
     "d5_simhash_pairs" -> (d5SimhashPairs _),
     "d6_embedding_neardup" -> (d6EmbeddingNearDup _),
-    "d7_dup_clusters" -> (d7DupClusters _))
+    "d7_dup_clusters" -> (d7DupClusters _),
+    "d8_triangles" -> (d8Triangles _))
 
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" -> d1Oracle,
@@ -339,5 +361,6 @@ object DedupQueries {
     "d4_simhash" -> d4Oracle,
     "d5_simhash_pairs" -> d5Oracle,
     "d6_embedding_neardup" -> d6Oracle,
-    "d7_dup_clusters" -> d7Oracle)
+    "d7_dup_clusters" -> d7Oracle,
+    "d8_triangles" -> d8Oracle)
 }

@@ -43,4 +43,34 @@ class ScaleJoinsSpec extends AnyFunSuite {
     assert(salted.length == plain.length)
     assert(salted.sameElements(plain))
   }
+
+  test("AQE splits a skewed sort-merge join at runtime (skew=true in final plan)") {
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    ).map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // keep it a shuffle join
+      // shrink thresholds so the hot key trips skew handling on test-size data
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      // ~100k rows on one hot key vs 1k spread keys
+      val left = spark.range(0, 101000)
+        .select(when(col("id") < 100000L, 7L).otherwise(col("id")).as("k"),
+          col("id").as("payload"))
+      val right = spark.range(0, 102000).select(col("id").as("k"), md5(col("id").cast("string")).as("dim"))
+      val joined = left.join(right, "k")
+      // materialize THIS plan (count() would execute a separate agg plan
+      // and leave joined's own AdaptiveSparkPlan unfinalized)
+      assert(joined.collect().length == 101000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE OptimizeSkewedJoin to mark the join:\n$plan")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
 }
