@@ -197,10 +197,14 @@ object DedupQueries {
       sum(col("tf") * (shiftright(col("hv"), 0).bitwiseAND(lit(1L)) * 2 - 1)).as("s0"),
       (1 until SimhashBits).map(b =>
         sum(col("tf") * (shiftright(col("hv"), b).bitwiseAND(lit(1L)) * 2 - 1)).as(s"s$b")): _*)
+    // persisted: d5/d7/d8/t5 all build on the signature; Spark's cache
+    // manager matches the identical logical plan across those calls, so
+    // the corpus is hashed once per (session, dir), not once per query
     bitSums
       .select(col("doc_id") +: Seq(
         (0 until SimhashBits).map(b =>
           when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _).as("simhash")): _*)
+      .persist()
       .orderBy("doc_id")
   }
 
@@ -230,10 +234,13 @@ object DedupQueries {
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         col("a.simhash").as("sa"), col("b.simhash").as("sb"))
       .distinct()
+    // persisted for the same reason as the signature: the pair set is the
+    // edge input of d7 (clustering), d8 (triangles), and t5 (edit check)
     cand
       .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int"))
       .where(col("hamming") <= 3)
       .select("da", "db", "hamming")
+      .persist()
       .orderBy("da", "db")
   }
 
