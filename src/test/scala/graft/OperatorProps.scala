@@ -1,0 +1,114 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.operators.{ConnectedComponents, RangeJoin, Upsert}
+
+/** Property-based checks for the round-2 operators: each against a pure
+  * Scala model on arbitrary inputs — band joins against the quadratic
+  * filter, upsert against the map-override model (plus idempotence),
+  * connected components against union-find.
+  */
+object OperatorProps extends Properties("graft-operators") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = SparkTestSession.spark
+  private def sc_ = spark
+
+  private def ts(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000L))
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  // --- RangeJoin ---
+
+  private val base = 1700000000000000L // ~2023, microseconds
+  private val eventGen: Gen[(Long, Long, Long)] = for {
+    id <- Gen.choose(0L, 1000L)
+    k <- Gen.choose(0L, 2L)           // tight key domain forces matches
+    off <- Gen.choose(0L, 100L)       // micros offsets inside a small band
+  } yield (id, k, base + off)
+  private val sideGen = Gen.listOfN(10, eventGen)
+  private val bandGen: Gen[(Long, Long)] = for {
+    lo <- Gen.choose(-60L, 30L)
+    w <- Gen.choose(1L, 80L)
+  } yield (lo, lo + w)
+
+  property("bandJoin == quadratic theta-join model") =
+    forAll(sideGen, sideGen, bandGen) { (l, r, band) =>
+      val spark = sc_
+      import spark.implicits._
+      val (lo, hi) = band
+      val ldf = l.map { case (id, k, us) => (id, k, ts(us)) }.toDF("lid", "k", "lts")
+      val rdf = r.map { case (id, k, us) => (id, k, ts(us)) }.toDF("rid", "k", "rts")
+      val got = RangeJoin.bandJoin(ldf, rdf, "k", "lts", "rts", lo, hi)
+        .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1)))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val want = (for {
+        (lid, lk, lus) <- l
+        (rid, rk, rus) <- r
+        if lk == rk && rus >= lus + lo && rus < lus + hi
+      } yield (lid, rid)).groupBy(identity).view.mapValues(_.size).toMap
+      got == want
+    }
+
+  // --- Upsert ---
+
+  private val tableGen: Gen[List[(Long, String)]] =
+    Gen.listOfN(8, Gen.zip(Gen.choose(0L, 9L), Gen.oneOf("x", "y", "z")))
+      .map(_.distinctBy(_._1)) // at most one row per key, as Upsert requires
+
+  property("upsert == map-override model and is idempotent") =
+    forAll(tableGen, tableGen) { (t, u) =>
+      val spark = sc_
+      import spark.implicits._
+      val tdf = t.toDF("k", "v")
+      val udf = u.toDF("k", "v")
+      def toMap(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(x => (x.getLong(0), x.getString(1))).toMap
+      val once = Upsert(tdf, udf, Seq("k"))
+      val got = toMap(once.collect())
+      val want = t.toMap ++ u.toMap
+      val twice = toMap(Upsert(once, udf, Seq("k")).collect())
+      got == want && twice == got && once.count() == want.size
+    }
+
+  // --- ConnectedComponents ---
+
+  private val edgesGen: Gen[List[(Long, Long)]] =
+    Gen.listOfN(8, Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L)))
+
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // canonicalize to the minimum member of each component
+    val roots = parent.keys.map(k => k -> find(k)).toMap
+    val minOf = roots.groupBy(_._2).map { case (r, m) => r -> m.keys.min }
+    roots.map { case (k, r) => k -> minOf(r) }
+  }
+
+  property("connected components == union-find model") =
+    forAll(edgesGen) { edges =>
+      val spark = sc_
+      import spark.implicits._
+      edges.isEmpty || {
+        val got = ConnectedComponents(edges.toDF("a", "b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == unionFind(edges)
+      }
+    }
+}
