@@ -57,4 +57,36 @@ class PlanSpec extends AnyFunSuite {
     val plan = planOf(ReferenceQueries.q2ExclusionJoin(spark, dir))
     assert("LeftAnti".r.findAllIn(plan).size == 2, s"expected two anti joins in:\n$plan")
   }
+
+  test("runtime bloom-filter pruning injects on a selective fact-dim shuffle join") {
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    ).map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // shuffle join, where the filter pays
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      // selective dim (1 of ~1500 orders) joined to the full fact table:
+      // the optimizer should build a bloom filter on the dim side and
+      // apply it to the lineitem scan BEFORE the shuffle — at 100 TB this
+      // is the difference between shuffling the whole fact table and
+      // shuffling the matching sliver
+      val dim = graft.sources.Tables.orders(spark, dir)
+        .where(col("o_orderpriority") === "1-URGENT" && col("o_custkey") % 100 === 0)
+        .select(col("o_orderkey"))
+      val fact = graft.sources.Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_quantity"))
+      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("bloom_filter") || plan.contains("BloomFilter"),
+        s"expected a runtime bloom filter on the fact scan in:\n$plan")
+    } finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
 }
