@@ -62,4 +62,72 @@ object ConnectedComponents {
     require(converged, s"connected components did not converge in $maxIter rounds")
     labels
   }
+
+  /** Alternating large-star/small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond") — O(log n) rounds on ANY graph,
+    * including the long-chain topologies where plain min-propagation needs
+    * O(diameter). Same primitive per round as the simple variant (one
+    * equi-join-shaped aggregation over the edge list), so it scales like a
+    * groupBy; use it when cluster shapes are unknown or adversarial.
+    *
+    * large-star: every node connects its larger neighbors to its current
+    * minimum (including itself); small-star: each node connects its
+    * smaller-or-equal neighbors to their collective minimum. The edge list
+    * converges to a star forest: each node points at its component's
+    * minimum.
+    */
+  def alternatingStars(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val nodes = edges.toDF("a", "b")
+      .select(explode(array(col("a"), col("b"))).as("id")).distinct()
+      .localCheckpoint(true)
+    // normalized edge list; self-loops dropped (their nodes are restored
+    // as singleton components at the end)
+    var e = edges.toDF("a", "b")
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+
+    var iter = 0
+    var converged = e.isEmpty
+    while (!converged && iter < maxIter) {
+      // large-star: group by u over BOTH directions; m = min(u, neighbors);
+      // emit (m, w) for every neighbor w > u
+      val nbrs = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b"), col("a")))
+      val withMin = nbrs
+        .withColumn("m", min(least(col("u"), col("v")))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy("u")))
+      val large = withMin.where(col("v") > col("u"))
+        .select(least(col("m"), col("u")).as("a"), col("v").as("b"))
+        .where(col("a") =!= col("b")).distinct()
+
+      // small-star: group by u over edges to smaller-or-equal neighbors
+      val nbrs2 = large.select(col("b").as("u"), col("a").as("v")) // v <= u by construction
+      val withMin2 = nbrs2
+        .withColumn("m", min(col("v"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy("u")))
+      val small = withMin2
+        .select(col("m").as("a"), col("v").as("b"))
+        .union(withMin2.select(col("m").as("a"), col("u").as("b")))
+        .where(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+        .distinct()
+        .localCheckpoint(true)
+
+      // exact set-equality fixpoint test: both sides are distinct sets, so
+      // equal counts + empty difference ⇒ equal sets
+      converged = small.count() == e.count() && small.exceptAll(e).isEmpty
+      e = small
+      iter += 1
+    }
+    require(converged, s"alternating stars did not converge in $maxIter rounds")
+    // star forest: every b points at its component min a; roots point at
+    // themselves; edge-less nodes (self-loop-only inputs) are singletons
+    val stars = e.select(col("b").as("id"), col("a").as("comp"))
+      .union(e.select(col("a").as("id"), col("a").as("comp")))
+      .groupBy("id").agg(min("comp").as("comp"))
+    nodes.join(stars, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+  }
 }

@@ -29,4 +29,21 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val got = components(Seq((2L, 1L), (1L, 2L), (2L, 2L), (1L, 2L)))
     assert(got == Map(1L -> 1L, 2L -> 1L))
   }
+
+  test("alternating stars handles a long chain in O(log n) rounds") {
+    import spark.implicits._
+    // path 0-1-2-...-31: min-propagation needs ~31 rounds, stars ~5
+    val chain = (0L until 31L).map(i => (i, i + 1))
+    val got = ConnectedComponents.alternatingStars(chain.toDF("a", "b"), maxIter = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 31L).map(_ -> 0L).toMap)
+  }
+
+  test("alternating stars keeps self-loop-only nodes as singletons") {
+    import spark.implicits._
+    val got = ConnectedComponents.alternatingStars(
+        Seq((5L, 5L), (1L, 2L)).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 5L))
+  }
 }

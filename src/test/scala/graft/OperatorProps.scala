@@ -111,4 +111,15 @@ object OperatorProps extends Properties("graft-operators") {
         got == unionFind(edges)
       }
     }
+
+  property("alternating large/small-star == union-find model") =
+    forAll(edgesGen) { edges =>
+      val spark = sc_
+      import spark.implicits._
+      edges.isEmpty || {
+        val got = ConnectedComponents.alternatingStars(edges.toDF("a", "b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == unionFind(edges)
+      }
+    }
 }
