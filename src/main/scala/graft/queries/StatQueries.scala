@@ -135,15 +135,35 @@ object StatQueries {
     """SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 100000 AS bin_1k, count(1) AS cnt
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** x5: sketch percentiles (`percentile_approx` — Greenwald-Khanna
+    * summaries, mergeable, constant memory). The scale path to x3: the
+    * exact rank selection needs a per-group sort; the sketch needs one
+    * combinable pass. No DuckDB oracle (sketch internals are
+    * engine-specific) — rows-only check; ApproxOpsSpec brackets each
+    * estimate between exact neighbor percentiles.
+    */
+  def x5ApproxPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        percentile_approx(cents, lit(0.5), lit(1000)).as("p50_approx"),
+        percentile_approx(cents, lit(0.9), lit(1000)).as("p90_approx"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_moments" -> (x1Moments _),
     "x2_scd2" -> (x2Scd2 _),
     "x3_percentiles" -> (x3Percentiles _),
-    "x4_histogram" -> (x4Histogram _))
+    "x4_histogram" -> (x4Histogram _),
+    "x5_approx_percentiles" -> (x5ApproxPercentiles _))
 
   val oracles: Map[String, String] = Map(
     "x1_moments" -> x1Oracle,
     "x2_scd2" -> x2Oracle,
     "x3_percentiles" -> x3Oracle,
     "x4_histogram" -> x4Oracle)
+    // x5_approx_percentiles: intentionally no oracle (GK sketch is
+    // engine-specific); ApproxOpsSpec brackets it against exact ranks
 }

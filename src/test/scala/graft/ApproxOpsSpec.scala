@@ -63,6 +63,23 @@ class ApproxOpsSpec extends AnyFunSuite {
       "LSH must not perturb cosine scores")
   }
 
+  test("approx percentiles land between exact neighbor percentiles") {
+    import org.apache.spark.sql.functions._
+    val approx = graft.queries.StatQueries.x5ApproxPercentiles(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val cents = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), round(col("o_totalprice") * 100).cast("long").as("c"))
+      .collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    // accuracy=1000 → rank error ≤ n/1000; bracket by ±2% rank for slack
+    cents.foreach { case (prio, sorted) =>
+      val n = sorted.length
+      def at(p: Double) = sorted(math.min(n - 1, math.max(0, (p * n).toInt)))
+      val (p50, p90) = approx(prio)
+      assert(p50 >= at(0.48) && p50 <= at(0.52), s"$prio p50 $p50 outside [${at(0.48)}, ${at(0.52)}]")
+      assert(p90 >= at(0.88) && p90 <= at(0.92), s"$prio p90 $p90 outside [${at(0.88)}, ${at(0.92)}]")
+    }
+  }
+
   test("count-min heavy hitters honor the CMS one-sided error bound") {
     val rows = graft.queries.CorpusQueries.v5HeavyHitters(spark, dir).collect()
     assert(rows.length == 10)

@@ -171,6 +171,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(bj.sameElements(want))
   }
 
+  test("stream-static broadcast join enriches the stream == batch result") {
+    val dim = spark.range(0, 200)
+      .select(col("id").as("user_id"), (col("id") % 3).as("tier"))
+    def enrich(events: DataFrame) =
+      events.join(broadcast(dim), "user_id")
+        .groupBy("tier").agg(count(lit(1)).as("cnt"))
+
+    val stream = graft.sources.Tables.normalizeEventTs(
+      spark.readStream.schema(StreamingOps.rawEventSchema).parquet(streamDir))
+    val got = runStream(enrich(stream), "complete", "enriched")
+      .orderBy("tier").collect()
+    val want = enrich(graft.sources.Tables.events(spark, sfDir))
+      .orderBy("tier").collect()
+    assert(got.sameElements(want))
+  }
+
   test("foreachBatch idempotent sink: full reprocess leaves exactly one copy") {
     val root = Files.createTempDirectory("graft-febatch").toString
     val d = Files.createTempDirectory("graft-febatch-in").toString
