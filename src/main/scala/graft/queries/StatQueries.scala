@@ -152,18 +152,48 @@ object StatQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** x6: one-pass data-quality profile — row count, null counts (on
+    * deterministically planted dirt: every 97th status nulled, mimicking a
+    * feed regression), distinct cardinality, domain min/max. The shape a
+    * 100 TB ingest gate runs before accepting a batch: everything
+    * combinable in a single partial-aggregated scan.
+    */
+  def x6QualityProfile(spark: SparkSession, dir: String): DataFrame = {
+    val dirty = Tables.orders(spark, dir)
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 97 === 0, lit(null)).otherwise(col("o_orderstatus")))
+    dirty.agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - count(col("o_orderstatus"))).as("null_status"),
+      countDistinct(col("o_custkey")).as("n_customers"),
+      countDistinct(col("o_orderpriority")).as("n_priorities"),
+      min(col("o_orderdate")).as("min_date"),
+      max(col("o_orderdate")).as("max_date"))
+  }
+
+  val x6Oracle: String =
+    """SELECT count(1) AS n_rows,
+      |       count(1) - count(CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_orderstatus END) AS null_status,
+      |       count(DISTINCT o_custkey) AS n_customers,
+      |       count(DISTINCT o_orderpriority) AS n_priorities,
+      |       min(o_orderdate) AS min_date,
+      |       max(o_orderdate) AS max_date
+      |FROM orders""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_moments" -> (x1Moments _),
     "x2_scd2" -> (x2Scd2 _),
     "x3_percentiles" -> (x3Percentiles _),
     "x4_histogram" -> (x4Histogram _),
-    "x5_approx_percentiles" -> (x5ApproxPercentiles _))
+    "x5_approx_percentiles" -> (x5ApproxPercentiles _),
+    "x6_quality_profile" -> (x6QualityProfile _))
 
   val oracles: Map[String, String] = Map(
     "x1_moments" -> x1Oracle,
     "x2_scd2" -> x2Oracle,
     "x3_percentiles" -> x3Oracle,
-    "x4_histogram" -> x4Oracle)
+    "x4_histogram" -> x4Oracle,
+    "x6_quality_profile" -> x6Oracle)
     // x5_approx_percentiles: intentionally no oracle (GK sketch is
     // engine-specific); ApproxOpsSpec brackets it against exact ranks
 }

@@ -33,6 +33,27 @@ class CompactionSpec extends AnyFunSuite {
     assert(!graft.sources.FsUtil.exists(spark, s"$dir.compact-old"))
   }
 
+  test("ignoreCorruptFiles skips junk files a crashed writer left behind") {
+    val dir = s"${Files.createTempDirectory("graft-corrupt")}/t"
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    li.write.parquet(dir)
+    Files.write(java.nio.file.Paths.get(s"$dir/part-junk.parquet"),
+      "this is not parquet".getBytes)
+
+    val saved = spark.conf.getOption("spark.sql.files.ignoreCorruptFiles")
+    try {
+      spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+      assert(spark.read.parquet(dir).count() == li.count())
+      spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+      intercept[Exception] {
+        // footer read fails fast at planning or execution — either way the
+        // strict mode must refuse to silently skip data
+        spark.read.parquet(dir).count()
+      }
+    } finally saved.fold(spark.conf.unset("spark.sql.files.ignoreCorruptFiles"))(
+      spark.conf.set("spark.sql.files.ignoreCorruptFiles", _))
+  }
+
   test("schema evolution: mergeSchema unions partitions written with drifted schemas") {
     val root = s"${Files.createTempDirectory("graft-drift")}/t"
     import spark.implicits._
