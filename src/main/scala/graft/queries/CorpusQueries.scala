@@ -135,17 +135,56 @@ object CorpusQueries {
       .toDF("l_partkey", "exact_cnt", "cms_cnt")
   }
 
+  /** v6: sequence packing — the pretraining batch-prep op: documents are
+    * concatenated in a deterministic order and chunked into fixed
+    * `PackLen`-token examples; each doc lands at (start_pack, offset),
+    * possibly spanning packs. Pure prefix-sum arithmetic over one ordered
+    * window. Scale note: a single global cumsum is one range-partitioned
+    * pass; at 100 TB you shard first (pack within shard) and the
+    * per-shard plan is exactly this.
+    */
+  def v6SequencePack(spark: SparkSession, dir: String): DataFrame = {
+    val PackLen = 512L
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("doc_id").rowsBetween(Long.MinValue, 0)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $PackLen").as("start_pack"), // div = integral (/, would be double)
+        expr(s"(cum - 1) div $PackLen").as("end_pack"),
+        ((col("cum") - col("n_tokens")) % PackLen).as("pack_offset"))
+      .orderBy("doc_id")
+  }
+
+  val v6Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (SELECT doc_id, n_tokens,
+      |             sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |      FROM t)
+      |SELECT doc_id, n_tokens,
+      |       CAST((cum - n_tokens) // 512 AS BIGINT) AS start_pack,
+      |       CAST((cum - 1) // 512 AS BIGINT) AS end_pack,
+      |       CAST((cum - n_tokens) % 512 AS BIGINT) AS pack_offset
+      |FROM c ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_vocab" -> (v1Vocab _),
     "v2_decontaminate" -> (v2Decontaminate _),
     "v3_char_trigrams" -> (v3CharTrigrams _),
     "v4_profile_approx" -> (v4ProfileApprox _),
-    "v5_heavy_hitters" -> (v5HeavyHitters _))
+    "v5_heavy_hitters" -> (v5HeavyHitters _),
+    "v6_sequence_pack" -> (v6SequencePack _))
 
   val oracles: Map[String, String] = Map(
     "v1_vocab" -> v1Oracle,
     "v2_decontaminate" -> v2Oracle,
-    "v3_char_trigrams" -> v3Oracle)
+    "v3_char_trigrams" -> v3Oracle,
+    "v6_sequence_pack" -> v6Oracle)
     // v4_profile_approx, v5_heavy_hitters: intentionally no oracle
     // (HLL/CMS sketches are engine-specific); ApproxOpsSpec bounds both
 }

@@ -174,17 +174,50 @@ object TextQueries {
        |FROM pairs p JOIN docs a ON a.doc_id = p.da JOIN docs b ON b.doc_id = p.db
        |ORDER BY da, db""".stripMargin
 
+  /** t6: PII scrubbing — emails and phone-shaped tokens replaced with
+    * typed placeholders before a corpus ships to training. The corpus has
+    * no real PII, so each doc gets deterministic planted contact info
+    * first; the scrub must remove every instance (character-class-only
+    * regexes — identical semantics in Java and RE2/DuckDB).
+    */
+  def t6PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "\\+1-555-[0-9]{4,}"
+    val dirty = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com or +1-555-0"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(dirty, lit(emailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(dirty, lit(phoneRe), lit(0))).cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace(dirty, emailRe, "<EMAIL>"), phoneRe, "<PHONE>")).as("clean_fp"))
+      .orderBy("doc_id")
+  }
+
+  val t6Oracle: String =
+    """SELECT doc_id,
+      |       CAST(len(regexp_extract_all(text || ' contact user' || doc_id || '@example.com or +1-555-0' || doc_id,
+      |                                   '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+      |       CAST(len(regexp_extract_all(text || ' contact user' || doc_id || '@example.com or +1-555-0' || doc_id,
+      |                                   '\+1-555-[0-9]{4,}')) AS BIGINT) AS n_phones,
+      |       md5(regexp_replace(regexp_replace(text || ' contact user' || doc_id || '@example.com or +1-555-0' || doc_id,
+      |                                         '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |                          '\+1-555-[0-9]{4,}', '<PHONE>', 'g')) AS clean_fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats" -> (t1TokenStats _),
     "t2_lang_id" -> (t2LangId _),
     "t3_quality" -> (t3Quality _),
     "t4_fingerprint" -> (t4Fingerprint _),
-    "t5_edit_distance" -> (t5EditDistance _))
+    "t5_edit_distance" -> (t5EditDistance _),
+    "t6_pii_scrub" -> (t6PiiScrub _))
 
   val oracles: Map[String, String] = Map(
     "t1_token_stats" -> t1Oracle,
     "t2_lang_id" -> t2Oracle,
     "t3_quality" -> t3Oracle,
     "t4_fingerprint" -> t4Oracle,
-    "t5_edit_distance" -> t5Oracle)
+    "t5_edit_distance" -> t5Oracle,
+    "t6_pii_scrub" -> t6Oracle)
 }
