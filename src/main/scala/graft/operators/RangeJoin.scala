@@ -49,6 +49,37 @@ object RangeJoin {
       .drop(cB)
   }
 
+  /** Interval-overlap join: pairs (l, r) of the same key whose half-open
+    * intervals `[lStart, lEnd) ∩ [rStart, rEnd) ≠ ∅`. Both sides replicate
+    * to every `bucketUs`-wide time bucket their interval covers; a pair
+    * meets in every shared bucket, so the emit-once guard keeps only the
+    * bucket containing `max(lStart, rStart)` — each overlapping pair
+    * appears exactly once WITHOUT a distinct (no extra shuffle). Choose
+    * `bucketUs` ≈ the typical interval length: replication stays ~2× and
+    * the equi-join on (key, bucket) scales like any hash join.
+    */
+  def overlapJoin(left: DataFrame, right: DataFrame, key: String,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be positive: $bucketUs")
+    val taken = (left.columns ++ right.columns).toSet
+    val cB = Iterator.from(0).map(i => s"_bucket${if (i == 0) "" else s"_$i"}")
+      .find(!taken.contains(_)).get
+
+    def replicated(df: DataFrame, s: String, e: String) = df.withColumn(cB,
+      explode(sequence(
+        floor_div(unix_micros(col(s)), bucketUs),
+        floor_div(unix_micros(col(e)) - 1, bucketUs))))
+
+    replicated(left, lStart, lEnd)
+      .join(replicated(right, rStart, rEnd), Seq(key, cB))
+      .where(
+        unix_micros(col(lStart)) < unix_micros(col(rEnd)) &&
+        unix_micros(col(rStart)) < unix_micros(col(lEnd)) &&
+        col(cB) === floor_div(greatest(unix_micros(col(lStart)), unix_micros(col(rStart))), bucketUs))
+      .drop(cB)
+  }
+
   /** Integer floor division as a Column. `div` truncates toward zero
     * (wrong for negative values); subtracting the positive modulus first
     * makes the quotient exact — (c − pmod(c,d)) is a multiple of d, so the

@@ -70,11 +70,43 @@ object IntervalQueries {
       |  AND epoch_us(e.e_ts) < epoch_us(p.p_ts) + 300000000
       |ORDER BY p_id, e_id""".stripMargin
 
+  /** r3: interval-overlap join — each purchase's 30-minute influence
+    * window against the same user's 5-minute error windows; a pair
+    * reports once with its overlap length. The general two-interval form
+    * of the band join (RangeJoin.overlapJoin).
+    */
+  def r3OverlapJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_start"), (col("ts") + expr("INTERVAL 30 MINUTES")).as("p_end"))
+    val e = ev.where(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("user_id"),
+        col("ts").as("e_start"), (col("ts") + expr("INTERVAL 5 MINUTES")).as("e_end"))
+    RangeJoin.overlapJoin(p, e, "user_id", "p_start", "p_end", "e_start", "e_end",
+        bucketUs = 30L * 60 * 1000000L)
+      .select(col("p_id"), col("e_id"),
+        (least(unix_micros(col("p_end")), unix_micros(col("e_end"))) -
+          greatest(unix_micros(col("p_start")), unix_micros(col("e_start")))).as("overlap_us"))
+      .orderBy("p_id", "e_id")
+  }
+
+  val r3Oracle: String =
+    """WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS ps, epoch_us(ts) + 1800000000 AS pe
+      |           FROM events WHERE event_type = 'purchase'),
+      |     e AS (SELECT event_id AS e_id, user_id, epoch_us(ts) AS es, epoch_us(ts) + 300000000 AS ee
+      |           FROM events WHERE event_type = 'error')
+      |SELECT p.p_id, e.e_id, least(pe, ee) - greatest(ps, es) AS overlap_us
+      |FROM p JOIN e ON e.user_id = p.user_id AND ps < ee AND es < pe
+      |ORDER BY p_id, e_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r1_interval_join" -> (r1IntervalJoin _),
-    "r2_nearby_errors" -> (r2NearbyErrors _))
+    "r2_nearby_errors" -> (r2NearbyErrors _),
+    "r3_overlap_join" -> (r3OverlapJoin _))
 
   val oracles: Map[String, String] = Map(
     "r1_interval_join" -> r1Oracle,
-    "r2_nearby_errors" -> r2Oracle)
+    "r2_nearby_errors" -> r2Oracle,
+    "r3_overlap_join" -> r3Oracle)
 }

@@ -59,6 +59,31 @@ object OperatorProps extends Properties("graft-operators") {
       got == want
     }
 
+  private val intervalGen: Gen[(Long, Long, Long, Long)] = for {
+    id <- Gen.choose(0L, 1000L)
+    k <- Gen.choose(0L, 2L)
+    s <- Gen.choose(0L, 100L)
+    len <- Gen.choose(1L, 60L)
+  } yield (id, k, base + s, base + s + len)
+  private val intervalsGen = Gen.listOfN(10, intervalGen)
+
+  property("overlapJoin == quadratic interval-overlap model, each pair once") =
+    forAll(intervalsGen, intervalsGen, Gen.choose(1L, 80L)) { (l, r, w) =>
+      val spark = sc_
+      import spark.implicits._
+      val ldf = l.map { case (id, k, s, e) => (id, k, ts(s), ts(e)) }.toDF("lid", "k", "ls", "le")
+      val rdf = r.map { case (id, k, s, e) => (id, k, ts(s), ts(e)) }.toDF("rid", "k", "rs", "re")
+      val got = RangeJoin.overlapJoin(ldf, rdf, "k", "ls", "le", "rs", "re", w)
+        .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1)))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val want = (for {
+        (lid, lk, ls, le) <- l
+        (rid, rk, rs, re) <- r
+        if lk == rk && ls < re && rs < le
+      } yield (lid, rid)).groupBy(identity).view.mapValues(_.size).toMap
+      got == want
+    }
+
   // --- Upsert ---
 
   private val tableGen: Gen[List[(Long, String)]] =
