@@ -26,11 +26,20 @@ object ZOrder {
     * dimension's high bits dominate and the curve degenerates to a linear
     * sort on it).
     */
-  def zValue(x: Column, y: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1,31]: $bits")
-    (0 until bits).map { b =>
-      (shiftright(x.cast("long"), b).bitwiseAND(lit(1L)) * lit(1L << (2 * b))) +
-        (shiftright(y.cast("long"), b).bitwiseAND(lit(1L)) * lit(1L << (2 * b + 1)))
+  def zValue(x: Column, y: Column, bits: Int = 16): Column =
+    zValueN(Seq(x, y), bits)
+
+  /** N-dimensional Morton interleave: bit b of dimension i lands at
+    * position b·k + i (k = number of dimensions). k·bits must fit a long.
+    */
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    val k = cols.length
+    require(k >= 2, s"need at least 2 dimensions, got $k")
+    require(bits >= 1 && k * bits <= 62, s"k*bits must be in [2,62]: $k*$bits")
+    (0 until bits).flatMap { b =>
+      cols.zipWithIndex.map { case (c, i) =>
+        shiftright(c.cast("long"), b).bitwiseAND(lit(1L)) * lit(1L << (b * k + i))
+      }
     }.reduce(_ + _)
   }
 

@@ -198,13 +198,42 @@ object SimilarityQueries {
 
   private def cosSqlQX: String = cosSql
 
+  /** s4: retrieval hydration — the RAG shape: ANN top-k ids joined back to
+    * the document store for text snippets. The k·|queries| hit list is
+    * tiny next to the corpus, so the hydrate join broadcasts the hits and
+    * never shuffles the documents.
+    */
+  def s4AnnRetrieve(spark: SparkSession, dir: String): DataFrame = {
+    val hits = s1BruteTopK(spark, dir).select(col("qid"), col("nid"), col("rank"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").as("nid"), col("lang"), substring(col("text"), 1, 80).as("snippet"))
+    hits.join(docs, "nid")
+      .select(col("qid"), col("rank"), col("nid"), col("lang"), col("snippet"))
+      .orderBy("qid", "rank")
+  }
+
+  val s4Oracle: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+       |scored AS (
+       |  SELECT a.vec_id qid, b.vec_id nid, $cosSql AS cos
+       |  FROM e a JOIN e b ON a.vec_id < $QueryBlock AND b.vec_id <> a.vec_id),
+       |ranked AS (
+       |  SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |  FROM scored),
+       |topk AS (SELECT qid, nid, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= $TopK)
+       |SELECT t.qid, t.rank, t.nid, d.lang, substr(d.text, 1, 80) AS snippet
+       |FROM topk t JOIN documents d ON d.doc_id = t.nid
+       |ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_brute_topk" -> (s1BruteTopK _),
     "s2_lsh_topk" -> (s2LshTopK _),
-    "s3_ivf_topk" -> (s3IvfTopK _))
+    "s3_ivf_topk" -> (s3IvfTopK _),
+    "s4_ann_retrieve" -> (s4AnnRetrieve _))
 
   val oracles: Map[String, String] = Map(
     "s1_brute_topk" -> s1Oracle,
     "s2_lsh_topk" -> s2Oracle,
-    "s3_ivf_topk" -> s3Oracle)
+    "s3_ivf_topk" -> s3Oracle,
+    "s4_ann_retrieve" -> s4Oracle)
 }

@@ -76,4 +76,14 @@ class ZOrderSpec extends AnyFunSuite {
       .head.getLong(0)
     assert(z == 27L)
   }
+
+  test("n-dim z-value: 3-way interleave puts bit b of dim i at position 3b+i") {
+    import spark.implicits._
+    // x=1 (bit0), y=1 (bit0), z=1 (bit0) → positions 0,1,2 → 0b111 = 7
+    // x=2 (bit1) alone → position 3 → 8
+    val r = Seq((1L, 1L, 1L), (2L, 0L, 0L)).toDF("x", "y", "w")
+      .select(ZOrder.zValueN(Seq(col("x"), col("y"), col("w")), 2).as("z"))
+      .collect().map(_.getLong(0))
+    assert(r.toSeq == Seq(7L, 8L))
+  }
 }
