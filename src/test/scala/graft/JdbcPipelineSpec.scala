@@ -79,4 +79,22 @@ class JdbcPipelineSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
     assert(fed == Seq((2020, "s3", 12L * RowsPerMonth), (2021, "pg", RowsPerMonth.toLong)))
   }
+
+  test("one SQL text spans the live JDBC and parquet tiers (the reference's Q3 interface)") {
+    val p = pipeline
+    // the reference addresses `pg-finance`.payments and the S3 binding in
+    // ONE query text (README_en.md:239-246); Spark's analog: temp views
+    // over the JDBC relation and the partitioned parquet relation
+    p.source.scan(spark).createOrReplaceTempView("hot_payments")
+    p.cold.scan(spark).createOrReplaceTempView("cold_payments")
+    val got = spark.sql(
+      """SELECT year(pdate) AS dyear, src, count(1) AS cnt FROM (
+        |  SELECT payment_date AS pdate, 'pg' AS src FROM hot_payments
+        |  UNION ALL
+        |  SELECT payment_date, 's3' FROM cold_payments)
+        |GROUP BY year(pdate), src
+        |ORDER BY dyear""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((2020, "s3", 12L * RowsPerMonth), (2021, "pg", RowsPerMonth.toLong)))
+  }
 }
