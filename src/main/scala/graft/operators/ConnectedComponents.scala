@@ -34,8 +34,10 @@ object ConnectedComponents {
       .toDF("src", "dst").distinct()
       .localCheckpoint(true)
 
-    var labels = und.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // seed with min(self, neighbors) — the first propagation round folded
+    // into initialization (one aggregation instead of join+agg)
+    var labels = und.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("comp"))
       .localCheckpoint(true)
 
     // Convergence via the label sum: labels are per-node non-increasing, so
