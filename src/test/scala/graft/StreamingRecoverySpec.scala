@@ -69,4 +69,38 @@ class StreamingRecoverySpec extends AnyFunSuite {
       s"emitted ${got.length} closed sessions, batch says ${want.length}")
     assert(got.sameElements(want))
   }
+
+  test("dropDuplicatesWithinWatermark dedup state survives a restart") {
+    val root = Files.createTempDirectory("graft-dedup-recovery").toString
+    val srcDir = s"$root/src"; val outDir = s"$root/out"; val ck = s"$root/ck"
+    new java.io.File(srcDir).mkdirs()
+
+    def run(): Unit = {
+      val stream = graft.sources.Tables.normalizeEventTs(
+        spark.readStream.schema(StreamingOps.rawEventSchema).parquet(srcDir))
+      val q = StreamingOps.dedupEvents(stream, "60 days")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+
+    // file streams list the directory non-recursively: deliver flat files
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$srcDir/batch1.parquet"))
+    run()
+    // the SAME events redelivered after the restart: the id state recovered
+    // from the checkpoint must suppress every one of them
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$srcDir/batch2.parquet"))
+    run()
+
+    val n = spark.read.parquet(s"$sfDir/events.parquet").count()
+    val got = spark.read.parquet(outDir).count()
+    assert(got == n, s"redelivery after restart duplicated rows: $got vs $n")
+  }
 }
