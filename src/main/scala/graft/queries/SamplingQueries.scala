@@ -74,13 +74,82 @@ object SamplingQueries {
       |WHERE rn = 1
       |ORDER BY user_id""".stripMargin
 
+  /** n4: token-budget dataset mixing — the corpus-weighting step of a
+    * pretraining mix: each source contributes documents (in a
+    * deterministic md5 shuffle order) until its token budget is met
+    * (greedy, the crossing document included). One window per source —
+    * partition-parallel across sources, no global pass.
+    */
+  def n4TokenBudgetMix(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Text
+    val budget = when(expr("CAST(substring(source, 4) AS INT)") % 2 === 0, lit(3000L))
+      .otherwise(lit(1000L))
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"),
+        Text.md5Long(col("doc_id").cast("string")).as("h"),
+        budget.as("budget"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .where(col("cum") - col("n_tokens") < col("budget")) // greedy incl. crossing doc
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs_kept"), sum(col("n_tokens")).as("tokens_kept"))
+      .orderBy("source")
+  }
+
+  val n4Oracle: String =
+    """WITH t AS (
+      |  SELECT source, doc_id,
+      |         CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+      |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+      |         CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 3000 ELSE 1000 END AS budget
+      |  FROM documents),
+      |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+      |                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |      FROM t)
+      |SELECT source, count(1) AS docs_kept, CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
+      |FROM c WHERE cum - n_tokens < budget
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  /** n5: three-way train/val/test split by document hash — reproducible on
+    * any engine and stable under corpus growth (a doc's split never
+    * changes when other docs arrive: the hash depends only on its id).
+    */
+  def n5TrainValTest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Text
+    val bucket = pmod(Text.md5Long(col("doc_id").cast("string")), lit(100L))
+    val split = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    Tables.documents(spark, dir)
+      .select(split.as("split"), col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        min("doc_id").as("first_doc"))
+      .orderBy("split")
+  }
+
+  val n5Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+      |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+      |  FROM documents)
+      |SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+      |       count(1) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens, min(doc_id) AS first_doc
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n1_hash_sample" -> (n1HashSample _),
     "n2_stratified_sample" -> (n2StratifiedSample _),
-    "n3_latest_per_key" -> (n3LatestPerKey _))
+    "n3_latest_per_key" -> (n3LatestPerKey _),
+    "n4_token_budget_mix" -> (n4TokenBudgetMix _),
+    "n5_train_val_test" -> (n5TrainValTest _))
 
   val oracles: Map[String, String] = Map(
     "n1_hash_sample" -> n1Oracle,
     "n2_stratified_sample" -> n2Oracle,
-    "n3_latest_per_key" -> n3Oracle)
+    "n3_latest_per_key" -> n3Oracle,
+    "n4_token_budget_mix" -> n4Oracle,
+    "n5_train_val_test" -> n5Oracle)
 }
