@@ -180,20 +180,106 @@ object StatQueries {
       |       max(o_orderdate) AS max_date
       |FROM orders""".stripMargin
 
+  /** x7: moment-based outlier flags — orders beyond mean ± 1.5σ of their
+    * priority group, where mean/σ come from x1's exact integer moments
+    * (both engines derive identical doubles from identical integers, so
+    * even the boundary comparisons agree bit-for-bit). The groups frame is
+    * tiny → broadcast join back onto the fact scan; one shuffle total.
+    */
+  def x7Outliers(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val stats = x1Moments(spark, dir)
+      .select(col("o_orderpriority"), col("mean_cents"), col("sd_cents"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), cents.as("c"))
+      .join(broadcast(stats), "o_orderpriority")
+      .where(col("c").cast("double") > col("mean_cents") + lit(1.5) * col("sd_cents") ||
+        col("c").cast("double") < col("mean_cents") - lit(1.5) * col("sd_cents"))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("c").as("cents"))
+      .orderBy("o_orderkey")
+  }
+
+  val x7Oracle: String =
+    """WITH m AS (
+      |  SELECT o_orderpriority, count(1) AS n,
+      |         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS s1,
+      |         sum(CAST(round(o_totalprice * 100) AS BIGINT)
+      |             * CAST(round(o_totalprice * 100) AS BIGINT)) AS s2
+      |  FROM orders GROUP BY 1),
+      |stats AS (
+      |  SELECT o_orderpriority,
+      |         CAST(s1 AS DOUBLE) / n AS mean_cents,
+      |         sqrt(CAST(CAST((CAST(n AS HUGEINT) * s2 - s1 * s1) // (CAST(n AS HUGEINT) * n) AS BIGINT) AS DOUBLE)) AS sd_cents
+      |  FROM m)
+      |SELECT o.o_orderkey, o.o_orderpriority, CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      |FROM orders o JOIN stats s USING (o_orderpriority)
+      |WHERE CAST(CAST(round(o.o_totalprice * 100) AS BIGINT) AS DOUBLE) > s.mean_cents + 1.5 * s.sd_cents
+      |   OR CAST(CAST(round(o.o_totalprice * 100) AS BIGINT) AS DOUBLE) < s.mean_cents - 1.5 * s.sd_cents
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** x8: snapshot diff — classify rows between two table versions as
+    * added / removed / changed via one full-outer join on the key with
+    * value fingerprints (the read-side complement of Upsert). The "new"
+    * snapshot is the current one with planted drift: every 11th order
+    * re-priced, every 13th dropped, 100 synthetic orders added.
+    */
+  def x8SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val old = Tables.orders(spark, dir).select(col("o_orderkey").as("k"), cents.as("v"))
+    val nu = Tables.orders(spark, dir)
+      .where(col("o_orderkey") % 13 =!= 0)
+      .select(col("o_orderkey").as("k"),
+        when(col("o_orderkey") % 11 === 0, cents + 500L).otherwise(cents).as("v"))
+      .unionByName(
+        Tables.orders(spark, dir)
+          .where(col("o_orderkey") % 17 === 0)
+          .select((col("o_orderkey") + 90000000L).as("k"), cents.as("v")))
+    old.as("o").join(nu.as("n"), col("o.k") === col("n.k"), "full_outer")
+      .select(
+        when(col("o.k").isNull, "added")
+          .when(col("n.k").isNull, "removed")
+          .when(col("o.v") =!= col("n.v"), "changed")
+          .otherwise("same").as("class"))
+      .groupBy("class").agg(count(lit(1)).as("cnt"))
+      .orderBy("class")
+  }
+
+  val x8Oracle: String =
+    """WITH old AS (SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+      |nu AS (
+      |  SELECT o_orderkey AS k,
+      |         CASE WHEN o_orderkey % 11 = 0 THEN CAST(round(o_totalprice * 100) AS BIGINT) + 500
+      |              ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS v
+      |  FROM orders WHERE o_orderkey % 13 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 90000000, CAST(round(o_totalprice * 100) AS BIGINT)
+      |  FROM orders WHERE o_orderkey % 17 = 0)
+      |SELECT CASE WHEN o.k IS NULL THEN 'added'
+      |            WHEN n.k IS NULL THEN 'removed'
+      |            WHEN o.v <> n.v THEN 'changed'
+      |            ELSE 'same' END AS class,
+      |       count(1) AS cnt
+      |FROM old o FULL OUTER JOIN nu n ON o.k = n.k
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_moments" -> (x1Moments _),
     "x2_scd2" -> (x2Scd2 _),
     "x3_percentiles" -> (x3Percentiles _),
     "x4_histogram" -> (x4Histogram _),
     "x5_approx_percentiles" -> (x5ApproxPercentiles _),
-    "x6_quality_profile" -> (x6QualityProfile _))
+    "x6_quality_profile" -> (x6QualityProfile _),
+    "x7_outliers" -> (x7Outliers _),
+    "x8_snapshot_diff" -> (x8SnapshotDiff _))
 
   val oracles: Map[String, String] = Map(
     "x1_moments" -> x1Oracle,
     "x2_scd2" -> x2Oracle,
     "x3_percentiles" -> x3Oracle,
     "x4_histogram" -> x4Oracle,
-    "x6_quality_profile" -> x6Oracle)
+    "x6_quality_profile" -> x6Oracle,
+    "x7_outliers" -> x7Oracle,
+    "x8_snapshot_diff" -> x8Oracle)
     // x5_approx_percentiles: intentionally no oracle (GK sketch is
     // engine-specific); ApproxOpsSpec brackets it against exact ranks
 }
