@@ -64,13 +64,51 @@ case class CharNGrams(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization as a codegen'd expression — the text
+  * pipeline's canonicalization step: the same visible string can arrive
+  * as precomposed (é) or combining (e +  ́) codepoints; hashing, dedup,
+  * and equality joins must see ONE form or identical documents fingerprint
+  * differently. Wraps `java.text.Normalizer` (a static JDK call — safe to
+  * invoke from generated Java); DuckDB's `nfc_normalize` is the oracle
+  * counterpart.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_nfc expects string, got ${child.dataType}")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      input.asInstanceOf[UTF8String].toString, java.text.Normalizer.Form.NFC))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      s"""
+         |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  java.text.Normalizer.normalize($s.toString(), java.text.Normalizer.Form.NFC));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Idempotent session registration: `graft_char_ngrams(s, n)` with a
-    * foldable integer n.
+    * foldable integer n, and `graft_nfc(s)`.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_char_ngrams",
       exprs => CharNGrams(exprs.head, exprs(1).eval(null).asInstanceOf[Int]),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nfc", exprs => NfcNormalize(exprs.head), "built-in")
+  }
 }

@@ -205,13 +205,40 @@ object TextQueries {
       |                          '\+1-555-[0-9]{4,}', '<PHONE>', 'g')) AS clean_fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** t7: Unicode NFC canonicalization (graft_nfc, a codegen'd JDK
+    * Normalizer wrapper) — every doc gets a planted combining-sequence
+    * suffix ("cafe" + U+0301); after NFC the combining pair fuses to é, so
+    * the char count drops by one and the fingerprint is the canonical
+    * form's. Without this step, visually identical docs dedup-fingerprint
+    * differently.
+    */
+  def t7NfcNormalize(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.prepare(spark)
+    val planted = concat(col("text"), lit(" café"))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        length(planted).cast("long").as("n_chars_raw"),
+        length(call_function("graft_nfc", planted)).cast("long").as("n_chars_nfc"),
+        md5(call_function("graft_nfc", planted)).as("nfc_fp"))
+      .orderBy("doc_id")
+  }
+
+  val t7Oracle: String =
+    """SELECT doc_id,
+      |       length(text || ' cafe' || chr(769)) AS n_chars_raw,
+      |       length(nfc_normalize(text || ' cafe' || chr(769))) AS n_chars_nfc,
+      |       md5(nfc_normalize(text || ' cafe' || chr(769))) AS nfc_fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats" -> (t1TokenStats _),
     "t2_lang_id" -> (t2LangId _),
     "t3_quality" -> (t3Quality _),
     "t4_fingerprint" -> (t4Fingerprint _),
     "t5_edit_distance" -> (t5EditDistance _),
-    "t6_pii_scrub" -> (t6PiiScrub _))
+    "t6_pii_scrub" -> (t6PiiScrub _),
+    "t7_nfc_normalize" -> (t7NfcNormalize _))
 
   val oracles: Map[String, String] = Map(
     "t1_token_stats" -> t1Oracle,
@@ -219,5 +246,6 @@ object TextQueries {
     "t3_quality" -> t3Oracle,
     "t4_fingerprint" -> t4Oracle,
     "t5_edit_distance" -> t5Oracle,
-    "t6_pii_scrub" -> t6Oracle)
+    "t6_pii_scrub" -> t6Oracle,
+    "t7_nfc_normalize" -> t7Oracle)
 }
