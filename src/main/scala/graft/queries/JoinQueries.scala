@@ -188,13 +188,54 @@ object JoinQueries {
       |            FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
       |ORDER BY o_custkey""".stripMargin
 
+  /** j7: the TPC-H Q3 shape — segment filter on the dim, date filters on
+    * both fact sides, 3-way join, revenue aggregation, global top-10. The
+    * dim side broadcasts; the global top-k runs as TakeOrderedAndProject
+    * (per-partition heaps, k rows to the driver — no full sort at any
+    * scale). Revenue in integer micro-units: cents × (100 − discount%) is
+    * exact, so the sum and the top-10 cutoff are engine-independent.
+    */
+  def j7ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = to_timestamp(lit("1995-03-15 00:00:00"))
+    val cust = Tables.customer(spark, dir)
+      .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val ord = Tables.orders(spark, dir)
+      .where(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val li = Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_c4"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(col("rev_c4")).as("revenue_c4"))
+      .orderBy(col("revenue_c4").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val j7Oracle: String =
+    """SELECT l_orderkey, o_orderdate,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c4
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |             JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1995-03-15'
+      |  AND l_shipdate > TIMESTAMP '1995-03-15'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue_c4 DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j1_revenue_by_nation" -> (j1RevenueByNation _),
     "j2_top_parts" -> (j2TopParts _),
     "j3_top_orders_per_priority" -> (j3TopOrdersPerPriority _),
     "j4_customer_activity" -> (j4CustomerActivity _),
     "j5_pricing_summary" -> (j5PricingSummary _),
-    "j6_correlated_subquery" -> (j6CorrelatedSubquery _))
+    "j6_correlated_subquery" -> (j6CorrelatedSubquery _),
+    "j7_shipping_priority" -> (j7ShippingPriority _))
 
   val oracles: Map[String, String] = Map(
     "j1_revenue_by_nation" -> j1Oracle,
@@ -202,5 +243,6 @@ object JoinQueries {
     "j3_top_orders_per_priority" -> j3Oracle,
     "j4_customer_activity" -> j4Oracle,
     "j5_pricing_summary" -> j5Oracle,
-    "j6_correlated_subquery" -> j6Oracle)
+    "j6_correlated_subquery" -> j6Oracle,
+    "j7_shipping_priority" -> j7Oracle)
 }

@@ -58,6 +58,12 @@ class PlanSpec extends AnyFunSuite {
     assert("LeftAnti".r.findAllIn(plan).size == 2, s"expected two anti joins in:\n$plan")
   }
 
+  test("global top-k compiles to TakeOrderedAndProject (no full sort)") {
+    val plan = planOf(JoinQueries.j7ShippingPriority(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected per-partition top-k, not a global sort, in:\n$plan")
+  }
+
   test("runtime bloom-filter pruning injects on a selective fact-dim shuffle join") {
     import org.apache.spark.sql.functions._
     val conf = spark.conf
