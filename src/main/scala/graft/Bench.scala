@@ -39,7 +39,13 @@ object Bench {
     val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(line)
+    // sbt decorates stdout with [info] prefixes (round-1 driver record
+    // shows parsed:null); the undecorated line is also left on disk
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+    java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),
+      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }
