@@ -144,6 +144,36 @@ object AnalyticsQueries {
       |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
       |ORDER BY g_prio, g_stat, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
 
+  /** g7: bag-semantics set operations (INTERSECT ALL / EXCEPT ALL) — g3's
+    * multiset counterparts: multiplicities survive (a customer ordering
+    * twice in each year intersects twice). Implemented physically as
+    * grouped-count arithmetic by both engines — one shuffle, no distinct.
+    */
+  def g7SetOpsBag(spark: SparkSession, dir: String): DataFrame = {
+    def buyers(y: Int) = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= to_timestamp(lit(s"$y-01-01 00:00:00")) &&
+        col("o_orderdate") < to_timestamp(lit(s"${y + 1}-01-01 00:00:00")))
+      .select(col("o_custkey"))
+    val common = buyers(1996).intersectAll(buyers(1997))
+      .select(col("o_custkey"), lit("common").as("tag"))
+    val surplus96 = buyers(1996).exceptAll(buyers(1997))
+      .select(col("o_custkey"), lit("surplus96").as("tag"))
+    common.unionByName(surplus96)
+      .groupBy("tag", "o_custkey").agg(count(lit(1)).as("multiplicity"))
+      .orderBy("tag", "o_custkey")
+  }
+
+  val g7Oracle: String =
+    """WITH b96 AS (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'),
+      |     b97 AS (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'),
+      |tagged AS (
+      |  SELECT o_custkey, 'common' AS tag FROM (SELECT * FROM b96 INTERSECT ALL SELECT * FROM b97)
+      |  UNION ALL
+      |  SELECT o_custkey, 'surplus96' AS tag FROM (SELECT * FROM b96 EXCEPT ALL SELECT * FROM b97))
+      |SELECT tag, o_custkey, count(1) AS multiplicity
+      |FROM tagged GROUP BY tag, o_custkey
+      |ORDER BY tag, o_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_asof_join" -> (a1AsofJoin _),
     "g1_rollup" -> (g1Rollup _),
@@ -151,7 +181,8 @@ object AnalyticsQueries {
     "g3_setops" -> (g3SetOps _),
     "g4_pivot" -> (g4Pivot _),
     "g5_unpivot" -> (g5Unpivot _),
-    "g6_grouping_sets" -> (g6GroupingSets _))
+    "g6_grouping_sets" -> (g6GroupingSets _),
+    "g7_setops_bag" -> (g7SetOpsBag _))
 
   val oracles: Map[String, String] = Map(
     "a1_asof_join" -> a1Oracle,
@@ -160,5 +191,6 @@ object AnalyticsQueries {
     "g3_setops" -> g3Oracle,
     "g4_pivot" -> g4Oracle,
     "g5_unpivot" -> g5Oracle,
-    "g6_grouping_sets" -> g6Oracle)
+    "g6_grouping_sets" -> g6Oracle,
+    "g7_setops_bag" -> g7Oracle)
 }
