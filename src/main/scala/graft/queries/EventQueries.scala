@@ -174,6 +174,37 @@ object EventQueries {
       |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
       |FROM deduped GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** e8: sequential conversion funnel — users whose first view is followed
+    * by a click, then a purchase, in strict event-time order. Each stage
+    * is one aggregation + one join keyed on user_id, so the three stages
+    * ride the SAME hash partitioning (no re-shuffle between stages); the
+    * final stage counts cross-join as driver scalars (K4-style).
+    */
+  def e8Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val v = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("v_ts"))
+    val c = ev.where(col("event_type") === "click")
+      .join(v, "user_id").where(col("ts") > col("v_ts"))
+      .groupBy("user_id").agg(min("ts").as("c_ts"))
+    val p = ev.where(col("event_type") === "purchase")
+      .join(c, "user_id").where(col("ts") > col("c_ts"))
+      .groupBy("user_id").agg(min("ts").as("p_ts"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click_after")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase_after")))
+  }
+
+  val e8Oracle: String =
+    """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.v_ts
+      |      WHERE e.event_type = 'click' GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.c_ts
+      |      WHERE e.event_type = 'purchase' GROUP BY 1)
+      |SELECT (SELECT count(1) FROM v) AS n_view,
+      |       (SELECT count(1) FROM c) AS n_click_after,
+      |       (SELECT count(1) FROM p) AS n_purchase_after""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_windowed_counts" -> (e1WindowedCounts _),
     "e2_sliding_counts" -> (e2SlidingCounts _),
@@ -181,7 +212,8 @@ object EventQueries {
     "e4_user_stats" -> (e4UserStats _),
     "e5_props_json" -> (e5PropsJson _),
     "e6_session_window" -> (e6SessionWindow _),
-    "e7_dedup_events" -> (e7DedupEvents _))
+    "e7_dedup_events" -> (e7DedupEvents _),
+    "e8_funnel" -> (e8Funnel _))
 
   val oracles: Map[String, String] = Map(
     "e1_windowed_counts" -> e1Oracle,
@@ -190,5 +222,6 @@ object EventQueries {
     "e4_user_stats" -> e4Oracle,
     "e5_props_json" -> e5Oracle,
     "e6_session_window" -> e6Oracle,
-    "e7_dedup_events" -> e7Oracle)
+    "e7_dedup_events" -> e7Oracle,
+    "e8_funnel" -> e8Oracle)
 }
