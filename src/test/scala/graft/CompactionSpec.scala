@@ -33,6 +33,80 @@ class CompactionSpec extends AnyFunSuite {
     assert(!graft.sources.FsUtil.exists(spark, s"$dir.compact-old"))
   }
 
+  test("crash between the swap renames is recovered on re-entry") {
+    val dir = s"${Files.createTempDirectory("graft-crash")}/t"
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    li.repartition(16).write.parquet(dir)
+
+    // Simulate a crash after rename(dir, bak) but before rename(tmp, dir):
+    // the data dir is GONE and the original sits at .compact-old.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    assert(fs.rename(p, new org.apache.hadoop.fs.Path(s"$dir.compact-old")))
+    assert(!fs.exists(p))
+
+    // Re-running compact must first restore the original, then compact it.
+    val r = Compaction.compact(spark, dir, targetBytes = 1L << 20)
+    assert(r.filesBefore == 16)
+    val after = spark.read.parquet(dir)
+    assert(after.count() == li.count())
+    assert(after.exceptAll(li).isEmpty && li.exceptAll(after).isEmpty)
+    assert(!graft.sources.FsUtil.exists(spark, s"$dir.compact-old"))
+    assert(!graft.sources.FsUtil.exists(spark, s"$dir.compact-tmp"))
+  }
+
+  test("stale .compact-old after a completed swap is cleaned, not restored") {
+    val dir = s"${Files.createTempDirectory("graft-stale")}/t"
+    import spark.implicits._
+    Seq.tabulate(100)(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(8).write.parquet(dir)
+    // crash after swap completed: both dir (new data) and bak (old) exist
+    Seq((999L, "OLD")).toDF("id", "v").write.parquet(s"$dir.compact-old")
+
+    Compaction.compact(spark, dir)
+    val after = spark.read.parquet(dir)
+    assert(after.count() == 100) // the stale bak was deleted, not swapped back
+    assert(!graft.sources.FsUtil.exists(spark, s"$dir.compact-old"))
+  }
+
+  test("hive-partitioned input is compacted per leaf, layout preserved") {
+    val dir = s"${Files.createTempDirectory("graft-part")}/t"
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    li.withColumn("ry", col("l_returnflag"))
+      .repartition(16)
+      .write.partitionBy("ry").parquet(dir)
+
+    val before = spark.read.parquet(dir)
+    val beforeCount = before.count()
+    assert(before.inputFiles.length > 8)
+
+    val r = Compaction.compact(spark, dir, targetBytes = 1L << 20)
+    assert(r.filesBefore > r.filesAfter)
+
+    val after = spark.read.parquet(dir)
+    assert(after.columns.contains("ry"), "partition column must survive")
+    assert(after.count() == beforeCount)
+    // layout intact on disk: only key=value subdirs, each holding parquet
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val subdirs = fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+    assert(subdirs.nonEmpty && subdirs.forall(_.startsWith("ry=")), subdirs.mkString(","))
+    // and pruning to one partition returns exactly that partition's rows
+    assert(after.where(col("ry") === "R").count() ==
+      li.where(col("l_returnflag") === "R").count())
+  }
+
+  test("non-partition subdirectories are rejected, data untouched") {
+    val dir = s"${Files.createTempDirectory("graft-mixed")}/t"
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/notapartition")
+    intercept[IllegalArgumentException] {
+      Compaction.compact(spark, dir)
+    }
+    assert(spark.read.parquet(s"$dir/notapartition").count() == 1)
+  }
+
   test("ignoreCorruptFiles skips junk files a crashed writer left behind") {
     val dir = s"${Files.createTempDirectory("graft-corrupt")}/t"
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
