@@ -138,18 +138,33 @@ object CorpusQueries {
   /** v6: sequence packing — the pretraining batch-prep op: documents are
     * concatenated in a deterministic order and chunked into fixed
     * `PackLen`-token examples; each doc lands at (start_pack, offset),
-    * possibly spanning packs. Pure prefix-sum arithmetic over one ordered
-    * window. Scale note: a single global cumsum is one range-partitioned
-    * pass; at 100 TB you shard first (pack within shard) and the
-    * per-shard plan is exactly this.
+    * possibly spanning packs.
+    *
+    * Sharded for scale: the concatenation order is (shard, doc_id) with
+    * shard = doc_id % `PackShards`, so the prefix sum runs as
+    * `PackShards` independent partitioned windows — no single-partition
+    * global window anywhere in the plan. Each shard's global token base
+    * is a driver-side cumulative sum over the `PackShards` shard totals
+    * (a K4-style tiny fetch), broadcast-joined back. At 100 TB the same
+    * plan holds with more shards; the only driver state is one long per
+    * shard.
     */
   def v6SequencePack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val PackLen = 512L
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy("doc_id").rowsBetween(Long.MinValue, 0)
-    Tables.documents(spark, dir)
+    val Shards = 8
+    val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("shard", (col("doc_id") % Shards).cast("long"))
+    // per-shard token totals → driver cumsum (Shards rows), rejoined broadcast
+    val totals = toks.groupBy("shard").agg(sum("n_tokens").as("tot"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bases = (0 until Shards).scanLeft(0L)((acc, s) => acc + totals.getOrElse(s.toLong, 0L))
+    val baseDf = (0 until Shards).map(s => (s.toLong, bases(s))).toDF("shard", "base")
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.join(broadcast(baseDf), "shard")
+      .withColumn("cum", sum(col("n_tokens")).over(w) + col("base"))
       .select(
         col("doc_id"), col("n_tokens"),
         expr(s"(cum - n_tokens) div $PackLen").as("start_pack"), // div = integral (/, would be double)
@@ -161,16 +176,20 @@ object CorpusQueries {
   val v6Oracle: String =
     """WITH t AS (
       |  SELECT doc_id,
-      |         CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+      |         CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+      |         doc_id % 8 AS shard
       |  FROM documents),
-      |c AS (SELECT doc_id, n_tokens,
-      |             sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-      |      FROM t)
+      |c AS (SELECT doc_id, n_tokens, shard,
+      |             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS scum
+      |      FROM t),
+      |b AS (SELECT shard, sum(n_tokens) AS tot FROM t GROUP BY shard),
+      |bb AS (SELECT shard, COALESCE(sum(tot) OVER (ORDER BY shard ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base FROM b),
+      |f AS (SELECT doc_id, n_tokens, scum + base AS cum FROM c JOIN bb USING (shard))
       |SELECT doc_id, n_tokens,
       |       CAST((cum - n_tokens) // 512 AS BIGINT) AS start_pack,
       |       CAST((cum - 1) // 512 AS BIGINT) AS end_pack,
       |       CAST((cum - n_tokens) % 512 AS BIGINT) AS pack_offset
-      |FROM c ORDER BY doc_id""".stripMargin
+      |FROM f ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_vocab" -> (v1Vocab _),

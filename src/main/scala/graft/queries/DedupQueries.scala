@@ -271,34 +271,93 @@ object DedupQueries {
        |SELECT da, db, hamming FROM pairs
        |ORDER BY da, db""".stripMargin
 
-  /** Embedding-cosine near-dup pairs: anchor subset (vec_id ≡ 0 mod 5)
-    * against all higher ids, cosine ≥ 0.35. Brute-force form of the
-    * verify step; the bucketed scale path lives in SimilarityQueries.
+  private val EmbDim = 64
+  private val EmbBands = 4      // 4 bands × 4 hyperplanes = 16 signs per vector
+  private val EmbBandPlanes = 4
+
+  /** Hyperplane p as a double[] literal — same md5-derived family as the
+    * ANN queries ([[SimilarityQueries.weightInt]]), extended past p=8.
+    */
+  private def embPlaneCol(p: Int): Column =
+    array((0 until EmbDim).map(d =>
+      lit(SimilarityQueries.weightInt(p, d)).cast("double") / lit(1000.0)): _*)
+
+  /** 4-bit band key: bit i = [dot(v, w_{band·4+i}) > 0]. */
+  private def embBandKey(v: Column, band: Int): Column =
+    (0 until EmbBandPlanes).map { i =>
+      when(Vectors.dotD(v, embPlaneCol(band * EmbBandPlanes + i)) > 0,
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def embPlaneSql(p: Int): String =
+    (0 until EmbDim).map(d =>
+      s"${SimilarityQueries.weightInt(p, d)} / 1000.0").mkString("[", ", ", "]")
+
+  private def embBandKeySql(vExpr: String, band: Int): String =
+    (0 until EmbBandPlanes).map { i =>
+      val dot = s"list_reduce(list_prepend(0.0, list_transform(list_zip($vExpr, " +
+        s"${embPlaneSql(band * EmbBandPlanes + i)}), s -> s[1] * s[2])), (x, y) -> x + y)"
+      s"CASE WHEN $dot > 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  /** Embedding-cosine near-dup pairs, LSH-banded: anchors (vec_id ≡ 0
+    * mod 5) pair only with vectors sharing at least one of 4 random-
+    * hyperplane band keys (4 signs each); candidates then cosine-verify
+    * at ≥ 0.35. The band key is an equi-join key, so the candidate step
+    * is a hash-partitioned shuffle over a slim (id, band, key) relation
+    * — no nested-loop pass, vectors rejoin only for the verify — which
+    * is the shape that survives 100 TB (cf. the exact brute-force pair
+    * scan this replaced, which was anchors × corpus quadratic).
+    * Approximate recall (high for true near-dups by the hyperplane-LSH
+    * collision bound), bit-deterministic given the md5 hash family, so
+    * the oracle reproduces it exactly.
     */
   def d6EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     graft.GraftSession.prepare(spark)
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
       .withColumn("n2", Vectors.norm2D(col("v"))) // widen + norm once per vector, not per pair
-    val a = e.where(col("vec_id") % 5 === 0)
-      .select(col("vec_id").as("va"), col("v").as("ea"), col("n2").as("na2"))
-    val b = e.select(col("vec_id").as("vb"), col("v").as("eb"), col("n2").as("nb2"))
-    a.join(b, col("va") < col("vb"))
+    // slim banded relation: band keys only — the 64-dim vectors stay out
+    // of the candidate shuffle entirely
+    val bands = e
+      .select(col("vec_id") +:
+        (0 until EmbBands).map(b => embBandKey(col("v"), b).as(s"k$b")): _*)
+      .select(col("vec_id"), explode(array((0 until EmbBands).map(b =>
+        struct(lit(b).as("band"), col(s"k$b").as("bkey"))): _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val cand = bands.where(col("vec_id") % 5 === 0).as("a")
+      .join(bands.as("b"), Seq("band", "bkey"))
+      .where(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+      .distinct()
+    val av = e.select(col("vec_id").as("va"), col("v").as("ea"), col("n2").as("na2"))
+    val bv = e.select(col("vec_id").as("vb"), col("v").as("eb"), col("n2").as("nb2"))
+    cand.join(av, "va").join(bv, "vb")
       .withColumn("cos", Vectors.cosinePre(col("ea"), col("na2"), col("eb"), col("nb2")))
       .where(col("cos") >= 0.35)
       .select("va", "vb", "cos")
       .orderBy("va", "vb")
   }
 
-  val d6Oracle: String =
-    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
-      |p AS (
-      |  SELECT a.vec_id va, b.vec_id vb,
-      |         list_reduce(list_prepend(0.0, list_transform(list_zip(a.v, b.v), s -> s[1] * s[2])), (x, y) -> x + y)
-      |         / sqrt(list_reduce(list_prepend(0.0, list_transform(a.v, x -> x * x)), (x, y) -> x + y)
-      |                * list_reduce(list_prepend(0.0, list_transform(b.v, x -> x * x)), (x, y) -> x + y)) AS cos
-      |  FROM e a JOIN e b ON a.vec_id % 5 = 0 AND a.vec_id < b.vec_id)
-      |SELECT va, vb, cos FROM p WHERE cos >= 0.35 ORDER BY va, vb""".stripMargin
+  val d6Oracle: String = {
+    val bandSelects = (0 until EmbBands).map(b =>
+      s"SELECT vec_id, $b AS band, ${embBandKeySql("v", b)} AS bkey FROM e")
+      .mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id va, b.vec_id vb
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+       |   AND a.vec_id % 5 = 0 AND a.vec_id < b.vec_id),
+       |p AS (
+       |  SELECT va, vb,
+       |         list_reduce(list_prepend(0.0, list_transform(list_zip(a.v, b.v), s -> s[1] * s[2])), (x, y) -> x + y)
+       |         / sqrt(list_reduce(list_prepend(0.0, list_transform(a.v, x -> x * x)), (x, y) -> x + y)
+       |                * list_reduce(list_prepend(0.0, list_transform(b.v, x -> x * x)), (x, y) -> x + y)) AS cos
+       |  FROM cand JOIN e a ON a.vec_id = va JOIN e b ON b.vec_id = vb)
+       |SELECT va, vb, cos FROM p WHERE cos >= 0.35 ORDER BY va, vb""".stripMargin
+  }
 
   /** Duplicate *clusters* from the SimHash pair graph: connected components
     * (operators.ConnectedComponents — iterative min-label propagation) turn
