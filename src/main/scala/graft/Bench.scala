@@ -15,6 +15,9 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
+    // drop warmup-scale cached intermediates before measuring: they'd
+    // hold executor memory for the whole measured pass otherwise
+    queries.DedupQueries.unpersistShared()
 
     // Min of 3 repetitions per query: the host shows heavy run-to-run
     // variance (co-tenant load), and the minimum is the standard estimator
@@ -34,6 +37,7 @@ object Bench {
       val good = runs.filter(_._2).map(_._1)
       (name, if (good.nonEmpty) Some(good.min) else None)
     }
+    queries.DedupQueries.unpersistShared()
     val ok = results.collect { case (k, Some(v)) => k -> v }
     val failed = results.collect { case (k, None) => k }
     val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -101,12 +101,37 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 
 object TextExpressions {
   /** Idempotent session registration: `graft_char_ngrams(s, n)` with a
-    * foldable integer n, and `graft_nfc(s)`.
+    * foldable integral n, and `graft_nfc(s)`.
+    *
+    * The n argument is resolved at registration-expansion time (it sizes
+    * the codegen'd loop), so it must be a foldable integral expression;
+    * anything else fails with a named AnalysisException rather than the
+    * opaque ClassCastException/NPE a blind `eval(null).asInstanceOf[Int]`
+    * produced (BIGINT literals are the common trap: SQL `3` parses as INT
+    * but `CAST(3 AS BIGINT)` folds to a Long).
     */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_char_ngrams",
-      exprs => CharNGrams(exprs.head, exprs(1).eval(null).asInstanceOf[Int]),
+      exprs => {
+        def fail(why: String): Nothing = throw new org.apache.spark.sql.AnalysisException(
+          "USER_RAISED_EXCEPTION",
+          Map("errorMessage" -> s"graft_char_ngrams(text, n): $why"))
+        if (exprs.length != 2) fail(s"expects 2 arguments, got ${exprs.length}")
+        val nExpr = exprs(1)
+        if (!nExpr.foldable) fail(s"n must be a literal integer, got non-foldable ${nExpr.sql}")
+        val n = nExpr.eval(null) match {
+          case i: java.lang.Integer => i.intValue
+          case s: java.lang.Short   => s.intValue
+          case b: java.lang.Byte    => b.intValue
+          case l: java.lang.Long =>
+            try Math.toIntExact(l.longValue)
+            catch { case _: ArithmeticException => fail(s"n = $l does not fit in an Int") }
+          case null  => fail("n must not be NULL")
+          case _     => fail(s"n must be an integral literal, got ${nExpr.dataType.simpleString}")
+        }
+        CharNGrams(exprs.head, n)
+      },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_nfc", exprs => NfcNormalize(exprs.head), "built-in")

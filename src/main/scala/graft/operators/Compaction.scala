@@ -21,8 +21,10 @@ import org.apache.spark.sql.SparkSession
   *
   * On S3-like object stores `rename` is copy+delete and NOT atomic — this
   * in-place swap must not be used there. The object-storage path is
-  * compact-to-NEW-prefix + pointer flip (see SCALE.md "Object-storage
-  * commit semantics"); this class is the HDFS/file:// implementation.
+  * compact-to-NEW-prefix + pointer flip:
+  * [[graft.sources.VersionedStore.compactCurrent]] (see SCALE.md
+  * "Object-storage commit semantics"); this class is the HDFS/file://
+  * implementation.
   *
   * Hive-partitioned inputs (subdirectories named `key=value`) are
   * compacted leaf-by-leaf, preserving the partition layout — which is

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Z-order (Morton) data clustering for write-time layout optimization.
   *
@@ -47,9 +48,23 @@ object ZOrder {
     * scaling equalizes RANGES; for heavily skewed value distributions a
     * rank-based normalization (range-partition ids, as Delta's OPTIMIZE
     * ZORDER uses) would replace this — same interleave on top.
+    *
+    * Arithmetic: the offset is computed in decimal(38,0) — `c - minV` in
+    * LongType would wrap for wide-range columns (epoch-micro timestamps,
+    * or minV near Long.MinValue) — then scaled in double. A bucket index
+    * needs ≤ 31 significant bits (zValueN caps k·bits ≤ 62), far inside
+    * double's 53, and the top bucket is clamped so boundary rounding can
+    * never produce 2^bits (which the interleave would silently truncate
+    * to bucket 0, putting the max value next to the min).
     */
-  def normalize(c: Column, minV: Long, maxV: Long, bits: Int): Column =
-    (((c.cast("long") - lit(minV)) * lit(1L << bits)) / lit(maxV - minV + 1)).cast("long")
+  def normalize(c: Column, minV: Long, maxV: Long, bits: Int): Column = {
+    require(maxV >= minV, s"empty range: [$minV, $maxV]")
+    val range = BigDecimal(maxV) - BigDecimal(minV) + 1 // exact; may exceed Long
+    val offset = (c.cast(DecimalType(38, 0)) -
+      lit(java.math.BigDecimal.valueOf(minV))).cast("double")
+    least(floor(offset * (1L << bits).toDouble / range.toDouble),
+      lit((1L << bits) - 1)).cast("long")
+  }
 
   /** Write `df` as parquet clustered by z(xCol, yCol): normalize both
     * dimensions (one cheap min/max pass — at scale these come from table

@@ -95,18 +95,22 @@ final class CoolingPipeline(
     (year, exported, diff)
   }
 
-  /** C5: drive runs until the hot store is exhausted — the
-    * Trigger.AvailableNow analog of the reference's hourly single-flight
-    * schedule (yq_dag.py:45-52).
+  /** C5: drive runs until the hot store is exhausted — the driver-loop
+    * form of the reference's hourly single-flight schedule
+    * (yq_dag.py:45-52). [[CoolingStream]] wraps this in the genuine
+    * Trigger.AvailableNow streaming runner. `onRun` fires after each
+    * completed year (observability hook; also how CoolingStreamSpec
+    * injects a mid-run crash).
     */
-  def runAll(spark: SparkSession, maxRuns: Int = 100): Seq[(Int, Long, Long)] = {
+  def runAll(spark: SparkSession, maxRuns: Int = 100,
+      onRun: ((Int, Long, Long)) => Unit = _ => ()): Seq[(Int, Long, Long)] = {
     val out = Seq.newBuilder[(Int, Long, Long)]
     var more = true
     var n = 0
     while (more && n < maxRuns) {
       val year = watermark.value.getYear
       if (source.listPartitions(spark, s"payments_y$year").isEmpty) more = false
-      else { out += runOnce(spark); n += 1 }
+      else { val r = runOnce(spark); out += r; onRun(r); n += 1 }
     }
     out.result()
   }

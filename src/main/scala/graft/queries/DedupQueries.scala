@@ -31,6 +31,24 @@ object DedupQueries {
     * prime); a_j < 2²⁹ keeps a_j·h32 < 2⁶² — no 64-bit overflow in either
     * engine, so the oracle reproduces every value exactly.
     */
+  /** Shared intermediates persisted across the d-family (shingles feed
+    * d2/d3; the SimHash signature feeds d5/d7/d8; the pair set feeds
+    * d7/d8/t5). Registered here so battery runners (Bench, Verify, specs)
+    * can release executor memory once the family is done — without a
+    * lifecycle hook, cache entries accumulate per (session, dir) for the
+    * life of the SparkSession.
+    */
+  private val persistedShared = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private def tracked(df: DataFrame): DataFrame = { persistedShared.add(df); df }
+
+  /** Drop every cached intermediate this module has registered. Safe to
+    * call at any point: queries simply re-persist on next use.
+    */
+  def unpersistShared(): Unit = {
+    var df = persistedShared.poll()
+    while (df != null) { df.unpersist(blocking = false); df = persistedShared.poll() }
+  }
+
   private val MersenneP = (1L << 61) - 1
   private[queries] def affineA(j: Int): Long =
     math.abs(("a:" + j).hashCode.toLong % ((1L << 29) - 1)) * 2 + 1 // odd, < 2^30
@@ -93,7 +111,7 @@ object DedupQueries {
     * worst key to cap² pairs.
     */
   def d2NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shinglesDf(spark, dir).cache()
+    val sh = tracked(shinglesDf(spark, dir).cache())
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"), Seq("shingle"))
       .where(col("a.doc_id") < col("b.doc_id"))
@@ -126,7 +144,7 @@ object DedupQueries {
     * hash family, so the oracle reproduces it exactly.
     */
   def d3MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shinglesDf(spark, dir).cache()
+    val sh = tracked(shinglesDf(spark, dir).cache())
     val hashed = sh
       .withColumn("h32", Text.md5Long(col("shingle")).bitwiseAND(lit(0xFFFFFFFFL)))
       .select(
@@ -199,12 +217,13 @@ object DedupQueries {
         sum(col("tf") * (shiftright(col("hv"), b).bitwiseAND(lit(1L)) * 2 - 1)).as(s"s$b")): _*)
     // persisted: d5/d7/d8/t5 all build on the signature; Spark's cache
     // manager matches the identical logical plan across those calls, so
-    // the corpus is hashed once per (session, dir), not once per query
-    bitSums
+    // the corpus is hashed once per (session, dir), not once per query.
+    // Registered in the shared-lifecycle queue → unpersistShared().
+    tracked(bitSums
       .select(col("doc_id") +: Seq(
         (0 until SimhashBits).map(b =>
           when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _).as("simhash")): _*)
-      .persist()
+      .persist())
       .orderBy("doc_id")
   }
 
@@ -236,11 +255,11 @@ object DedupQueries {
       .distinct()
     // persisted for the same reason as the signature: the pair set is the
     // edge input of d7 (clustering), d8 (triangles), and t5 (edit check)
-    cand
+    tracked(cand
       .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int"))
       .where(col("hamming") <= 3)
       .select("da", "db", "hamming")
-      .persist()
+      .persist())
       .orderBy("da", "db")
   }
 

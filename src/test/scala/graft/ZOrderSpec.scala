@@ -67,6 +67,39 @@ class ZOrderSpec extends AnyFunSuite {
       s"z layout touches $zCost files (x+y point lookups), linear $linCost")
   }
 
+  test("wide-range dimensions (epoch-micros) still cluster — no long wrap") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-zwide").toString
+    // epoch-microsecond timestamps spanning ~50 years: range ≈ 1.6e15 > 2^50,
+    // so the old (c-min)*2^bits LongType multiply wrapped and destroyed the
+    // clustering. 10k rows, second dim a plain key.
+    val base = 946684800000000L // 2000-01-01 in micros
+    val df = (0 until 10000).map { i =>
+      (base + i.toLong * 157766400000L, (i * 37 % 1000).toLong, i.toLong)
+    }.toDF("ts_us", "key", "payload")
+
+    ZOrder.writeClustered(df, s"$root/z", "ts_us", "key", nFiles = 16, bits = 8)
+
+    val a = spark.read.parquet(s"$root/z")
+    assert(a.count() == 10000)
+    assert(a.exceptAll(df).isEmpty && df.exceptAll(a).isEmpty)
+
+    // normalize itself: monotone, in-range, max lands in the top bucket
+    val (tmin, tmax) = (base, base + 9999L * 157766400000L)
+    val buckets = df.select(ZOrder.normalize(col("ts_us"), tmin, tmax, 8).as("b"))
+      .agg(min("b"), max("b")).head
+    assert(buckets.getLong(0) == 0L && buckets.getLong(1) == 255L,
+      s"buckets span [${buckets.getLong(0)}, ${buckets.getLong(1)}], want [0, 255]")
+
+    // file skipping works on BOTH dimensions despite the wide range
+    val tsProbes = (0 until 5).map(i => tmin + (tmax - tmin) * i / 4)
+    val keyProbes = Seq(0L, 250L, 500L, 750L, 999L)
+    val tsCost = meanFilesTouched(s"$root/z", "ts_us", tsProbes)
+    val keyCost = meanFilesTouched(s"$root/z", "key", keyProbes)
+    assert(tsCost < 8 && keyCost < 8,
+      s"point lookups touch ts=$tsCost key=$keyCost of 16 files — clustering lost")
+  }
+
   test("z-value interleaves bits correctly") {
     import spark.implicits._
     // x=0b101 (5), y=0b011 (3): x bits at even positions → 1+16, y bits at
