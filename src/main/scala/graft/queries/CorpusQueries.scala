@@ -191,19 +191,63 @@ object CorpusQueries {
       |       CAST((cum - n_tokens) % 512 AS BIGINT) AS pack_offset
       |FROM f ORDER BY doc_id""".stripMargin
 
+  /** v7: per-document keyword extraction — top-3 terms by TF-IDF. The
+    * idf uses the rational form N/df (no transcendental: `ln` rounds
+    * differently across engines, a plain BIGINT product and ONE IEEE
+    * division do not), which is order-equivalent to log-idf for ranking
+    * within a document. Shapes: the (doc, tok) count relation, a token
+    * df aggregate joined back (vocab-sized — AQE broadcasts it), and a
+    * per-doc window for the top-3 — all keyed shuffles, no corpus-wide
+    * sort.
+    */
+  def v7TfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs")) // 1-row, K4-style scalar
+    val tf = docs
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "term").crossJoin(nDocs)
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))).cast("long"))
+      .where(col("rnk") <= 3)
+      .select("doc_id", "rnk", "term", "tf", "df", "score")
+      .orderBy("doc_id", "rnk")
+  }
+
+  val v7Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) tf FROM t GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) n_docs FROM documents),
+      |s AS (
+      |  SELECT doc_id, term, CAST(tf AS BIGINT) tf, CAST(df AS BIGINT) df,
+      |         CAST(tf * n_docs AS DOUBLE) / df AS score,
+      |         row_number() OVER (PARTITION BY doc_id
+      |                            ORDER BY CAST(tf * n_docs AS DOUBLE) / df DESC, term) AS rnk
+      |  FROM tf JOIN df USING (term), n)
+      |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tf, df, score
+      |FROM s WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_vocab" -> (v1Vocab _),
     "v2_decontaminate" -> (v2Decontaminate _),
     "v3_char_trigrams" -> (v3CharTrigrams _),
     "v4_profile_approx" -> (v4ProfileApprox _),
     "v5_heavy_hitters" -> (v5HeavyHitters _),
-    "v6_sequence_pack" -> (v6SequencePack _))
+    "v6_sequence_pack" -> (v6SequencePack _),
+    "v7_tfidf_keywords" -> (v7TfidfKeywords _))
 
   val oracles: Map[String, String] = Map(
     "v1_vocab" -> v1Oracle,
     "v2_decontaminate" -> v2Oracle,
     "v3_char_trigrams" -> v3Oracle,
-    "v6_sequence_pack" -> v6Oracle)
+    "v6_sequence_pack" -> v6Oracle,
+    "v7_tfidf_keywords" -> v7Oracle)
     // v4_profile_approx, v5_heavy_hitters: intentionally no oracle
     // (HLL/CMS sketches are engine-specific); ApproxOpsSpec bounds both
 }

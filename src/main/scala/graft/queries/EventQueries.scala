@@ -205,7 +205,34 @@ object EventQueries {
       |       (SELECT count(1) FROM c) AS n_click_after,
       |       (SELECT count(1) FROM p) AS n_purchase_after""".stripMargin
 
+  /** e9: cohort retention — the activation/retention grid every product
+    * and data-flywheel dashboard needs: users bucketed by first-seen day,
+    * counted on each later active day as an offset from their cohort.
+    * Three keyed shuffles (distinct user-day, per-user min, the grid
+    * agg); the user-keyed join co-partitions with the cohort agg, so at
+    * 100 TB the only wide exchange is on user_id.
+    */
+  def e9Retention(spark: SparkSession, dir: String): DataFrame = {
+    val act = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val cohort = act.groupBy("user_id").agg(min("d").as("cohort_day"))
+    act.join(cohort, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("d"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_users")) // act is distinct (user, d): 1 row per user per cell
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  val e9Oracle: String =
+    """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) d FROM events),
+      |c AS (SELECT user_id, min(d) cohort_day FROM act GROUP BY 1)
+      |SELECT cohort_day, CAST(date_diff('day', cohort_day, d) AS BIGINT) AS day_offset,
+      |       count(1) AS n_users
+      |FROM act JOIN c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e9_retention" -> (e9Retention _),
     "e1_windowed_counts" -> (e1WindowedCounts _),
     "e2_sliding_counts" -> (e2SlidingCounts _),
     "e3_sessions" -> (e3Sessions _),
@@ -216,6 +243,7 @@ object EventQueries {
     "e8_funnel" -> (e8Funnel _))
 
   val oracles: Map[String, String] = Map(
+    "e9_retention" -> e9Oracle,
     "e1_windowed_counts" -> e1Oracle,
     "e2_sliding_counts" -> e2Oracle,
     "e3_sessions" -> e3Oracle,

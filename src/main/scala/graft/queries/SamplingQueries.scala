@@ -139,7 +139,29 @@ object SamplingQueries {
       |       count(1) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens, min(doc_id) AS first_doc
       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** n6: exact-size uniform sample without replacement — bottom-k by
+    * hash (the classic bottom-k / KMV sketch selection rule): the 500
+    * rows with the smallest md5 of the key ARE a uniform 500-sample, and
+    * the same 500 on every engine and partitioning. Compiles to
+    * TakeOrderedAndProject: each partition keeps a local 500-heap and
+    * the driver merges heaps — no global sort, no shuffle of the
+    * non-sample, which is why bottom-k is THE fixed-size sampler at
+    * 100 TB (n1's Bernoulli form gives a random-sized sample; this one
+    * is exact-k).
+    */
+  def n6BottomKSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        md5(concat(lit("n6:"), col("o_orderkey").cast("string"))).as("h"))
+      .orderBy("h")
+      .limit(500)
+
+  val n6Oracle: String =
+    """SELECT o_orderkey, md5('n6:' || CAST(o_orderkey AS VARCHAR)) AS h
+      |FROM orders ORDER BY h LIMIT 500""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "n6_bottomk_sample" -> (n6BottomKSample _),
     "n1_hash_sample" -> (n1HashSample _),
     "n2_stratified_sample" -> (n2StratifiedSample _),
     "n3_latest_per_key" -> (n3LatestPerKey _),
@@ -147,6 +169,7 @@ object SamplingQueries {
     "n5_train_val_test" -> (n5TrainValTest _))
 
   val oracles: Map[String, String] = Map(
+    "n6_bottomk_sample" -> n6Oracle,
     "n1_hash_sample" -> n1Oracle,
     "n2_stratified_sample" -> n2Oracle,
     "n3_latest_per_key" -> n3Oracle,

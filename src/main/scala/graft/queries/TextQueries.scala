@@ -231,7 +231,68 @@ object TextQueries {
       |       md5(nfc_normalize(text || ' cafe' || chr(769))) AS nfc_fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** t8: intra-document repetition profile — the Gopher-style quality
+    * signal that flags template/boilerplate docs before pretraining:
+    * distinct-token fraction, top-token mass, and duplicated-bigram
+    * fraction. Token stats ride the (doc_id, tok) count relation (two
+    * keyed shuffles); bigram stats are per-row HOFs (`array_distinct`
+    * over the materialized token array — linear, no second explode), so
+    * at 100 TB this is a scan + one narrow agg pipeline, joined on
+    * doc_id.
+    */
+  def t8Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val tokStats = tf.groupBy("doc_id").agg(
+      sum("tf").as("n_tokens"),
+      count(lit(1)).as("n_distinct"),
+      max("tf").as("top_tf"))
+    val rowStats = Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("tk")) // materialize: HOFs re-evaluate lambdas
+      .select(col("doc_id"),
+        greatest(size(col("tk")) - 1, lit(0)).cast("long").as("n_bi"),
+        size(Text.shingles(col("tk"), 2)).cast("long").as("n_bi_distinct"))
+    rowStats.join(tokStats, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        when(col("n_tokens") > 0,
+          col("n_distinct").cast("double") / col("n_tokens")).as("distinct_frac"),
+        when(col("n_tokens") > 0,
+          col("top_tf").cast("double") / col("n_tokens")).as("top_tok_frac"),
+        when(col("n_bi") > 0,
+          (col("n_bi") - col("n_bi_distinct")).cast("double") / col("n_bi")).as("dup_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  val t8Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') tk
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, tok, count(*) tf
+      |  FROM (SELECT doc_id, unnest(tk) tok FROM t) GROUP BY 1, 2),
+      |ts AS (
+      |  SELECT doc_id, CAST(sum(tf) AS BIGINT) n_tokens, count(1) n_distinct, max(tf) top_tf
+      |  FROM tf GROUP BY 1),
+      |bs AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(tk) >= 2 THEN len(tk) - 1 ELSE 0 END AS n_bi,
+      |         CASE WHEN len(tk) >= 2
+      |              THEN len(list_distinct([tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))]))
+      |              ELSE 0 END AS n_bi_distinct
+      |  FROM t)
+      |SELECT bs.doc_id,
+      |       COALESCE(n_tokens, 0) AS n_tokens,
+      |       CASE WHEN n_tokens > 0 THEN CAST(n_distinct AS DOUBLE) / n_tokens END AS distinct_frac,
+      |       CASE WHEN n_tokens > 0 THEN CAST(top_tf AS DOUBLE) / n_tokens END AS top_tok_frac,
+      |       CASE WHEN n_bi > 0 THEN CAST(n_bi - n_bi_distinct AS DOUBLE) / n_bi END AS dup_bigram_frac
+      |FROM bs LEFT JOIN ts ON ts.doc_id = bs.doc_id
+      |ORDER BY bs.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t8_repetition" -> (t8Repetition _),
     "t1_token_stats" -> (t1TokenStats _),
     "t2_lang_id" -> (t2LangId _),
     "t3_quality" -> (t3Quality _),
@@ -241,6 +302,7 @@ object TextQueries {
     "t7_nfc_normalize" -> (t7NfcNormalize _))
 
   val oracles: Map[String, String] = Map(
+    "t8_repetition" -> t8Oracle,
     "t1_token_stats" -> t1Oracle,
     "t2_lang_id" -> t2Oracle,
     "t3_quality" -> t3Oracle,
