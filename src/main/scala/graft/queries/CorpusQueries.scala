@@ -233,6 +233,51 @@ object CorpusQueries {
       |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tf, df, score
       |FROM s WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
 
+  private val ChunkW = 64 // tokens per chunk
+  private val ChunkS = 48 // stride (16-token overlap)
+
+  /** v8: sliding-window document chunking — the RAG / long-context
+    * pretraining splitter: 64-token windows at stride 48, each chunk
+    * with its coordinates and content fingerprint. Row expansion is a
+    * `sequence` + `explode` over chunk indices with `slice` on the
+    * MATERIALIZED token array (the m3 frame-sampling shape) — all
+    * integer arithmetic, one scan, no shuffle until the final sort; at
+    * 100 TB chunking is embarrassingly parallel and the output is
+    * written partition-local.
+    */
+  def v8Chunk(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("tk"), size(col("tk")).cast("long").as("n"))
+      .withColumn("nc", // ⌈max(0, n−W)/S⌉ + 1 chunks, in integer arithmetic
+        when(col("n") <= ChunkW, lit(1L))
+          .otherwise(expr(s"1 + ((n - $ChunkW + ${ChunkS - 1}) div $ChunkS)")))
+    toks
+      .select(col("doc_id"), col("tk"), col("n"),
+        explode(sequence(lit(0L), col("nc") - 1)).as("chunk_id"))
+      .withColumn("start_tok", col("chunk_id") * ChunkS)
+      .withColumn("n_tok", least(lit(ChunkW.toLong), col("n") - col("start_tok")))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"), col("n_tok"),
+        md5(concat_ws(" ",
+          slice(col("tk"), (col("start_tok") + 1).cast("int"), col("n_tok").cast("int")))).as("chunk_fp"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val v8Oracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') tk
+       |  FROM documents),
+       |n AS (SELECT doc_id, tk, len(tk) AS n FROM t),
+       |c AS (
+       |  SELECT doc_id, tk, n,
+       |         unnest(range(0, CASE WHEN n <= $ChunkW THEN 1
+       |                             ELSE 1 + ((n - $ChunkW + ${ChunkS - 1}) // $ChunkS) END)) AS chunk_id
+       |  FROM n)
+       |SELECT doc_id, chunk_id, chunk_id * $ChunkS AS start_tok,
+       |       least($ChunkW, n - chunk_id * $ChunkS) AS n_tok,
+       |       md5(array_to_string(tk[chunk_id * $ChunkS + 1 : chunk_id * $ChunkS + least($ChunkW, n - chunk_id * $ChunkS)], ' ')) AS chunk_fp
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_vocab" -> (v1Vocab _),
     "v2_decontaminate" -> (v2Decontaminate _),
@@ -240,14 +285,16 @@ object CorpusQueries {
     "v4_profile_approx" -> (v4ProfileApprox _),
     "v5_heavy_hitters" -> (v5HeavyHitters _),
     "v6_sequence_pack" -> (v6SequencePack _),
-    "v7_tfidf_keywords" -> (v7TfidfKeywords _))
+    "v7_tfidf_keywords" -> (v7TfidfKeywords _),
+    "v8_chunk" -> (v8Chunk _))
 
   val oracles: Map[String, String] = Map(
     "v1_vocab" -> v1Oracle,
     "v2_decontaminate" -> v2Oracle,
     "v3_char_trigrams" -> v3Oracle,
     "v6_sequence_pack" -> v6Oracle,
-    "v7_tfidf_keywords" -> v7Oracle)
+    "v7_tfidf_keywords" -> v7Oracle,
+    "v8_chunk" -> v8Oracle)
     // v4_profile_approx, v5_heavy_hitters: intentionally no oracle
     // (HLL/CMS sketches are engine-specific); ApproxOpsSpec bounds both
 }

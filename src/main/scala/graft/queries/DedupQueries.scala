@@ -429,7 +429,47 @@ object DedupQueries {
        |SELECT count(1) AS n_triangles
        |FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin
 
+  /** d9: incremental dedup — the production shape nobody runs full-corpus
+    * dedup in: a new crawl increment (re-crawls of every 10th doc plus
+    * genuinely fresh docs) is checked against the EXISTING corpus's
+    * fingerprint index, not against itself ∪ corpus from scratch. One
+    * hash shuffle on the fingerprint; at 100 TB the corpus side is the
+    * materialized fp index a real pipeline maintains, and the increment
+    * (crawl-sized, ≪ corpus) arrives pre-hashed — the join is either
+    * broadcast (small increment) or a plain equi-join, never a rescan of
+    * the corpus text.
+    */
+  def d9IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(Text.normText(col("text"))).as("fp"))
+    val incoming = docs.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("in_id"), col("fp")) // re-crawl: same text, new id
+      .unionByName(Tables.documents(spark, dir).where(col("doc_id") % 10 === 7)
+        .select((col("doc_id") + 2000000L).as("in_id"), // fresh: text not in the corpus
+          md5(concat(Text.normText(col("text")), lit(" fresh "), col("doc_id"))).as("fp")))
+    val corpusIdx = docs.select(col("fp"), col("doc_id").as("corp_id"))
+    incoming.join(corpusIdx, Seq("fp"), "left")
+      .groupBy("in_id")
+      .agg(min("corp_id").as("dup_of"), count(col("corp_id")).as("n_matches"))
+      .orderBy("in_id")
+  }
+
+  val d9Oracle: String =
+    """WITH fp AS (
+      |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |  FROM documents),
+      |incoming AS (
+      |  SELECT doc_id + 1000000 AS in_id, fp FROM fp WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000,
+      |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g') || ' fresh ' || doc_id)
+      |  FROM documents WHERE doc_id % 10 = 7)
+      |SELECT in_id, min(c.doc_id) AS dup_of, count(c.doc_id) AS n_matches
+      |FROM incoming i LEFT JOIN fp c USING (fp)
+      |GROUP BY in_id ORDER BY in_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d9_incremental_dedup" -> (d9IncrementalDedup _),
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_ngram_jaccard" -> (d2NgramJaccard _),
     "d3_minhash_lsh" -> (d3MinhashLsh _),
@@ -440,6 +480,7 @@ object DedupQueries {
     "d8_triangles" -> (d8Triangles _))
 
   val oracles: Map[String, String] = Map(
+    "d9_incremental_dedup" -> d9Oracle,
     "d1_exact_dedup" -> d1Oracle,
     "d2_ngram_jaccard" -> d2Oracle,
     "d3_minhash_lsh" -> d3Oracle,

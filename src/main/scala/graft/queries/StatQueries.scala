@@ -262,7 +262,55 @@ object StatQueries {
       |FROM old o FULL OUTER JOIN nu n ON o.k = n.k
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** x9: distribution drift between two order cohorts (even vs odd keys)
+    * as total-variation distance over fixed $50k price bins — the
+    * data-drift gate a training pipeline runs between snapshot and
+    * refresh. TV = ½·Σ|pᵢ−qᵢ| is bit-stable cross-engine because the
+    * whole computation stays integral: per-bin |cA·nB − cB·nA| summed in
+    * DECIMAL(38,0), ONE double division at the end (every value crossing
+    * into double is < 2⁵³, so the cast is exact — the x1 rule). One scan,
+    * one bin-keyed agg; same one-pass histogram shape as x4 at any scale.
+    */
+  def x9TvDrift(spark: SparkSession, dir: String): DataFrame = {
+    val binned = Tables.orders(spark, dir).select(
+      expr("CAST(round(o_totalprice * 100) AS BIGINT) div 5000000").as("bin"),
+      (col("o_orderkey") % 2).as("side"))
+    val perBin = binned.groupBy("bin").agg(
+      sum(when(col("side") === 0, 1L).otherwise(0L)).as("ca"),
+      sum(when(col("side") === 1, 1L).otherwise(0L)).as("cb"))
+    val tot = binned.agg(
+      sum(when(col("side") === 0, 1L).otherwise(0L)).as("na"),
+      sum(when(col("side") === 1, 1L).otherwise(0L)).as("nb"))
+    perBin.crossJoin(tot) // 1-row totals, K4-style scalar broadcast
+      .agg(
+        count(lit(1)).as("n_bins"),
+        max("na").as("n_even"),
+        max("nb").as("n_odd"),
+        sum(abs(col("ca") * col("nb") - col("cb") * col("na")).cast("decimal(38,0)")).as("l1"))
+      .select(col("n_bins"), col("n_even"), col("n_odd"),
+        (col("l1").cast("double") /
+          (lit(2.0) * col("n_even") * col("n_odd"))).as("tv_distance"))
+  }
+
+  val x9Oracle: String =
+    """WITH b AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 5000000 AS bin,
+      |         o_orderkey % 2 AS side
+      |  FROM orders),
+      |p AS (SELECT bin,
+      |             sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) ca,
+      |             sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) cb
+      |      FROM b GROUP BY 1),
+      |t AS (SELECT sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) na,
+      |             sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) nb
+      |      FROM b)
+      |SELECT count(1) AS n_bins,
+      |       CAST(max(na) AS BIGINT) AS n_even, CAST(max(nb) AS BIGINT) AS n_odd,
+      |       CAST(sum(abs(ca * nb - cb * na)) AS DOUBLE) / (2.0 * max(na) * max(nb)) AS tv_distance
+      |FROM p, t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x9_tv_drift" -> (x9TvDrift _),
     "x1_moments" -> (x1Moments _),
     "x2_scd2" -> (x2Scd2 _),
     "x3_percentiles" -> (x3Percentiles _),
@@ -273,6 +321,7 @@ object StatQueries {
     "x8_snapshot_diff" -> (x8SnapshotDiff _))
 
   val oracles: Map[String, String] = Map(
+    "x9_tv_drift" -> x9Oracle,
     "x1_moments" -> x1Oracle,
     "x2_scd2" -> x2Oracle,
     "x3_percentiles" -> x3Oracle,

@@ -68,4 +68,25 @@ class JdbcSourceSpec extends AnyFunSuite {
     assert(source.listPartitions(spark, "payments_y2020").isEmpty)
     assert(source.listPartitions(spark, "payments_y2021") == Seq("PAYMENTS_Y2021M01"))
   }
+
+  test("DEFAULT PostgreSQL catalog query text executes verbatim (pg_tables emulation)") {
+    // No PostgreSQL exists in this container, but the default catalog
+    // query is plain SQL over a relation named pg_tables — so plant that
+    // relation in Derby and run the UNMODIFIED PG query text
+    // (yq_dag.py:112's shape) end to end. This pins the exact SQL string
+    // production would send to pg-finance, not a dialect-injected stand-in.
+    val pgUrl = "jdbc:derby:memory:graftpg;create=true"
+    val conn = DriverManager.getConnection(pgUrl)
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE pg_tables (tablename VARCHAR(64))")
+    Seq("payments_y2020m01", "payments_y2020m02", "payments_y2021m01", "other_table")
+      .foreach(t => st.execute(s"INSERT INTO pg_tables VALUES ('$t')"))
+    conn.close()
+
+    val pgSource = new JdbcPaymentsSource(pgUrl) // default (PG) catalogQuery
+    assert(pgSource.listPartitions(spark, "payments_y2020") ==
+      Seq("payments_y2020m01", "payments_y2020m02"))
+    assert(pgSource.listPartitions(spark, "payments_y") ==
+      Seq("payments_y2020m01", "payments_y2020m02", "payments_y2021m01"))
+  }
 }
