@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{AnalyticsQueries, CorpusQueries, DedupQueries, EventQueries, FormatQueries, IntervalQueries, JoinQueries, MultimodalQueries, ReferenceQueries => RefQ, SamplingQueries, SimilarityQueries, StatQueries, TextQueries, UpsertQueries, WindowQueries}
+import graft.queries.{AnalyticsQueries, CorpusQueries, DedupQueries, EventQueries, FormatQueries, IntervalQueries, JoinQueries, MultimodalQueries, ReferenceQueries => RefQ, SamplingQueries, SimilarityQueries, StatQueries, TextQueries, UpsertQueries, WindowQueries, YqlTextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -27,7 +27,8 @@ object SparkEntry {
       (SamplingQueries.queries, SamplingQueries.oracles),
       (FormatQueries.queries, FormatQueries.oracles),
       (StatQueries.queries, StatQueries.oracles),
-      (UpsertQueries.queries, UpsertQueries.oracles)
+      (UpsertQueries.queries, UpsertQueries.oracles),
+      (YqlTextQueries.queries, YqlTextQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

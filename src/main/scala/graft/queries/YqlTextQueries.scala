@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sources.Tables
+import graft.yql.YqlFrontend
+
+/** The YQL front-end under the DuckDB correctness gate: each query here is a
+  * YQL TEXT (the reference's dialect — /root/reference/src/py/yq_dag.py:65-74,
+  * 82-95) run through [[graft.yql.YqlFrontend]] over the federated temp-view
+  * namespace, hash-compared against a plain-SQL oracle. This is the proof
+  * that a reference user's query strings work unchanged, not just the
+  * operator semantics.
+  */
+object YqlTextQueries {
+
+  /** y1: the load query's YQL shape (yq_dag.py:65-74) on the `orders`
+    * stand-in — named binding, `unwrap`, second-truncating Datetime cast,
+    * `date()` literals, `DateTime::GetYear` + UInt32 partition-year.
+    */
+  def y1YqlProject(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    YqlFrontend.run(spark,
+      """
+      $s = (select unwrap(p.o_orderkey) as id, p.o_custkey as acc,
+                   cast(p.o_orderdate as datetime) as payment_date,
+                   p.o_totalprice as amount, p.o_orderstatus as state
+              from orders p
+             where cast(p.o_orderdate as datetime) >= date('1996-01-01') and
+                   cast(p.o_orderdate as datetime) < date('1997-01-01'));
+      select id, acc, payment_date, amount, state,
+             unwrap(cast(DateTime::GetYear(payment_date) as UInt32)) as payment_year
+        from $s order by id;
+      """).get
+  }
+
+  val y1Oracle: String =
+    """SELECT o_orderkey AS id, o_custkey AS acc,
+      |       date_trunc('second', o_orderdate) AS payment_date,
+      |       o_totalprice AS amount, o_orderstatus AS state,
+      |       CAST(year(o_orderdate) AS INTEGER) AS payment_year
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      |ORDER BY id""".stripMargin
+
+  /** y2: the reconciliation query's YQL shape (yq_dag.py:82-95) — two
+    * bindings, EXCLUSION JOIN on a multi-column key including a DOUBLE,
+    * count-only result.
+    */
+  def y2YqlExclusion(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    YqlFrontend.run(spark,
+      """
+      $a = (select o_orderkey, o_custkey, o_orderstatus, o_totalprice
+              from orders where o_orderkey % 7 <> 0);
+      $b = (select o_orderkey, o_custkey, o_orderstatus, o_totalprice
+              from orders where o_orderkey % 5 <> 0);
+      select count(1) as n_mismatch from $a a exclusion join $b b
+          on a.o_orderkey = b.o_orderkey and a.o_custkey = b.o_custkey
+         and a.o_orderstatus = b.o_orderstatus and a.o_totalprice = b.o_totalprice;
+      """).get
+  }
+
+  val y2Oracle: String =
+    """WITH a AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0),
+      |     b AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 5 <> 0)
+      |SELECT (SELECT count(1) FROM a WHERE NOT EXISTS (
+      |          SELECT 1 FROM b WHERE b.o_orderkey = a.o_orderkey AND b.o_custkey = a.o_custkey
+      |            AND b.o_orderstatus = a.o_orderstatus AND b.o_totalprice = a.o_totalprice))
+      |     + (SELECT count(1) FROM b WHERE NOT EXISTS (
+      |          SELECT 1 FROM a WHERE a.o_orderkey = b.o_orderkey AND a.o_custkey = b.o_custkey
+      |            AND a.o_orderstatus = b.o_orderstatus AND a.o_totalprice = b.o_totalprice))
+      |       AS n_mismatch""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "y1_yql_project" -> (y1YqlProject _),
+    "y2_yql_exclusion" -> (y2YqlExclusion _))
+
+  val oracles: Map[String, String] = Map(
+    "y1_yql_project" -> y1Oracle,
+    "y2_yql_exclusion" -> y2Oracle)
+}

@@ -1,0 +1,390 @@
+package graft.yql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** YQL-dialect text front-end (SURVEY.md §0, §2.9): accepts the reference's
+  * query texts VERBATIM and runs them on Spark.
+  *
+  * The reference's users write YQL (/root/reference/src/py/yq_dag.py:65-74,
+  * 82-95): multi-statement scripts with `$name = (select …);` named-subquery
+  * bindings, backtick connection refs (`` `pg-finance`.payments ``),
+  * `unwrap(x)`, second-truncating `cast(x as Datetime)`, unsigned casts
+  * (`UInt32`), `DateTime::GetYear(x)` module calls, `date('…')` literals,
+  * `EXCLUSION JOIN`, and `INSERT INTO sink (cols) SELECT …`. This translator
+  * maps each construct onto Spark SQL plus the graft function registry
+  * ([[graft.GraftSession.prepare]] installs `unwrap`) and hands sinks to a
+  * pluggable [[YqlResolver]] — so a user of the reference pipeline can paste
+  * their DAG's SQL strings unchanged.
+  *
+  * Deliberately a token-level rewriter, not a full grammar: every YQL
+  * construct the reference exercises is local (a token window or a balanced
+  * paren group), so the translation needs no AST — and everything it does NOT
+  * rewrite flows through to Spark's own ANSI parser, which is the behavior a
+  * compatibility shim wants (Spark's error messages on Spark's grammar).
+  *
+  * Scale note: translation is driver-side string work on query text (KB, not
+  * data); the produced plan is the same Catalyst plan the native Scala API
+  * builds — CTEs inline, anti-joins shuffle on their keys, casts stay in
+  * whole-stage codegen.
+  */
+object YqlFrontend {
+
+  // ---------------------------------------------------------------- lexer
+
+  /** Tokens preserve string/backtick literals whole; `--` comments and
+    * whitespace are dropped; two-char operators kept intact.
+    */
+  private[graft] def tokenize(text: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c = text(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '-' && i + 1 < n && text(i + 1) == '-') {
+        while (i < n && text(i) != '\n') i += 1
+      } else if (c == '\'') {
+        val sb = new StringBuilder("'")
+        i += 1
+        var done = false
+        while (!done && i < n) {
+          if (text(i) == '\'' && i + 1 < n && text(i + 1) == '\'') { sb ++= "''"; i += 2 }
+          else if (text(i) == '\'') { sb += '\''; i += 1; done = true }
+          else { sb += text(i); i += 1 }
+        }
+        require(done, "YQL: unterminated string literal")
+        out += sb.result()
+      } else if (c == '`') {
+        val j = text.indexOf('`', i + 1)
+        require(j > 0, "YQL: unterminated backtick identifier")
+        out += text.substring(i, j + 1)
+        i = j + 1
+      } else if (c == '$' && i + 1 < n && (text(i + 1).isLetter || text(i + 1) == '_')) {
+        var j = i + 1
+        while (j < n && (text(j).isLetterOrDigit || text(j) == '_')) j += 1
+        out += text.substring(i, j)
+        i = j
+      } else if (c.isLetter || c == '_') {
+        var j = i
+        while (j < n && (text(j).isLetterOrDigit || text(j) == '_')) j += 1
+        out += text.substring(i, j)
+        i = j
+      } else if (c.isDigit) {
+        var j = i
+        while (j < n && (text(j).isLetterOrDigit || text(j) == '.' || text(j) == '_')) j += 1
+        out += text.substring(i, j)
+        i = j
+      } else {
+        val two = if (i + 1 < n) text.substring(i, i + 2) else ""
+        if (Set("::", "<=", ">=", "<>", "!=", "||").contains(two)) { out += two; i += 2 }
+        else { out += c.toString; i += 1 }
+      }
+    }
+    out.result()
+  }
+
+  private def render(ts: Seq[String]): String = ts.mkString(" ")
+
+  private def isIdent(t: String): Boolean =
+    t.nonEmpty && (t.head.isLetter || t.head == '_') && t.forall(ch => ch.isLetterOrDigit || ch == '_')
+
+  // ------------------------------------------------------------ statements
+
+  private def splitStatements(ts: Vector[String]): Vector[Vector[String]] = {
+    var depth = 0
+    val stmts = Vector.newBuilder[Vector[String]]
+    var cur = Vector.newBuilder[String]
+    var curNonEmpty = false
+    ts.foreach { t =>
+      t match {
+        case "(" => depth += 1
+        case ")" => depth -= 1
+        case _   =>
+      }
+      if (t == ";" && depth == 0) {
+        if (curNonEmpty) stmts += cur.result()
+        cur = Vector.newBuilder[String]; curNonEmpty = false
+      } else { cur += t; curNonEmpty = true }
+    }
+    if (curNonEmpty) stmts += cur.result()
+    stmts.result()
+  }
+
+  // ------------------------------------------------------------- rewrites
+
+  /** YQL module functions with direct Spark builtins. Extend as needed;
+    * unknown `Module::Fn` fails loudly rather than reaching Spark's parser
+    * as three mystery tokens.
+    */
+  private val ModuleFns: Map[String, String] = Map(
+    "datetime::getyear"       -> "year",
+    "datetime::getmonth"      -> "month",
+    "datetime::getdayofmonth" -> "day",
+    "datetime::gethour"       -> "hour",
+    "datetime::getminute"     -> "minute",
+    "datetime::getsecond"     -> "second",
+    "string::asciitolower"    -> "lower",
+    "string::asciitoupper"    -> "upper",
+    "math::abs"               -> "abs",
+    "math::round"             -> "round")
+
+  private def rewriteModuleFns(ts: Vector[String]): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < ts.length) {
+      if (i + 2 < ts.length && ts(i + 1) == "::" && isIdent(ts(i)) && isIdent(ts(i + 2))) {
+        val key = s"${ts(i)}::${ts(i + 2)}".toLowerCase
+        out += ModuleFns.getOrElse(key,
+          throw new IllegalArgumentException(s"YQL: unsupported module function ${ts(i)}::${ts(i + 2)}"))
+        i += 3
+      } else { out += ts(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** `` `conn`.table `` → resolver lookup; bare backtick idents lose their
+    * quotes (YQL quoting ≠ Spark quoting).
+    */
+  private def rewriteTables(ts: Vector[String], resolver: YqlResolver): Vector[String] = {
+    def strip(t: String) = if (t.startsWith("`")) t.substring(1, t.length - 1) else t
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < ts.length) {
+      if (ts(i).startsWith("`")) {
+        if (i + 2 < ts.length && ts(i + 1) == "." && (isIdent(ts(i + 2)) || ts(i + 2).startsWith("`"))) {
+          out += resolver.table(Some(strip(ts(i))), strip(ts(i + 2)))
+          i += 3
+        } else { out += strip(ts(i)); i += 1 }
+      } else { out += ts(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private def rewriteBindingRefs(ts: Vector[String], names: Set[String]): Vector[String] =
+    ts.map { t =>
+      if (t.startsWith("$")) {
+        val name = t.drop(1)
+        require(names.contains(name), s"YQL: reference to undefined binding $$$name")
+        s"_yql_$name"
+      } else t
+    }
+
+  /** YQL type names inside `CAST(x AS T)`. `Datetime` carries semantics —
+    * YQL's cast truncates to second precision (yq_dag.py:66; SURVEY.md §1.2
+    * P3) — so it becomes `date_trunc('SECOND', CAST(x AS TIMESTAMP))`, not a
+    * plain cast. Unsigned ints map to the next signed Spark type that holds
+    * the reference's value ranges (SURVEY.md §1.2: no unsigned in Spark).
+    */
+  private def sparkTypeTokens(yqlType: String): Option[String] = yqlType.toLowerCase match {
+    case "uint32" | "int32"  => Some("INT")
+    case "uint64" | "int64"  => Some("BIGINT")
+    case "uint16" | "int16"  => Some("SMALLINT")
+    case "uint8" | "int8"    => Some("TINYINT")
+    case "utf8"              => Some("STRING")
+    case "bool"              => Some("BOOLEAN")
+    case _                   => None // pass through unchanged (double, date, decimal(p,s), …)
+  }
+
+  private def rewriteCasts(ts: Vector[String]): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < ts.length) {
+      if (ts(i).equalsIgnoreCase("cast") && i + 1 < ts.length && ts(i + 1) == "(") {
+        var depth = 0; var j = i + 1; var asIdx = -1; var close = -1
+        while (close < 0 && j < ts.length) {
+          ts(j) match {
+            case "(" => depth += 1
+            case ")" => depth -= 1; if (depth == 0) close = j
+            case t if depth == 1 && t.equalsIgnoreCase("as") => asIdx = j
+            case _ =>
+          }
+          j += 1
+        }
+        require(close > 0 && asIdx > 0, "YQL: malformed CAST")
+        val expr = rewriteCasts(ts.slice(i + 2, asIdx))
+        val tpe  = ts.slice(asIdx + 1, close)
+        if (tpe.length == 1 && tpe.head.equalsIgnoreCase("datetime"))
+          out ++= Vector("date_trunc", "(", "'SECOND'", ",", "CAST", "(") ++ expr ++
+            Vector("AS", "TIMESTAMP", ")", ")")
+        else {
+          val mapped = if (tpe.length == 1) sparkTypeTokens(tpe.head).map(Vector(_)) else None
+          out ++= Vector("CAST", "(") ++ expr ++ Vector("AS") ++ mapped.getOrElse(tpe) ++ Vector(")")
+        }
+        i = close + 1
+      } else { out += ts(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** `FROM A a EXCLUSION JOIN B b ON cond` → a derived table of the two
+    * anti-joins (YQL semantics: rows of either side with no match on the
+    * other — SURVEY.md §2.4 J1; same shape `SqlTextSpec` proves equivalent
+    * to [[graft.operators.ExclusionJoin]]). The derived table takes the left
+    * alias so outer references keep resolving. Constraint (documented): both
+    * sides must be column-aligned, as in the reference's use — the UNION ALL
+    * is positional.
+    *
+    * At scale both anti-joins hash-shuffle on the same key columns; Catalyst
+    * plans them as two sort-merge anti joins over one exchange per side.
+    */
+  private def rewriteExclusionJoins(ts0: Vector[String]): Vector[String] = {
+    val ClauseEnds = Set("group", "order", "having", "limit", "union", "except", "intersect", "window", "where")
+
+    def depths(ts: Vector[String]): Array[Int] = {
+      val d = new Array[Int](ts.length)
+      var cur = 0
+      var k = 0
+      while (k < ts.length) {
+        if (ts(k) == "(") { d(k) = cur; cur += 1 }
+        else if (ts(k) == ")") { cur -= 1; d(k) = cur }
+        else d(k) = cur
+        k += 1
+      }
+      d
+    }
+
+    def relAndAlias(slice: Vector[String], fallback: String): (Vector[String], String) = {
+      val s = if (slice.length >= 2 && slice(slice.length - 2).equalsIgnoreCase("as"))
+        slice.dropRight(2) :+ slice.last
+      else slice
+      if (s.length >= 2 && isIdent(s.last) && s(s.length - 2) != ".") (s.dropRight(1), s.last)
+      else if (s.length == 1 && isIdent(s.head)) (s, s.head)
+      else (s, fallback)
+    }
+
+    var ts = ts0
+    var guard = 0
+    var idx = ts.indexWhere(_.equalsIgnoreCase("exclusion"))
+    while (idx >= 0 && guard < 64) {
+      guard += 1
+      require(idx + 1 < ts.length && ts(idx + 1).equalsIgnoreCase("join"),
+        "YQL: EXCLUSION must be followed by JOIN")
+      val d = depths(ts)
+      val dep = d(idx)
+      val fromIdx = (idx - 1 to 0 by -1).find(k => d(k) == dep && ts(k).equalsIgnoreCase("from"))
+        .getOrElse(throw new IllegalArgumentException("YQL: EXCLUSION JOIN without FROM"))
+      val onIdx = (idx + 2 until ts.length).find(k => d(k) == dep && ts(k).equalsIgnoreCase("on"))
+        .getOrElse(throw new IllegalArgumentException("YQL: EXCLUSION JOIN requires ON"))
+      val endIdx = (onIdx + 1 until ts.length).find { k =>
+        d(k) < dep || (d(k) == dep && ClauseEnds.contains(ts(k).toLowerCase))
+      }.getOrElse(ts.length)
+
+      val (relL, aL) = relAndAlias(ts.slice(fromIdx + 1, idx), "_yql_l")
+      val (relR, aR) = relAndAlias(ts.slice(idx + 2, onIdx), "_yql_r")
+      val cond = ts.slice(onIdx + 1, endIdx)
+
+      val replacement =
+        Vector("FROM", "(", "SELECT", aL, ".", "*", "FROM") ++ relL ++ Vector(aL, "ANTI", "JOIN") ++
+          relR ++ Vector(aR, "ON") ++ cond ++
+          Vector("UNION", "ALL", "SELECT", aR, ".", "*", "FROM") ++ relR ++ Vector(aR, "ANTI", "JOIN") ++
+          relL ++ Vector(aL, "ON") ++ cond ++
+          Vector(")", aL)
+
+      ts = ts.take(fromIdx) ++ replacement ++ ts.drop(endIdx)
+      idx = ts.indexWhere(_.equalsIgnoreCase("exclusion"))
+    }
+    require(idx < 0, "YQL: EXCLUSION JOIN rewrite did not converge")
+    ts
+  }
+
+  // ------------------------------------------------------------ translate
+
+  /** The translated script: one Spark SQL text, plus the insert target when
+    * the final statement was an INSERT (the select feeds the sink with its
+    * columns renamed positionally to the target list, like YQL's by-position
+    * insert).
+    */
+  final case class YqlScript(sql: String, insert: Option[InsertTarget])
+  final case class InsertTarget(sink: String, columns: Seq[String])
+
+  def translate(text: String, resolver: YqlResolver = YqlResolver.views): YqlScript = {
+    val stmts = splitStatements(tokenize(text))
+    require(stmts.nonEmpty, "YQL: empty script")
+
+    val isBinding: Vector[String] => Boolean =
+      s => s.length > 3 && s(0).startsWith("$") && s(1) == "=" && s(2) == "(" && s.last == ")"
+
+    val (bindingStmts, finalStmts) = stmts.partition(isBinding)
+    require(finalStmts.length == 1,
+      s"YQL: expected exactly one non-binding statement, got ${finalStmts.length}")
+    val bindings = bindingStmts.map(s => (s(0).drop(1), s.slice(3, s.length - 1)))
+    val names = bindings.map(_._1).toSet
+
+    def body(ts: Vector[String]): Vector[String] =
+      rewriteExclusionJoins(rewriteCasts(rewriteModuleFns(
+        rewriteBindingRefs(rewriteTables(ts, resolver), names))))
+
+    val fin = finalStmts.head
+    val (insert, selectTokens) =
+      if (fin.headOption.exists(_.equalsIgnoreCase("insert"))) {
+        require(fin.length > 2 && fin(1).equalsIgnoreCase("into"), "YQL: INSERT must be INSERT INTO")
+        val open = fin.indexOf("(")
+        require(open > 2, "YQL: INSERT INTO requires an explicit column list")
+        val target = fin.slice(2, open).map(t => if (t.startsWith("`")) t.substring(1, t.length - 1) else t).mkString
+        val close = fin.indexOf(")", open)
+        val cols = fin.slice(open + 1, close).filter(_ != ",")
+        require(cols.forall(isIdent), s"YQL: bad INSERT column list: ${cols.mkString(" ")}")
+        (Some(InsertTarget(target, cols)), fin.drop(close + 1))
+      } else (None, fin)
+
+    val cte =
+      if (bindings.isEmpty) ""
+      else bindings.map { case (n, b) => s"_yql_$n AS ( ${render(body(b))} )" }
+        .mkString("WITH ", ", ", " ")
+    YqlScript(cte + render(body(selectTokens)), insert)
+  }
+
+  /** Translate and execute. SELECT scripts return the result frame; INSERT
+    * scripts run the insert through the resolver's sink and return None.
+    */
+  def run(spark: SparkSession, text: String,
+          resolver: YqlResolver = YqlResolver.views): Option[DataFrame] = {
+    graft.GraftSession.prepare(spark)
+    val script = translate(text, resolver)
+    val df = spark.sql(script.sql)
+    script.insert match {
+      case Some(t) => resolver.sink(t.sink).insert(df.toDF(t.columns: _*)); None
+      case None    => Some(df)
+    }
+  }
+}
+
+/** Maps YQL connection-qualified names to Spark-addressable relations and
+  * INSERT targets to sinks. The default resolves every table to a same-named
+  * temp view (the federated namespace `Tables.registerAll` builds) and
+  * rejects inserts.
+  */
+trait YqlResolver {
+  def table(connection: Option[String], name: String): String
+  def sink(name: String): YqlSink
+}
+
+object YqlResolver {
+  def apply(tables: Map[String, String] = Map.empty,
+            sinks: Map[String, YqlSink] = Map.empty): YqlResolver = new YqlResolver {
+    def table(connection: Option[String], name: String): String = {
+      val qualified = connection.map(c => s"$c.$name").getOrElse(name)
+      tables.getOrElse(qualified, tables.getOrElse(name, name))
+    }
+    def sink(name: String): YqlSink = sinks.getOrElse(name,
+      throw new IllegalArgumentException(s"YQL: no sink registered for INSERT target '$name'"))
+  }
+
+  /** Every name is a registered view; no sinks. */
+  val views: YqlResolver = apply()
+}
+
+/** Destination of a YQL `INSERT INTO`. */
+trait YqlSink {
+  def insert(df: DataFrame): Unit
+}
+
+/** The reference's Object Storage binding as a sink: Hive-partitioned
+  * parquet append (yq_dag.py:71-73 inserts into the partitioned binding;
+  * idempotent re-runs should instead go through
+  * [[graft.sources.ColdStore.exportYear]]'s dynamic overwrite).
+  */
+final case class PartitionedParquetSink(base: String, partitionCol: String) extends YqlSink {
+  def insert(df: DataFrame): Unit =
+    df.write.mode("append").partitionBy(partitionCol).parquet(base)
+}

@@ -1,0 +1,154 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.PaymentsGenerator
+import graft.sources.ColdStore
+import graft.yql.{PartitionedParquetSink, YqlFrontend, YqlResolver}
+
+/** The YQL front-end against the reference's ACTUAL query texts
+  * (/root/reference/src/py/yq_dag.py:65-74 load, :82-95 reconcile), with the
+  * DAG's `{var}` date substitution applied the same way the reference's
+  * Python does. The texts below are the reference's queries — they are the
+  * INPUT the compatibility layer exists to accept, cited not copied-as-code.
+  */
+class YqlFrontendSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  // -- translator units ------------------------------------------------
+
+  test("tokenizer keeps strings, backticks, $refs and :: whole") {
+    val ts = YqlFrontend.tokenize(
+      "select unwrap(p.id) from `pg-finance`.payments p where x >= date('2020-01-01') -- c\n and DateTime::GetYear(d) <> 7")
+    assert(ts.contains("`pg-finance`"))
+    assert(ts.contains("'2020-01-01'"))
+    assert(ts.contains("::") && ts.contains(">=") && ts.contains("<>"))
+    assert(!ts.exists(_.contains("c\n")))
+    val ts2 = YqlFrontend.tokenize("$s = (select 1); select * from $s;")
+    assert(ts2.count(_ == "$s") == 2)
+  }
+
+  test("cast translation: Datetime truncates to seconds, UInt32 narrows, Utf8 is STRING") {
+    val s = YqlFrontend.translate(
+      "select cast(ts as Datetime) as t, cast(y as UInt32) as y, cast(s as Utf8) as s from v;").sql
+    assert(s.toLowerCase.contains("date_trunc ( 'second' , cast ( ts as timestamp ) )"))
+    assert(s.toUpperCase.contains("AS INT )"))
+    assert(s.toUpperCase.contains("AS STRING )"))
+    // semantics: truncation actually happens
+    GraftSession.prepare(spark)
+    spark.sql("SELECT TIMESTAMP '2020-03-04 05:06:07.891234' AS ts").createOrReplaceTempView("yql_ts")
+    val r = YqlFrontend.run(spark, "select cast(ts as Datetime) as t from yql_ts;").get.head()
+    assert(r.getTimestamp(0).toString == "2020-03-04 05:06:07.0")
+  }
+
+  test("module functions map to Spark builtins; unknown modules fail loudly") {
+    spark.sql("SELECT TIMESTAMP '2021-07-09 10:11:12' AS ts").createOrReplaceTempView("yql_mf")
+    val r = YqlFrontend.run(spark,
+      "select DateTime::GetYear(ts) as y, DateTime::GetMonth(ts) as m from yql_mf;").get.head()
+    assert(r.getInt(0) == 2021 && r.getInt(1) == 7)
+    val e = intercept[IllegalArgumentException] {
+      YqlFrontend.translate("select Unicode::ToLower(x) from v;")
+    }
+    assert(e.getMessage.contains("Unicode::ToLower"))
+  }
+
+  test("exclusion join text == ExclusionJoin operator on the orders corpus") {
+    val dir = "/root/testdata/sf0.001"
+    sources.Tables.registerAll(spark, dir)
+    val keys = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val yql = YqlFrontend.run(spark,
+      """
+      $a = (select o_orderkey, o_custkey, o_orderstatus, o_totalprice from orders where o_orderkey % 7 <> 0);
+      $b = (select o_orderkey, o_custkey, o_orderstatus, o_totalprice from orders where o_orderkey % 5 <> 0);
+      select a.* from $a a exclusion join $b b
+          on a.o_orderkey = b.o_orderkey and a.o_custkey = b.o_custkey
+         and a.o_orderstatus = b.o_orderstatus and a.o_totalprice = b.o_totalprice;
+      """).get
+    val o = spark.table("orders").selectExpr(keys: _*)
+    val api = operators.ExclusionJoin(
+      o.where("o_orderkey % 7 <> 0"), o.where("o_orderkey % 5 <> 0"), keys)
+    assert(yql.count() == api.count())
+    assert(yql.exceptAll(api).isEmpty && api.exceptAll(yql).isEmpty)
+  }
+
+  test("binding references to undefined names and bare SELECT scripts") {
+    val e = intercept[IllegalArgumentException] {
+      YqlFrontend.translate("select * from $nope;")
+    }
+    assert(e.getMessage.contains("$nope"))
+    assert(YqlFrontend.run(spark, "select 1 as one;").get.head().getInt(0) == 1)
+  }
+
+  // -- the reference's three texts, verbatim ---------------------------
+
+  private val root = Files.createTempDirectory("graft-yql").toString
+  private val coldBase = s"$root/cold"
+
+  private def referenceResolver = YqlResolver(
+    tables = Map("pg-finance.payments" -> "payments", "etl_object_storage" -> "etl_object_storage"),
+    sinks = Map("etl_object_storage" -> PartitionedParquetSink(coldBase, "payment_year")))
+
+  private lazy val fixture: Unit = {
+    PaymentsGenerator.payments(spark, "2020-01-01", months = 13)
+      .createOrReplaceTempView("payments")
+  }
+
+  // yq_dag.py:65-74 with {var1}=2020-01-01, {var2}=2021-01-01 (the DAG's
+  // EXP_DATE substitution). Verbatim YQL, modulo the Python .format braces.
+  private val loadSql = """
+            $s = (select unwrap(p.id) as id, p.doc_num, p.accdt, p.acckt, p.amount, cast(p.payment_date as datetime) as payment_date, descr, p.state
+                from `pg-finance`.payments p
+                where cast(p.payment_date as datetime) >= date('2020-01-01') and
+                        cast(p.payment_date as datetime) < date('2021-01-01')
+            );
+            insert into etl_object_storage
+            (id, doc_num, accdt, acckt, amount, payment_date, descr, state, payment_year)
+            select id, doc_num, accdt, acckt, amount, payment_date, descr, state, unwrap(cast(DateTime::GetYear(payment_date) as UInt32)) from $s;
+        """
+
+  // yq_dag.py:82-95, same substitution.
+  private val checkSql = """
+            $s = (select unwrap(p.id) as id, p.doc_num, p.accdt, p.acckt, p.amount, cast(p.payment_date as datetime) as payment_date, descr, p.state
+                from `pg-finance`.payments p
+                where cast(p.payment_date as datetime) >= date('2020-01-01') and
+                        cast(p.payment_date as datetime) < date('2021-01-01')
+            );
+            $d = (select p.id as id, p.doc_num, p.accdt, p.acckt, p.amount, p.payment_date, descr, p.state
+                from etl_object_storage p
+                where p.payment_date >= date('2020-01-01') and
+                        p.payment_date < date('2021-01-01')
+            );
+            select count(1) from $s s exclusion join $d d on s.id = d.id and s.doc_num = d.doc_num
+              and s.accdt = d.accdt and s.acckt = d.acckt and s.amount = d.amount and s.state = d.state;
+        """
+
+  test("reference load query text runs verbatim: partitioned export with golden leap-year count") {
+    fixture
+    assert(YqlFrontend.run(spark, loadSql, referenceResolver).isEmpty) // insert → no frame
+    val cold = new ColdStore(coldBase)
+    val out = cold.scan(spark)
+    assert(out.where(col("payment_year") === 2020).count() == 527040L) // img/YQ_Federation_Query.png leap year
+    assert(out.schema("payment_date").dataType.typeName == "timestamp")
+    // second truncation applied by the cast-as-datetime in $s
+    assert(out.where(expr("payment_date <> date_trunc('SECOND', payment_date)")).isEmpty)
+  }
+
+  test("reference check query text runs verbatim: reconcile 0, then detects corruption") {
+    fixture
+    val cold = new ColdStore(coldBase)
+    cold.scan(spark).createOrReplaceTempView("etl_object_storage")
+    val n = YqlFrontend.run(spark, checkSql, referenceResolver).get.head().getLong(0)
+    assert(n == 0L)
+
+    // corrupt one exported row -> the same text must flag exactly 2 rows
+    // (the altered S3 row + its unmatched PG twin)
+    cold.scan(spark)
+      .withColumn("amount", when(col("id") === 42L, col("amount") + 1.0).otherwise(col("amount")))
+      .createOrReplaceTempView("etl_object_storage")
+    val bad = YqlFrontend.run(spark, checkSql, referenceResolver).get.head().getLong(0)
+    assert(bad == 2L)
+  }
+}
