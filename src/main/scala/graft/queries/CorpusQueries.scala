@@ -278,7 +278,61 @@ object CorpusQueries {
        |       md5(array_to_string(tk[chunk_id * $ChunkS + 1 : chunk_id * $ChunkS + least($ChunkW, n - chunk_id * $ChunkS)], ' ')) AS chunk_fp
        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** v9: the corpus-curation flagship — the full training-data prep DAG as
+    * ONE Catalyst plan: quality scoring (token count + distinct-token
+    * ratio, integer cross-multiplied so no float crosses engines) →
+    * quality filter → exact dedup keep-first (row_number over the
+    * fingerprint) → deterministic hash split → per-(split, lang) corpus
+    * stats. The shape a 100 TB curation run actually has: everything up to
+    * the dedup is a map-side scan pipeline (filters push down, no
+    * shuffle), the dedup window is the ONE big hash shuffle on `fp`, the
+    * split is a shuffle-free hash bucket, and the closing agg is tiny.
+    * Composing it as one plan (vs materializing between stages) lets
+    * Catalyst collapse the projections and AQE pick the shuffle sizes.
+    */
+  def v9Curate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"), Text.tokens(col("text")).as("tk"))
+    val scored = toks.select(col("doc_id"), col("lang"),
+        md5(Text.normText(col("text"))).as("fp"),
+        size(col("tk")).cast("long").as("n_tok"),
+        size(array_distinct(col("tk"))).cast("long").as("n_uniq"))
+      .where(col("n_tok") >= 30 && col("n_tok") <= 2000 &&
+        col("n_uniq") * 10 >= col("n_tok") * 3)
+    val deduped = scored
+      .withColumn("rn", row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
+      .where(col("rn") === 1)
+    val bucket = pmod(Text.md5Long(col("doc_id").cast("string")), lit(100L))
+    deduped
+      .select(when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").as("split"),
+        col("lang"), col("n_tok"), col("doc_id"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"), min("doc_id").as("first_doc"))
+      .orderBy("split", "lang")
+  }
+
+  val v9Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') tk,
+      |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id, lang, fp, CAST(len(tk) AS BIGINT) AS n_tok
+      |  FROM t
+      |  WHERE len(tk) >= 30 AND len(tk) <= 2000
+      |    AND len(list_distinct(tk)) * 10 >= len(tk) * 3),
+      |d AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM q),
+      |s AS (SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+      |      FROM d WHERE rn = 1)
+      |SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+      |       lang, count(1) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |       min(doc_id) AS first_doc
+      |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v9_curate" -> (v9Curate _),
     "v1_vocab" -> (v1Vocab _),
     "v2_decontaminate" -> (v2Decontaminate _),
     "v3_char_trigrams" -> (v3CharTrigrams _),
@@ -289,6 +343,7 @@ object CorpusQueries {
     "v8_chunk" -> (v8Chunk _))
 
   val oracles: Map[String, String] = Map(
+    "v9_curate" -> v9Oracle,
     "v1_vocab" -> v1Oracle,
     "v2_decontaminate" -> v2Oracle,
     "v3_char_trigrams" -> v3Oracle,

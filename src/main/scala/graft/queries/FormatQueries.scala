@@ -69,11 +69,48 @@ object FormatQueries {
       |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** f3: parquet schema evolution — the long-lived-dataset reality: an old
+    * writer produced (o_orderkey, cents), a newer writer added a `chan`
+    * column; readers must see the union schema with NULLs for the old
+    * files. `mergeSchema` unions footers at planning time; per-file
+    * ReadSchema still prunes to the requested columns, so evolution costs
+    * footer metadata, not data. Batch-count columns prove which rows came
+    * through which schema vintage.
+    */
+  def f3SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("graft-evo")
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    orders.where(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "cents")
+      .write.mode("overwrite").parquet(s"$out/v1")
+    orders.where(col("o_orderkey") % 2 === 1)
+      .withColumn("chan", concat(lit("ch"), (col("o_orderkey") % 3).cast("string")))
+      .select("o_orderkey", "cents", "chan")
+      .write.mode("overwrite").parquet(s"$out/v2")
+    spark.read.option("mergeSchema", "true").parquet(s"$out/v1", s"$out/v2")
+      .groupBy(coalesce(col("chan"), lit("legacy")).as("chan"))
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("total_cents"))
+      .orderBy("chan")
+  }
+
+  val f3Oracle: String =
+    """WITH t AS (
+      |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |         CASE WHEN o_orderkey % 2 = 1 THEN 'ch' || CAST(o_orderkey % 3 AS VARCHAR)
+      |              ELSE 'legacy' END AS chan
+      |  FROM orders)
+      |SELECT chan, count(1) AS n_orders, CAST(sum(cents) AS BIGINT) AS total_cents
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f1_csv_roundtrip" -> (f1CsvRoundtrip _),
-    "f2_json_roundtrip" -> (f2JsonRoundtrip _))
+    "f2_json_roundtrip" -> (f2JsonRoundtrip _),
+    "f3_schema_evolution" -> (f3SchemaEvolution _))
 
   val oracles: Map[String, String] = Map(
     "f1_csv_roundtrip" -> f1Oracle,
-    "f2_json_roundtrip" -> f2Oracle)
+    "f2_json_roundtrip" -> f2Oracle,
+    "f3_schema_evolution" -> f3Oracle)
 }
