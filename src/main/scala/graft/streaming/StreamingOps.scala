@@ -207,6 +207,27 @@ object StreamingOps extends Serializable {
       }
       .start()
 
+  /** Stream-static incremental dedup — the streaming twin of
+    * `DedupQueries.d9IncrementalDedup`: each micro-batch of a crawl
+    * increment `(in_id, fp)` is checked against the STATIC corpus
+    * fingerprint index `(fp, corp_id)`. Stream-static joins are stateless
+    * (no watermark, no state store growth) and the static side is
+    * re-planned every micro-batch, so a nightly index refresh is picked up
+    * without restarting the stream.
+    *
+    * The index must be unique per `fp` (one row per fingerprint, the
+    * min-id survivor — exactly what the d1 exact-dedup pass materializes);
+    * then the left join emits exactly one verdict row per incoming doc.
+    * At 100 TB the index is the compact (fp, corp_id) projection, not the
+    * corpus: bucket it by `fp` for a co-located per-batch join, or let the
+    * planner broadcast a daily index that fits.
+    */
+  def streamStaticDedup(increment: DataFrame, corpusIndex: DataFrame): DataFrame =
+    increment.join(corpusIndex, Seq("fp"), "left")
+      .select(col("in_id"), col("fp"),
+        col("corp_id").as("dup_of"),
+        col("corp_id").isNotNull.as("is_dup"))
+
   /** Stream-stream interval join: purchases ⋈ clicks of the same user with
     * `c_ts ∈ [p_ts − 1h, p_ts)`. Watermarks on BOTH sides let Spark evict
     * join state: a click can only match purchases up to 1 h later, so click

@@ -160,15 +160,6 @@ object YqlFrontend {
     out.result()
   }
 
-  private def rewriteBindingRefs(ts: Vector[String], names: Set[String]): Vector[String] =
-    ts.map { t =>
-      if (t.startsWith("$")) {
-        val name = t.drop(1)
-        require(names.contains(name), s"YQL: reference to undefined binding $$$name")
-        s"_yql_$name"
-      } else t
-    }
-
   /** YQL type names inside `CAST(x AS T)`. `Datetime` carries semantics —
     * YQL's cast truncates to second precision (yq_dag.py:66; SURVEY.md §1.2
     * P3) — so it becomes `date_trunc('SECOND', CAST(x AS TIMESTAMP))`, not a
@@ -297,24 +288,65 @@ object YqlFrontend {
   final case class YqlScript(sql: String, insert: Option[InsertTarget])
   final case class InsertTarget(sink: String, columns: Seq[String])
 
-  def translate(text: String, resolver: YqlResolver = YqlResolver.views): YqlScript = {
+  /** SQL literal rendering for submitted parameters (YQL `DECLARE`). */
+  private def literal(v: Any): String = v match {
+    case s: String               => "'" + s.replace("'", "''") + "'"
+    case d: java.sql.Date        => s"DATE '$d'"
+    case t: java.sql.Timestamp   => s"TIMESTAMP '$t'"
+    case b: Boolean              => if (b) "TRUE" else "FALSE"
+    case n @ (_: Int | _: Long | _: Short | _: Byte | _: Double | _: Float) => n.toString
+    case d: BigDecimal           => d.toString
+    case other => throw new IllegalArgumentException(
+      s"YQL: unsupported parameter type ${other.getClass.getName}")
+  }
+
+  def translate(text: String, resolver: YqlResolver = YqlResolver.views,
+                params: Map[String, Any] = Map.empty): YqlScript = {
     val stmts = splitStatements(tokenize(text))
     require(stmts.nonEmpty, "YQL: empty script")
 
-    val isBinding: Vector[String] => Boolean =
-      s => s.length > 3 && s(0).startsWith("$") && s(1) == "=" && s(2) == "(" && s.last == ")"
+    val paramTokens = params.map { case (k, v) => k -> literal(v) }
+    var cteNames = Vector.empty[String]            // subquery bindings, in order
+    var cteBodies = Map.empty[String, String]
+    var exprBindings = Map.empty[String, Vector[String]] // scalar/expression bindings
+    var finals = Vector.empty[Vector[String]]
 
-    val (bindingStmts, finalStmts) = stmts.partition(isBinding)
-    require(finalStmts.length == 1,
-      s"YQL: expected exactly one non-binding statement, got ${finalStmts.length}")
-    val bindings = bindingStmts.map(s => (s(0).drop(1), s.slice(3, s.length - 1)))
-    val names = bindings.map(_._1).toSet
+    def substitute(ts: Vector[String]): Vector[String] = ts.flatMap { t =>
+      if (t.startsWith("$")) {
+        val n = t.drop(1)
+        if (cteNames.contains(n)) Vector(s"_yql_$n")
+        else if (exprBindings.contains(n)) "(" +: exprBindings(n) :+ ")"
+        else if (paramTokens.contains(n)) Vector(paramTokens(n))
+        else throw new IllegalArgumentException(s"YQL: reference to undefined binding $$$n")
+      } else Vector(t)
+    }
 
     def body(ts: Vector[String]): Vector[String] =
       rewriteExclusionJoins(rewriteCasts(rewriteModuleFns(
-        rewriteBindingRefs(rewriteTables(ts, resolver), names))))
+        substitute(rewriteTables(ts, resolver)))))
 
-    val fin = finalStmts.head
+    val isSubqueryBinding: Vector[String] => Boolean =
+      s => s.length > 4 && s(0).startsWith("$") && s(1) == "=" && s(2) == "(" &&
+        s(3).equalsIgnoreCase("select") && s.last == ")"
+    val isExprBinding: Vector[String] => Boolean =
+      s => s.length > 2 && s(0).startsWith("$") && s(1) == "="
+
+    stmts.foreach { s =>
+      if (s.head.equalsIgnoreCase("pragma")) ()      // engine tuning — no Spark analog needed
+      else if (s.head.equalsIgnoreCase("declare")) ()
+        // DECLARE $p AS T; — parameters arrive pre-typed via `params`
+      else if (isSubqueryBinding(s)) {
+        val n = s(0).drop(1)
+        cteBodies += n -> render(body(s.slice(3, s.length - 1)))
+        cteNames :+= n
+      } else if (isExprBinding(s)) {
+        exprBindings += s(0).drop(1) -> body(s.drop(2))
+      } else finals :+= s
+    }
+    require(finals.length == 1,
+      s"YQL: expected exactly one result statement, got ${finals.length}")
+
+    val fin = finals.head
     val (insert, selectTokens) =
       if (fin.headOption.exists(_.equalsIgnoreCase("insert"))) {
         require(fin.length > 2 && fin(1).equalsIgnoreCase("into"), "YQL: INSERT must be INSERT INTO")
@@ -328,19 +360,22 @@ object YqlFrontend {
       } else (None, fin)
 
     val cte =
-      if (bindings.isEmpty) ""
-      else bindings.map { case (n, b) => s"_yql_$n AS ( ${render(body(b))} )" }
+      if (cteNames.isEmpty) ""
+      else cteNames.map(n => s"_yql_$n AS ( ${cteBodies(n)} )")
         .mkString("WITH ", ", ", " ")
     YqlScript(cte + render(body(selectTokens)), insert)
   }
 
   /** Translate and execute. SELECT scripts return the result frame; INSERT
     * scripts run the insert through the resolver's sink and return None.
+    * `params` binds `DECLARE`d (or just referenced) `$parameters` to Scala
+    * values, rendered as SQL literals.
     */
   def run(spark: SparkSession, text: String,
-          resolver: YqlResolver = YqlResolver.views): Option[DataFrame] = {
+          resolver: YqlResolver = YqlResolver.views,
+          params: Map[String, Any] = Map.empty): Option[DataFrame] = {
     graft.GraftSession.prepare(spark)
-    val script = translate(text, resolver)
+    val script = translate(text, resolver, params)
     val df = spark.sql(script.sql)
     script.insert match {
       case Some(t) => resolver.sink(t.sink).insert(df.toDF(t.columns: _*)); None

@@ -231,6 +231,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(2) > 0))
   }
 
+  test("stream-static dedup == batch d9 verdicts across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.Text
+    implicit val sqlCtx = spark.sqlContext
+
+    // static corpus fp index: unique per fp, min-id survivor (the d1 shape)
+    val index = graft.sources.Tables.documents(spark, sfDir)
+      .groupBy(md5(Text.normText(col("text"))).as("fp"))
+      .agg(min("doc_id").as("corp_id"))
+    index.cache()
+
+    // increment: 3 re-crawled fps (dups) + 2 unseen fps, split over two batches
+    val known = index.orderBy("corp_id").limit(3)
+      .select(col("corp_id") + 1000000L, col("fp")).as[(Long, String)].collect()
+    val fresh = Seq((2000001L, "f" * 32), (2000002L, "0" * 32))
+
+    val mem = MemoryStream[(Long, String)]
+    val inc = mem.toDF().toDF("in_id", "fp")
+    val q = StreamingOps.streamStaticDedup(inc, index)
+      .writeStream.format("memory").queryName("ssd").outputMode("append").start()
+    try {
+      mem.addData(known.take(2).toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData((known.drop(2) ++ fresh).toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("ssd").orderBy("in_id")
+      .select("in_id", "dup_of", "is_dup").collect()
+    assert(got.length == 5)
+    assert(got.take(3).forall(r => r.getBoolean(2) && r.getLong(1) == r.getLong(0) - 1000000L))
+    assert(got.drop(3).forall(r => !r.getBoolean(2) && r.isNullAt(1)))
+    index.unpersist()
+  }
+
   test("batch sessionization totals are exact decimal sums (order-independent)") {
     val df = EventQueries.e3Sessions(spark, sfDir)
     val total = df.agg(sum(col("total_value").cast("decimal(18,2)")).cast("double")).head.getDouble(0)

@@ -74,6 +74,33 @@ class YqlFrontendSpec extends AnyFunSuite {
     assert(yql.exceptAll(api).isEmpty && api.exceptAll(yql).isEmpty)
   }
 
+  test("pragma is ignored; scalar bindings inline; DECLARE + params substitute literals") {
+    sources.Tables.registerAll(spark, "/root/testdata/sf0.001")
+    // pragma + scalar expression binding (the YQL idiom for shared constants)
+    val r1 = YqlFrontend.run(spark,
+      """
+      pragma AnsiOptionalAs;
+      $lo = date('1996-01-01');
+      $n = 2 + 3;
+      select count(1) as n from orders where o_orderdate >= $lo and o_orderkey % $n = 0;
+      """).get.head().getLong(0)
+    val want = spark.table("orders")
+      .where("o_orderdate >= date('1996-01-01') and o_orderkey % 5 = 0").count()
+    assert(r1 == want)
+
+    // DECLARE + submitted parameters (string, long, date)
+    val r2 = YqlFrontend.run(spark,
+      """
+      declare $status as Utf8;
+      declare $lo as Date;
+      select count(1) as n from orders where o_orderstatus = $status and o_orderdate >= $lo;
+      """,
+      params = Map("status" -> "F", "lo" -> java.sql.Date.valueOf("1994-01-01"))).get.head().getLong(0)
+    val want2 = spark.table("orders")
+      .where("o_orderstatus = 'F' and o_orderdate >= date('1994-01-01')").count()
+    assert(r2 == want2)
+  }
+
   test("binding references to undefined names and bare SELECT scripts") {
     val e = intercept[IllegalArgumentException] {
       YqlFrontend.translate("select * from $nope;")
