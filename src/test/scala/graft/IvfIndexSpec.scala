@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Vectors
+import graft.operators.IvfIndex
+import graft.sources.Tables
+
+/** Persistent IVF index: build-once/serve-many, partition-pruned probes,
+  * reload stability, and recall against the brute-force oracle.
+  */
+class IvfIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val dir = "/root/testdata/sf0.001"
+  private val base = Files.createTempDirectory("graft-ivf").toString + "/idx"
+
+  private val NQueries = 30
+  private val TopK = 10
+
+  private lazy val index: IvfIndex =
+    IvfIndex.build(spark, Tables.embeddings(spark, dir), base, cells = 16, lloydIters = 2)
+
+  private def queries = Tables.embeddings(spark, dir)
+    .where(col("vec_id") < NQueries)
+    .select(col("vec_id").as("qid"), Vectors.toDouble(col("embedding")).as("v"))
+
+  test("build persists the inverted lists AS the partition layout") {
+    index
+    val parts = new java.io.File(s"$base/assignments").listFiles()
+      .filter(_.getName.startsWith("cid=")).map(_.getName).sorted
+    assert(parts.length == 16, s"expected 16 cell partitions, got ${parts.length}")
+    // every vector is in exactly one list
+    val n = spark.read.parquet(s"$base/assignments").count()
+    assert(n == Tables.embeddings(spark, dir).count())
+  }
+
+  test("query scan is partition-pruned to the probed cells") {
+    index
+    val plan = index.query(spark, queries, probes = 2, topK = TopK)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cid"),
+      s"probe scan should carry a cid partition filter:\n$plan")
+  }
+
+  test("recall@10: ≥ 0.3 at 2/16 probes, exactly 1.0 probing all cells; reload is stable") {
+    index
+    val got = index.query(spark, queries, probes = 2, topK = TopK)
+
+    // brute-force truth on the same query block
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("bv"))
+      .withColumn("bn2", Vectors.norm2D(col("bv")))
+    val q = queries.withColumn("qn2", Vectors.norm2D(col("v")))
+    val truth = q.join(e, col("vec_id") =!= col("qid"))
+      .withColumn("cos", Vectors.cosinePre(col("v"), col("qn2"), col("bv"), col("bn2")))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("vec_id"))))
+      .where(col("rank") <= TopK)
+      .select(col("qid"), col("vec_id").as("nid"))
+
+    // near-random synthetic embeddings have no cluster structure, so 2/16
+    // probes is a weak-recall regime — the bound is a floor, not a target
+    val hit = got.select("qid", "nid").intersect(truth).count().toDouble
+    val recall = hit / truth.count()
+    assert(recall >= 0.3, s"recall@$TopK = $recall")
+
+    // probing every cell IS exact search: same tie-break as brute force,
+    // so the id sets must match exactly (recall 1.0 by construction)
+    val full = index.query(spark, queries, probes = 16, topK = TopK).select("qid", "nid")
+    assert(full.exceptAll(truth).isEmpty && truth.exceptAll(full).isEmpty)
+
+    val reloaded = IvfIndex.load(base).query(spark, queries, probes = 2, topK = TopK)
+    assert(got.exceptAll(reloaded).isEmpty && reloaded.exceptAll(got).isEmpty)
+  }
+}
