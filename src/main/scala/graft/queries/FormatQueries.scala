@@ -104,13 +104,36 @@ object FormatQueries {
       |SELECT chan, count(1) AS n_orders, CAST(sum(cents) AS BIGINT) AS total_cents
       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** f4: ORC round-trip — the other splittable columnar format big estates
+    * carry; same exact-representation discipline as f2 (integer cents), so
+    * the parquet-reading oracle must agree bit-for-bit.
+    */
+  def f4OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("graft-orc")
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .write.mode("overwrite").orc(out)
+    spark.read.orc(out)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("total_cents"))
+      .orderBy("o_orderstatus")
+  }
+
+  val f4Oracle: String =
+    """SELECT o_orderstatus, count(1) AS n_orders,
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f1_csv_roundtrip" -> (f1CsvRoundtrip _),
     "f2_json_roundtrip" -> (f2JsonRoundtrip _),
-    "f3_schema_evolution" -> (f3SchemaEvolution _))
+    "f3_schema_evolution" -> (f3SchemaEvolution _),
+    "f4_orc_roundtrip" -> (f4OrcRoundtrip _))
 
   val oracles: Map[String, String] = Map(
     "f1_csv_roundtrip" -> f1Oracle,
     "f2_json_roundtrip" -> f2Oracle,
-    "f3_schema_evolution" -> f3Oracle)
+    "f3_schema_evolution" -> f3Oracle,
+    "f4_orc_roundtrip" -> f4Oracle)
 }

@@ -309,7 +309,39 @@ object StatQueries {
       |       CAST(sum(abs(ca * nb - cb * na)) AS DOUBLE) / (2.0 * max(na) * max(nb)) AS tv_distance
       |FROM p, t""".stripMargin
 
+  /** x10: declarative data-quality audit ([[graft.operators.Expectations]])
+    * — per-rule violation counts over orders in ONE scan: rule predicates
+    * compile into the scan's codegen as conditional sums, the stack to
+    * (rule, n) rows is a 1-row explode. The always-on corpus admission
+    * monitor; cost at 100 TB = the scan it shares with ingest.
+    */
+  def x10DqAudit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Expectations
+    import graft.operators.Expectations.Rule
+    Expectations.audit(Tables.orders(spark, dir), Seq(
+      Rule("date_in_range",
+        col("o_orderdate") >= to_timestamp(lit("1992-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1999-01-01"))),
+      Rule("key_not_div3", col("o_orderkey") % 3 =!= 0),
+      Rule("positive_price", col("o_totalprice") > 0)))
+      .orderBy("rule")
+  }
+
+  val x10Oracle: String =
+    """WITH a AS (
+      |  SELECT count(1) AS n_rows,
+      |    CAST(sum(CASE WHEN NOT coalesce(o_orderdate >= TIMESTAMP '1992-01-01'
+      |                   AND o_orderdate < TIMESTAMP '1999-01-01', false) THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+      |    CAST(sum(CASE WHEN NOT coalesce(o_orderkey % 3 <> 0, false) THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+      |    CAST(sum(CASE WHEN NOT coalesce(o_totalprice > 0, false) THEN 1 ELSE 0 END) AS BIGINT) AS v3
+      |  FROM orders)
+      |SELECT 'date_in_range' AS rule, v1 AS n_violations, n_rows FROM a
+      |UNION ALL SELECT 'key_not_div3', v2, n_rows FROM a
+      |UNION ALL SELECT 'positive_price', v3, n_rows FROM a
+      |ORDER BY rule""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x10_dq_audit" -> (x10DqAudit _),
     "x9_tv_drift" -> (x9TvDrift _),
     "x1_moments" -> (x1Moments _),
     "x2_scd2" -> (x2Scd2 _),
@@ -321,6 +353,7 @@ object StatQueries {
     "x8_snapshot_diff" -> (x8SnapshotDiff _))
 
   val oracles: Map[String, String] = Map(
+    "x10_dq_audit" -> x10Oracle,
     "x9_tv_drift" -> x9Oracle,
     "x1_moments" -> x1Oracle,
     "x2_scd2" -> x2Oracle,
