@@ -80,11 +80,44 @@ object UpsertQueries {
       |FROM cust c ANTI JOIN updates u ON c.c_custkey = u.c_custkey
       |ORDER BY c_custkey""".stripMargin
 
+  /** u3: incremental aggregate maintenance
+    * ([[graft.operators.IncrementalAgg]]) — a per-priority (count, cents)
+    * aggregate built over a base subset is refreshed from a changelog of
+    * inserts (weight +1) and retractions (weight −1) WITHOUT re-reading
+    * the base: delta pre-agg (one small key shuffle) + full-outer merge
+    * with the state. The oracle aggregates the surviving rows directly,
+    * so the hash-match proves refresh(state, Δ) ≡ full(base ⊎ Δ). Cents
+    * stay integral end-to-end (the f2/x1 exactness rule).
+    */
+  def u3IncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IncrementalAgg
+    import graft.operators.IncrementalAgg.SumSpec
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderpriority").as("prio"), col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val sums = Seq(SumSpec("sum_cents", col("cents")))
+    val base = o.where(col("o_orderkey") % 4 =!= 0)
+    val state = IncrementalAgg.full(base, Seq("prio"), lit(1L), sums)
+    val delta = o.where(col("o_orderkey") % 4 === 0).withColumn("w", lit(1L))
+      .unionByName(base.where(col("o_orderkey") % 7 === 0).withColumn("w", lit(-1L)))
+    IncrementalAgg.refresh(state, delta, Seq("prio"), col("w"), sums)
+      .orderBy("prio")
+  }
+
+  val u3Oracle: String =
+    """WITH t AS (
+      |  SELECT o_orderpriority AS prio, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 4 = 0 OR o_orderkey % 7 <> 0)
+      |SELECT prio, count(1) AS cnt, CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "u1_argmax_aggregator" -> (u1ArgmaxAggregator _),
-    "u2_upsert" -> (u2Upsert _))
+    "u2_upsert" -> (u2Upsert _),
+    "u3_incremental_agg" -> (u3IncrementalAgg _))
 
   val oracles: Map[String, String] = Map(
     "u1_argmax_aggregator" -> u1Oracle,
-    "u2_upsert" -> u2Oracle)
+    "u2_upsert" -> u2Oracle,
+    "u3_incremental_agg" -> u3Oracle)
 }

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.IncrementalAgg
+import graft.operators.IncrementalAgg.SumSpec
+
+class IncrementalAggSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sums = Seq(SumSpec("total", col("v")))
+
+  test("refresh(state, delta) == full(base union delta) including retractions") {
+    val base = Seq(("a", 1L), ("a", 2L), ("b", 10L), ("c", 5L)).toDF("k", "v")
+      .withColumn("w", lit(1L))
+    val delta = Seq(("a", 4L, 1L), ("d", 7L, 1L), ("c", 5L, -1L)).toDF("k", "v", "w")
+    val state = IncrementalAgg.full(base, Seq("k"), col("w"), sums)
+    val got = IncrementalAgg.refresh(state, delta, Seq("k"), col("w"), sums)
+    val want = IncrementalAgg.full(base.unionByName(delta), Seq("k"), col("w"), sums)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // c was fully retracted: the group disappears from the refreshed state
+    assert(got.where($"k" === "c").isEmpty)
+    assert(got.where($"k" === "d").select("cnt", "total").head() ==
+      org.apache.spark.sql.Row(1L, 7L))
+  }
+
+  test("empty delta is a no-op; repeated refresh accumulates") {
+    val base = Seq(("x", 3L), ("y", 4L)).toDF("k", "v").withColumn("w", lit(1L))
+    val state = IncrementalAgg.full(base, Seq("k"), col("w"), sums)
+    val empty = Seq.empty[(String, Long, Long)].toDF("k", "v", "w")
+    val same = IncrementalAgg.refresh(state, empty, Seq("k"), col("w"), sums)
+    assert(same.exceptAll(state).isEmpty && state.exceptAll(same).isEmpty)
+
+    val d1 = Seq(("x", 1L, 1L)).toDF("k", "v", "w")
+    val twice = IncrementalAgg.refresh(
+      IncrementalAgg.refresh(state, d1, Seq("k"), col("w"), sums),
+      d1, Seq("k"), col("w"), sums)
+    assert(twice.where($"k" === "x").select("cnt", "total").head() ==
+      org.apache.spark.sql.Row(3L, 5L))
+  }
+}
