@@ -147,4 +147,48 @@ object OperatorProps extends Properties("graft-operators") {
         got == unionFind(edges)
       }
     }
+
+  // --- IncrementalAgg ---
+
+  // (key, value, weight): small key domain forces group collisions and
+  // full retractions; weights ±1 like a real changelog
+  private val changeGen: Gen[(String, Long, Long)] = for {
+    k <- Gen.oneOf("a", "b", "c")
+    v <- Gen.choose(-50L, 50L)
+    w <- Gen.oneOf(1L, -1L)
+  } yield (k, v, w)
+  private val changelogGen = Gen.listOfN(12, changeGen)
+
+  /** Pure stepwise model of `refresh`: merge per-key (Σw, Σv·w), then drop
+    * groups whose count clamps to ≤ 0 — discarding their sums, exactly as
+    * the operator's empty-group rule does. (For well-formed changelogs —
+    * no retraction of absent rows — this equals whole-log recompute; for
+    * arbitrary ±1 logs only the stepwise semantics is well-defined.)
+    */
+  private def aggStep(state: Map[String, (Long, Long)],
+                      delta: Seq[(String, Long, Long)]): Map[String, (Long, Long)] = {
+    val d = delta.groupBy(_._1)
+      .map { case (k, g) => k -> (g.map(_._3).sum, g.map(t => t._2 * t._3).sum) }
+    (state.keySet ++ d.keySet).map { k =>
+      val (c1, t1) = state.getOrElse(k, (0L, 0L))
+      val (c2, t2) = d.getOrElse(k, (0L, 0L))
+      k -> (c1 + c2, t1 + t2)
+    }.toMap.filter(_._2._1 > 0)
+  }
+
+  property("incremental refresh chain == stepwise model") =
+    forAll(changelogGen, changelogGen, changelogGen) { (base, d1, d2) =>
+      val spark = sc_
+      import spark.implicits._
+      import graft.operators.IncrementalAgg
+      import graft.operators.IncrementalAgg.SumSpec
+      val sums = Seq(SumSpec("total", col("v")))
+      def df(rows: Seq[(String, Long, Long)]) =
+        spark.createDataset(rows).toDF("k", "v", "w")
+      val s0 = IncrementalAgg.full(df(base), Seq("k"), col("w"), sums)
+      val s1 = IncrementalAgg.refresh(s0, df(d1), Seq("k"), col("w"), sums)
+      val s2 = IncrementalAgg.refresh(s1, df(d2), Seq("k"), col("w"), sums)
+      val got = s2.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      got == aggStep(aggStep(aggStep(Map.empty, base), d1), d2)
+    }
 }
