@@ -96,6 +96,8 @@ object PartitionYearPruningRule extends Rule[LogicalPlan] with PredicateHelper {
   * `SparkSession.builder.withExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => TruncationComparisonRewrite)
     ext.injectOptimizerRule(_ => PartitionYearPruningRule)
+  }
 }
