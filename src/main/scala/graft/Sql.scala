@@ -26,11 +26,16 @@ object Sql {
       else args(1)
     val out = args.sliding(2).collectFirst { case Array("--out", d) => d }
     val yql = args.contains("--yql")
+    // --param name=value (repeatable): YQL DECLARE parameters, passed as strings
+    val params: Map[String, Any] = args.sliding(2).collect {
+      case Array("--param", kv) if kv.contains('=') =>
+        val Array(k, v) = kv.split("=", 2); (k, v: Any)
+    }.toMap
 
     val spark = GraftSession.prepare(GraftSession.local("graft-sql"))
     sources.Tables.registerAll(spark, sfDir)
     val df =
-      if (yql) graft.yql.YqlFrontend.run(spark, sql).getOrElse {
+      if (yql) graft.yql.YqlFrontend.run(spark, sql, params = params).getOrElse {
         println("yql insert completed"); spark.stop(); return
       }
       else spark.sql(sql)

@@ -207,6 +207,54 @@ object YqlFrontend {
     out.result()
   }
 
+  /** YQL `FROM T [t] FLATTEN BY c [AS e]` — explode an array column to one
+    * row per element. Without AS the element REPLACES the column (YQL's
+    * default); with AS the original array stays and the element appears
+    * under the new name. Spark form: a derived table wrapping
+    * `LATERAL VIEW explode` (+ `* EXCEPT` for the replace case), taking
+    * the original alias so outer references keep resolving. Same plan
+    * Spark gives a native explode — the generator runs inside the scan
+    * stage, no shuffle.
+    */
+  private def rewriteFlattenBy(ts0: Vector[String]): Vector[String] = {
+    var ts = ts0
+    var guard = 0
+    var idx = ts.indexWhere(_.equalsIgnoreCase("flatten"))
+    while (idx >= 0 && guard < 64) {
+      guard += 1
+      require(idx + 2 < ts.length && ts(idx + 1).equalsIgnoreCase("by"),
+        "YQL: FLATTEN must be followed by BY")
+      val colName = ts(idx + 2)
+      require(isIdent(colName), s"YQL: FLATTEN BY expects a column name, got $colName")
+      val (elemAlias, after) =
+        if (idx + 4 < ts.length && ts(idx + 3).equalsIgnoreCase("as") && isIdent(ts(idx + 4)))
+          (Some(ts(idx + 4)), idx + 5)
+        else (None, idx + 3)
+      // the relation (and optional alias) directly precede FLATTEN
+      val fromIdx = (idx - 1 to 0 by -1).find(k => ts(k).equalsIgnoreCase("from") ||
+          ts(k).equalsIgnoreCase("join") || ts(k) == ",")
+        .getOrElse(throw new IllegalArgumentException("YQL: FLATTEN BY outside a FROM clause"))
+      val relSlice = ts.slice(fromIdx + 1, idx)
+      require(relSlice.nonEmpty, "YQL: FLATTEN BY without a relation")
+      val (rel, alias) =
+        if (relSlice.length >= 2 && isIdent(relSlice.last) && relSlice(relSlice.length - 2) != ".")
+          (relSlice.dropRight(1), relSlice.last)
+        else (relSlice, relSlice.lastOption.filter(isIdent).getOrElse("_yql_fb"))
+      val projection = elemAlias match {
+        case Some(a) => Vector("*", "EXCEPT", "(", "_yql_elem", ")", ",", "_yql_elem", "AS", a)
+        case None    => Vector("*", "EXCEPT", "(", colName, ",", "_yql_elem", ")",
+          ",", "_yql_elem", "AS", colName)
+      }
+      val replacement =
+        Vector("(", "SELECT") ++ projection ++ Vector("FROM") ++ rel ++
+          Vector("LATERAL", "VIEW", "explode", "(", colName, ")", "_yql_fbv", "AS", "_yql_elem",
+            ")", alias)
+      ts = ts.take(fromIdx + 1) ++ replacement ++ ts.drop(after)
+      idx = ts.indexWhere(_.equalsIgnoreCase("flatten"))
+    }
+    ts
+  }
+
   /** `FROM A a EXCLUSION JOIN B b ON cond` → a derived table of the two
     * anti-joins (YQL semantics: rows of either side with no match on the
     * other — SURVEY.md §2.4 J1; same shape `SqlTextSpec` proves equivalent
@@ -322,8 +370,8 @@ object YqlFrontend {
     }
 
     def body(ts: Vector[String]): Vector[String] =
-      rewriteExclusionJoins(rewriteCasts(rewriteModuleFns(
-        substitute(rewriteTables(ts, resolver)))))
+      rewriteExclusionJoins(rewriteFlattenBy(rewriteCasts(rewriteModuleFns(
+        substitute(rewriteTables(ts, resolver))))))
 
     val isSubqueryBinding: Vector[String] => Boolean =
       s => s.length > 4 && s(0).startsWith("$") && s(1) == "=" && s(2) == "(" &&

@@ -101,6 +101,28 @@ class YqlFrontendSpec extends AnyFunSuite {
     assert(r2 == want2)
   }
 
+  test("FLATTEN BY explodes arrays: replace semantics without AS, keep-both with AS") {
+    spark.sql("SELECT * FROM VALUES (1, array('x','y')), (2, array('z')) v(id, tags)")
+      .createOrReplaceTempView("yql_fb")
+    // default: the element REPLACES the array column
+    val r = YqlFrontend.run(spark,
+      "select id, tags from yql_fb t flatten by tags order by id, tags;").get.collect()
+    assert(r.map(x => (x.getInt(0), x.getString(1))).toSeq ==
+      Seq((1, "x"), (1, "y"), (2, "z")))
+    // AS: original array kept, element under the new name
+    val r2 = YqlFrontend.run(spark,
+      "select id, tag, tags from yql_fb t flatten by tags as tag order by id, tag;").get.collect()
+    assert(r2.map(x => (x.getInt(0), x.getString(1), x.getSeq[String](2).toList)).toSeq ==
+      Seq((1, "x", List("x", "y")), (1, "y", List("x", "y")), (2, "z", List("z"))))
+    // works against a $binding too
+    val r3 = YqlFrontend.run(spark,
+      """
+      $b = (select id, tags from yql_fb where id = 1);
+      select count(1) as n from $b flatten by tags;
+      """).get.head().getLong(0)
+    assert(r3 == 2L)
+  }
+
   test("binding references to undefined names and bare SELECT scripts") {
     val e = intercept[IllegalArgumentException] {
       YqlFrontend.translate("select * from $nope;")
