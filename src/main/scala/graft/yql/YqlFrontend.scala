@@ -230,9 +230,22 @@ object YqlFrontend {
         if (idx + 4 < ts.length && ts(idx + 3).equalsIgnoreCase("as") && isIdent(ts(idx + 4)))
           (Some(ts(idx + 4)), idx + 5)
         else (None, idx + 3)
-      // the relation (and optional alias) directly precede FLATTEN
-      val fromIdx = (idx - 1 to 0 by -1).find(k => ts(k).equalsIgnoreCase("from") ||
-          ts(k).equalsIgnoreCase("join") || ts(k) == ",")
+      // the relation (and optional alias) directly precede FLATTEN; search
+      // depth-aware so a parenthesized subquery relation's inner FROM
+      // cannot match
+      val d = {
+        val arr = new Array[Int](ts.length); var cur = 0
+        var k = 0
+        while (k < ts.length) {
+          if (ts(k) == "(") { arr(k) = cur; cur += 1 }
+          else if (ts(k) == ")") { cur -= 1; arr(k) = cur }
+          else arr(k) = cur
+          k += 1
+        }
+        arr
+      }
+      val fromIdx = (idx - 1 to 0 by -1).find(k => d(k) == d(idx) &&
+          (ts(k).equalsIgnoreCase("from") || ts(k).equalsIgnoreCase("join") || ts(k) == ","))
         .getOrElse(throw new IllegalArgumentException("YQL: FLATTEN BY outside a FROM clause"))
       val relSlice = ts.slice(fromIdx + 1, idx)
       require(relSlice.nonEmpty, "YQL: FLATTEN BY without a relation")

@@ -121,6 +121,13 @@ class YqlFrontendSpec extends AnyFunSuite {
       select count(1) as n from $b flatten by tags;
       """).get.head().getLong(0)
     assert(r3 == 2L)
+    // and against a parenthesized subquery relation (inner FROM must not
+    // confuse the clause detection)
+    val r4 = YqlFrontend.run(spark,
+      "select id, tags from (select id, tags from yql_fb) t flatten by tags order by id, tags;")
+      .get.collect()
+    assert(r4.map(x => (x.getInt(0), x.getString(1))).toSeq ==
+      Seq((1, "x"), (1, "y"), (2, "z")))
   }
 
   test("binding references to undefined names and bare SELECT scripts") {
