@@ -45,11 +45,18 @@ object GraftSession {
     s
   }
 
-  /** Idempotent per-session setup of graft SQL functions (unwrap, graft_dot, …). */
+  /** Idempotent per-session setup of graft SQL functions (unwrap, graft_dot, …).
+    * Guarded on the first function so repeated prepare() calls (every query
+    * entry point calls it defensively) don't spam replace-warnings.
+    */
   def prepare(spark: SparkSession): SparkSession = {
-    graft.functions.Yql.register(spark)
-    graft.functions.VectorExpressions.register(spark)
-    graft.functions.TextExpressions.register(spark)
+    val registered = spark.sessionState.functionRegistry
+      .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("unwrap"))
+    if (!registered) {
+      graft.functions.Yql.register(spark)
+      graft.functions.VectorExpressions.register(spark)
+      graft.functions.TextExpressions.register(spark)
+    }
     spark
   }
 }

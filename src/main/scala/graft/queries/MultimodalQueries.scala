@@ -88,13 +88,51 @@ object MultimodalQueries {
       |WHERE octet_length(encode(text)) > 0 AND f.i % 2 = 0
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** m4: cross-media duplicate frames — the multimodal dedup shape (shared
+    * intros/stock footage across videos): every frame is content-hashed
+    * and frames appearing in ≥2 media flagged. Corpus carries synthetic
+    * re-crawls (every 10th doc again under a shifted id, the d1 scenario),
+    * so the duplicate set is non-trivial. One generate (frames ≫ media,
+    * executor-side) + ONE shuffle on the frame hash; at 100 TB this is
+    * exactly exact-dedup (d1) with frames as the unit instead of docs.
+    */
+  def m4FrameDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.unionByName(
+      docs.where(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    MultimodalOps.attachMedia(corpus)
+      .where(length(col("media")) > 0)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, cast((length(media) - 1) / 256 as int)), i -> substring(media, i * 256 + 1, 256))")).as("frame"))
+      .groupBy(md5(col("frame")).as("frame_md5"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), min("doc_id").as("first_doc"))
+      .where(col("n_docs") >= 2)
+      .orderBy("frame_md5")
+  }
+
+  val m4Oracle: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+      |fr AS (
+      |  SELECT doc_id, md5(substr(text, CAST(f.i AS INTEGER) * 256 + 1, 256)) AS frame_md5
+      |  FROM corpus, unnest(range(0, (octet_length(encode(text)) + 255) // 256)) AS f(i)
+      |  WHERE octet_length(encode(text)) > 0)
+      |SELECT frame_md5, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, min(doc_id) AS first_doc
+      |FROM fr GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+      |ORDER BY frame_md5""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_meta" -> (m1MediaMeta _),
     "m2_decode_features" -> (m2DecodeFeatures _),
-    "m3_frame_sample" -> (m3FrameSample _))
+    "m3_frame_sample" -> (m3FrameSample _),
+    "m4_frame_dedup" -> (m4FrameDedup _))
 
   val oracles: Map[String, String] = Map(
     "m1_media_meta" -> m1Oracle,
     "m2_decode_features" -> m2Oracle,
-    "m3_frame_sample" -> m3Oracle)
+    "m3_frame_sample" -> m3Oracle,
+    "m4_frame_dedup" -> m4Oracle)
 }
