@@ -340,7 +340,59 @@ object StatQueries {
       |UNION ALL SELECT 'positive_price', v3, n_rows FROM a
       |ORDER BY rule""".stripMargin
 
+  /** x11: Kolmogorov–Smirnov drift between the x9 cohorts — max CDF gap
+    * over the same fixed $50k bins: KS = max|cumA/nA − cumB/nB|. The
+    * cumulative sums run in a window ORDERED BY bin with no partition —
+    * safe HERE because the window input is the per-bin aggregate, whose
+    * cardinality is the histogram design (hundreds of bins), not the
+    * data; the raw scan still aggregates map-side first. All integral
+    * until one final division (|cumA·nB − cumB·nA| < 2^53, the x1 rule).
+    */
+  def x11KsDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val binned = Tables.orders(spark, dir).select(
+      expr("CAST(round(o_totalprice * 100) AS BIGINT) div 5000000").as("bin"),
+      (col("o_orderkey") % 2).as("side"))
+    val perBin = binned.groupBy("bin").agg(
+      sum(when(col("side") === 0, 1L).otherwise(0L)).as("ca"),
+      sum(when(col("side") === 1, 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perBin
+      .withColumn("cuma", sum("ca").over(w))
+      .withColumn("cumb", sum("cb").over(w))
+    val tot = binned.agg(
+      sum(when(col("side") === 0, 1L).otherwise(0L)).as("na"),
+      sum(when(col("side") === 1, 1L).otherwise(0L)).as("nb"))
+    cum.crossJoin(tot)
+      .agg(count(lit(1)).as("n_bins"),
+        max(abs(col("cuma") * col("nb") - col("cumb") * col("na"))).as("gap"),
+        max("na").as("na"), max("nb").as("nb"))
+      .select(col("n_bins"),
+        (col("gap").cast("double") / (col("na") * col("nb")).cast("double")).as("ks_distance"))
+  }
+
+  val x11Oracle: String =
+    """WITH b AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 5000000 AS bin,
+      |         o_orderkey % 2 AS side
+      |  FROM orders),
+      |p AS (SELECT bin,
+      |             sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) ca,
+      |             sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) cb
+      |      FROM b GROUP BY 1),
+      |c AS (SELECT bin,
+      |             sum(ca) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) cuma,
+      |             sum(cb) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) cumb
+      |      FROM p),
+      |t AS (SELECT sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) na,
+      |             sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) nb
+      |      FROM b)
+      |SELECT count(1) AS n_bins,
+      |       CAST(max(abs(cuma * nb - cumb * na)) AS DOUBLE) / (CAST(max(na) AS DOUBLE) * max(nb)) AS ks_distance
+      |FROM c, t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x11_ks_drift" -> (x11KsDrift _),
     "x10_dq_audit" -> (x10DqAudit _),
     "x9_tv_drift" -> (x9TvDrift _),
     "x1_moments" -> (x1Moments _),
@@ -353,6 +405,7 @@ object StatQueries {
     "x8_snapshot_diff" -> (x8SnapshotDiff _))
 
   val oracles: Map[String, String] = Map(
+    "x11_ks_drift" -> x11Oracle,
     "x10_dq_audit" -> x10Oracle,
     "x9_tv_drift" -> x9Oracle,
     "x1_moments" -> x1Oracle,
