@@ -72,11 +72,45 @@ object YqlTextQueries {
       |            AND a.o_orderstatus = b.o_orderstatus AND a.o_totalprice = b.o_totalprice))
       |       AS n_mismatch""".stripMargin
 
+  /** y3: the federation query's YQL shape (README_en.md:239-245) — an
+    * UNPARENTHESIZED `$a = select … union all select …;` binding and
+    * YQL's `GROUP BY expr AS alias` with the alias referenced in the
+    * SELECT list. `cnt` is aliased (the verbatim bare `count(1)` runs in
+    * `YqlFrontendSpec`; the gate needs matching column names).
+    */
+  def y3YqlFederation(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    YqlFrontend.run(spark,
+      """
+      $a =
+      select o_orderkey as id, cast(o_orderdate as datetime) as pdate, 'pg' as src
+        from orders where o_orderdate >= date('1998-01-01')
+      union all
+      select o_orderkey as id, cast(o_orderdate as datetime) as pdate, 's3' as src
+        from orders where o_orderdate < date('1998-01-01');
+
+      select dyear, src, count(1) as cnt from $a
+      group by DateTime::GetYear(pdate) as dyear, src order by dyear, src;
+      """).get
+  }
+
+  val y3Oracle: String =
+    """WITH a AS (
+      |  SELECT o_orderkey AS id, o_orderdate AS pdate, 'pg' AS src FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+      |  UNION ALL
+      |  SELECT o_orderkey AS id, o_orderdate AS pdate, 's3' AS src FROM orders
+      |  WHERE o_orderdate < TIMESTAMP '1998-01-01')
+      |SELECT CAST(year(pdate) AS INTEGER) AS dyear, src, count(1) AS cnt
+      |FROM a GROUP BY 1, 2 ORDER BY dyear, src""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "y1_yql_project" -> (y1YqlProject _),
-    "y2_yql_exclusion" -> (y2YqlExclusion _))
+    "y2_yql_exclusion" -> (y2YqlExclusion _),
+    "y3_yql_federation" -> (y3YqlFederation _))
 
   val oracles: Map[String, String] = Map(
     "y1_yql_project" -> y1Oracle,
-    "y2_yql_exclusion" -> y2Oracle)
+    "y2_yql_exclusion" -> y2Oracle,
+    "y3_yql_federation" -> y3Oracle)
 }

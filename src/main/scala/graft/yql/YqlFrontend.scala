@@ -143,7 +143,9 @@ object YqlFrontend {
   }
 
   /** `` `conn`.table `` → resolver lookup; bare backtick idents lose their
-    * quotes (YQL quoting ≠ Spark quoting).
+    * quotes (YQL quoting ≠ Spark quoting); bare relation names directly
+    * after FROM/JOIN also go through the resolver (identity by default),
+    * so `from etl_object_storage` maps wherever the binding points.
     */
   private def rewriteTables(ts: Vector[String], resolver: YqlResolver): Vector[String] = {
     def strip(t: String) = if (t.startsWith("`")) t.substring(1, t.length - 1) else t
@@ -155,6 +157,11 @@ object YqlFrontend {
           out += resolver.table(Some(strip(ts(i))), strip(ts(i + 2)))
           i += 3
         } else { out += strip(ts(i)); i += 1 }
+      } else if ((ts(i).equalsIgnoreCase("from") || ts(i).equalsIgnoreCase("join")) &&
+          i + 1 < ts.length && isIdent(ts(i + 1)) && !ts(i + 1).startsWith("$") &&
+          (i + 2 >= ts.length || ts(i + 2) != ".")) {
+        out += ts(i) += resolver.table(None, ts(i + 1))
+        i += 2
       } else { out += ts(i); i += 1 }
     }
     out.result()
@@ -205,6 +212,82 @@ object YqlFrontend {
       } else { out += ts(i); i += 1 }
     }
     out.result()
+  }
+
+  /** YQL `GROUP BY expr AS name` — the grouping expression gets a name that
+    * the SELECT list (and ORDER BY) can reference (README_en.md:244-245:
+    * `select dyear, … group by DateTime::GetYear(pdate) as dyear`). Spark
+    * has no aliased grouping items, so: strip the alias from the GROUP BY
+    * and replace standalone references to it in the owning SELECT list
+    * with `expr AS name` (ORDER BY then resolves against the output
+    * column). Same aggregation plan either way — purely name plumbing.
+    */
+  private def rewriteGroupByAlias(ts0: Vector[String]): Vector[String] = {
+    val ClauseEnds = Set("order", "having", "limit", "union", "except", "intersect", "window")
+    var ts = ts0
+    var changed = true
+    var guard = 0
+    while (changed && guard < 64) {
+      changed = false
+      guard += 1
+      val d = {
+        val arr = new Array[Int](ts.length); var cur = 0; var k = 0
+        while (k < ts.length) {
+          if (ts(k) == "(") { arr(k) = cur; cur += 1 }
+          else if (ts(k) == ")") { cur -= 1; arr(k) = cur }
+          else arr(k) = cur
+          k += 1
+        }
+        arr
+      }
+      // find a GROUP BY containing an aliased item
+      val gIdx = (0 until ts.length - 1).find(k =>
+        ts(k).equalsIgnoreCase("group") && ts(k + 1).equalsIgnoreCase("by") && {
+          val dep = d(k)
+          val end = (k + 2 until ts.length).find(j =>
+            d(j) < dep || (d(j) == dep && ClauseEnds.contains(ts(j).toLowerCase))).getOrElse(ts.length)
+          (k + 2 until end).exists(j => d(j) == dep && ts(j).equalsIgnoreCase("as"))
+        })
+      gIdx.foreach { g =>
+        val dep = d(g)
+        val end = (g + 2 until ts.length).find(j =>
+          d(j) < dep || (d(j) == dep && ClauseEnds.contains(ts(j).toLowerCase))).getOrElse(ts.length)
+        // split items on depth-level commas
+        var items = Vector.empty[Vector[String]]
+        var cur = Vector.empty[String]
+        (g + 2 until end).foreach { j =>
+          if (ts(j) == "," && d(j) == dep) { items :+= cur; cur = Vector.empty }
+          else cur :+= ts(j)
+        }
+        if (cur.nonEmpty) items :+= cur
+        var aliases = Map.empty[String, Vector[String]]
+        val strippedItems = items.map { it =>
+          if (it.length >= 3 && it(it.length - 2).equalsIgnoreCase("as") && isIdent(it.last)) {
+            aliases += it.last -> it.dropRight(2)
+            it.dropRight(2)
+          } else it
+        }
+        // owning SELECT list: nearest preceding select at this depth → its FROM
+        val sIdx = (g - 1 to 0 by -1).find(k => d(k) == dep && ts(k).equalsIgnoreCase("select"))
+          .getOrElse(throw new IllegalArgumentException("YQL: GROUP BY without SELECT"))
+        val fIdx = (sIdx + 1 until g).find(k => d(k) == dep && ts(k).equalsIgnoreCase("from"))
+          .getOrElse(g)
+        val newSelect = (sIdx + 1 until fIdx).flatMap { k =>
+          val t = ts(k)
+          if (d(k) == dep && aliases.contains(t) && (k == sIdx + 1 || ts(k - 1) != ".") &&
+              (k + 1 >= fIdx || ts(k + 1) != "."))
+            aliases(t) ++ Vector("AS", t)
+          else Vector(t)
+        }.toVector
+        val newGroup = Vector(ts(g), ts(g + 1)) ++
+          strippedItems.zipWithIndex.flatMap { case (it, i) =>
+            if (i == 0) it else "," +: it
+          }
+        ts = ts.take(sIdx + 1) ++ newSelect ++ ts.slice(fIdx, g) ++ newGroup ++ ts.drop(end)
+        changed = true
+      }
+    }
+    ts
   }
 
   /** YQL `FROM T [t] FLATTEN BY c [AS e]` — explode an array column to one
@@ -383,8 +466,8 @@ object YqlFrontend {
     }
 
     def body(ts: Vector[String]): Vector[String] =
-      rewriteExclusionJoins(rewriteFlattenBy(rewriteCasts(rewriteModuleFns(
-        substitute(rewriteTables(ts, resolver))))))
+      rewriteExclusionJoins(rewriteFlattenBy(rewriteGroupByAlias(rewriteCasts(rewriteModuleFns(
+        substitute(rewriteTables(ts, resolver)))))))
 
     val isSubqueryBinding: Vector[String] => Boolean =
       s => s.length > 4 && s(0).startsWith("$") && s(1) == "=" && s(2) == "(" &&

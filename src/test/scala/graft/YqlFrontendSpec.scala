@@ -181,6 +181,35 @@ class YqlFrontendSpec extends AnyFunSuite {
               and s.accdt = d.accdt and s.acckt = d.acckt and s.amount = d.amount and s.state = d.state;
         """
 
+  test("reference federation query text runs verbatim (README_en.md:239-245)") {
+    val dir = "/root/testdata/sf0.001"
+    sources.Tables.registerAll(spark, dir)
+    // hot/cold split of orders stands in for pg-finance.payments / the S3 binding
+    spark.table("orders").where("o_orderdate >= TIMESTAMP '1998-01-01'")
+      .selectExpr("o_orderkey AS id", "o_orderdate AS payment_date")
+      .createOrReplaceTempView("fed_hot")
+    spark.table("orders").where("o_orderdate < TIMESTAMP '1998-01-01'")
+      .selectExpr("o_orderkey AS id", "o_orderdate AS payment_date")
+      .createOrReplaceTempView("fed_cold")
+    // VERBATIM text: unparenthesized $binding, GROUP BY expr AS alias
+    val got = YqlFrontend.run(spark, """
+      $a =
+      select id, cast(payment_date as datetime) as pdate, 'pg' as src from `pg-finance`.payments
+      union all
+      select id, payment_date as pdate, 's3' as src from etl_object_storage;
+
+      select dyear, src, count(1) from $a
+      group by DateTime::GetYear(pdate) as dyear, src order by dyear;
+      """,
+      YqlResolver(tables = Map(
+        "pg-finance.payments" -> "fed_hot", "etl_object_storage" -> "fed_cold")))
+      .get.collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    val want = graft.queries.ReferenceQueries.q3Federation(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got.sortBy(t => (t._1, t._2)) == want)
+  }
+
   test("reference load query text runs verbatim: partitioned export with golden leap-year count") {
     fixture
     assert(YqlFrontend.run(spark, loadSql, referenceResolver).isEmpty) // insert → no frame
