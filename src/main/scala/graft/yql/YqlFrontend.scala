@@ -43,13 +43,15 @@ object YqlFrontend {
       if (c.isWhitespace) i += 1
       else if (c == '-' && i + 1 < n && text(i + 1) == '-') {
         while (i < n && text(i) != '\n') i += 1
-      } else if (c == '\'') {
-        val sb = new StringBuilder("'")
+      } else if (c == '\'' || c == '"') {
+        // YQL string literals come single- OR double-quoted (doubling escapes)
+        val q = c
+        val sb = new StringBuilder(q.toString)
         i += 1
         var done = false
         while (!done && i < n) {
-          if (text(i) == '\'' && i + 1 < n && text(i + 1) == '\'') { sb ++= "''"; i += 2 }
-          else if (text(i) == '\'') { sb += '\''; i += 1; done = true }
+          if (text(i) == q && i + 1 < n && text(i + 1) == q) { sb += q += q; i += 2 }
+          else if (text(i) == q) { sb += q; i += 1; done = true }
           else { sb += text(i); i += 1 }
         }
         require(done, "YQL: unterminated string literal")

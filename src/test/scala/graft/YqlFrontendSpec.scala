@@ -29,6 +29,9 @@ class YqlFrontendSpec extends AnyFunSuite {
     assert(!ts.exists(_.contains("c\n")))
     val ts2 = YqlFrontend.tokenize("$s = (select 1); select * from $s;")
     assert(ts2.count(_ == "$s") == 2)
+    // double-quoted strings are literals too (the CLI smoke-test trap)
+    val ts3 = YqlFrontend.tokenize("""select date("1996-03-04"), 'it''s', "a""b"""")
+    assert(ts3.contains("\"1996-03-04\"") && ts3.contains("'it''s'") && ts3.contains("\"a\"\"b\""))
   }
 
   test("cast translation: Datetime truncates to seconds, UInt32 narrows, Utf8 is STRING") {
