@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
   *  - [[audit]]: per-rule violation counts — one scan, map-side flags,
   *    a single tiny aggregate; the cheap always-on monitor.
   *  - [[split]]: (clean, quarantined) — quarantined rows carry the array
-  *    of failed rule names, so triage keeps full provenance. Both sides
-  *    of the split are lazy projections of ONE scan (Spark caches the
-  *    common subplan; no second read at 100 TB when written back-to-back).
+  *    of failed rule names, so triage keeps full provenance. The tagged
+  *    frame is persisted inside split (Spark does NOT reuse unpersisted
+  *    subplans across two actions), so writing clean then quarantined
+  *    back-to-back scans the source once; the caller releases it via the
+  *    returned handle when both sides are materialized.
   *  - [[enforce]]: fail fast when any rule is violated (the C3 fail-task
   *    shape) — for pipelines where quarantine is not an option.
   *
@@ -31,7 +33,11 @@ object Expectations {
     * aggregate row set: (rule, n_violations, n_rows).
     */
   def audit(df: DataFrame, rules: Seq[Rule]): DataFrame = {
-    val flags = rules.map(r => sum(when(violated(r), 1L).otherwise(0L)).as(r.name))
+    // coalesce: sum over ZERO rows is NULL — an empty input must report
+    // 0 violations per rule, not NULL (the monitor reads "no data, no
+    // violations", and downstream `> 0` filters stay two-valued)
+    val flags = rules.map(r =>
+      coalesce(sum(when(violated(r), 1L).otherwise(0L)), lit(0L)).as(r.name))
     val agg = df.agg(count(lit(1)).as("_n"), flags: _*)
     // one input row → |rules| output rows: stack the counts
     val stacked = explode(array(rules.map(r =>
@@ -48,11 +54,24 @@ object Expectations {
     df.withColumn("_violations",
       filter(array(rules.map(r => when(violated(r), r.name)): _*), _.isNotNull))
 
-  /** (clean rows unchanged, quarantined rows + `_violations`). */
-  def split(df: DataFrame, rules: Seq[Rule]): (DataFrame, DataFrame) = {
+  /** Both sides of a [[split]] plus the persist handle for the shared
+    * tagged frame: call [[Split.release]] after materializing both sides.
+    */
+  final case class Split(clean: DataFrame, quarantined: DataFrame,
+      private val tagged: DataFrame) {
+    def release(): Unit = { tagged.unpersist(); () }
+  }
+
+  /** (clean rows unchanged, quarantined rows + `_violations`) off ONE
+    * persisted scan of `df` — see the class doc for the release contract.
+    */
+  def split(df: DataFrame, rules: Seq[Rule]): Split = {
     val tagged = tag(df, rules)
-    (tagged.where(size(col("_violations")) === 0).drop("_violations"),
-      tagged.where(size(col("_violations")) > 0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Split(
+      tagged.where(size(col("_violations")) === 0).drop("_violations"),
+      tagged.where(size(col("_violations")) > 0),
+      tagged)
   }
 
   /** Throws with the per-rule counts when any rule is violated. */

@@ -49,12 +49,26 @@ object IncrementalAgg {
     val merged = state.select(kc ++ (col("cnt") +: sums.map(s => col(s.alias))): _*)
       .join(deltaAgg.withColumnsRenamed(
         ("cnt" +: sums.map(_.alias)).map(a => a -> s"_d_$a").toMap), keys, "full_outer")
+    // NULL discipline: a NULL sum can mean "this side's key is absent"
+    // (its cnt is NULL after the full outer) or "present but every measure
+    // value was NULL" (SQL sum ignores NULLs; all-NULL groups sum to
+    // NULL). Only the first may coalesce to 0 — an absent-side NULL is a
+    // missing contribution; a present-side NULL must survive the refresh
+    // so refresh(full(base), delta) == full(base ∪ delta) holds on
+    // all-NULL groups. cnt itself is never genuinely NULL (weight is
+    // non-null by contract), so plain coalesce is right there.
+    val bothPresent = col("cnt").isNotNull && col("_d_cnt").isNotNull
     val combined = merged.select(
       kc ++ (
         (coalesce(col("cnt"), lit(0L)) + coalesce(col("_d_cnt"), lit(0L))).as("cnt") +:
-        sums.map(s =>
-          (coalesce(col(s.alias), lit(0L)) + coalesce(col(s"_d_${s.alias}"), lit(0L)))
-            .as(s.alias))): _*)
+        sums.map { s =>
+          val a = col(s.alias); val d = col(s"_d_${s.alias}")
+          when(bothPresent,
+            when(a.isNull && d.isNull, lit(null))
+              .otherwise(coalesce(a, lit(0L)) + coalesce(d, lit(0L))))
+            .otherwise(coalesce(a, d)) // one side absent: the present
+              .as(s.alias)             // side's value verbatim, NULL incl.
+        }): _*)
     combined.where(col("cnt") > 0)
   }
 

@@ -266,10 +266,14 @@ object StatQueries {
     * as total-variation distance over fixed $50k price bins — the
     * data-drift gate a training pipeline runs between snapshot and
     * refresh. TV = ½·Σ|pᵢ−qᵢ| is bit-stable cross-engine because the
-    * whole computation stays integral: per-bin |cA·nB − cB·nA| summed in
-    * DECIMAL(38,0), ONE double division at the end (every value crossing
-    * into double is < 2⁵³, so the cast is exact — the x1 rule). One scan,
-    * one bin-keyed agg; same one-pass histogram shape as x4 at any scale.
+    * whole computation stays integral: counts widen to DECIMAL(20,0)
+    * BEFORE the cross-product (so cA·nB can't wrap LongType even at
+    * na·nb ≈ 2¹²⁶ — product of two longs always fits decimal(38,0),
+    * matching DuckDB's hugeint auto-promotion), |cA·nB − cB·nA| summed
+    * in DECIMAL(38,0), ONE double division at the end (every value
+    * crossing into double is < 2⁵³ at gate scale, so the cast is exact —
+    * the x1 rule). One scan, one bin-keyed agg; same one-pass histogram
+    * shape as x4 at any scale.
     */
   def x9TvDrift(spark: SparkSession, dir: String): DataFrame = {
     val binned = Tables.orders(spark, dir).select(
@@ -286,7 +290,8 @@ object StatQueries {
         count(lit(1)).as("n_bins"),
         max("na").as("n_even"),
         max("nb").as("n_odd"),
-        sum(abs(col("ca") * col("nb") - col("cb") * col("na")).cast("decimal(38,0)")).as("l1"))
+        sum(abs(col("ca").cast("decimal(20,0)") * col("nb").cast("decimal(20,0)") -
+          col("cb").cast("decimal(20,0)") * col("na").cast("decimal(20,0)"))).as("l1"))
       .select(col("n_bins"), col("n_even"), col("n_odd"),
         (col("l1").cast("double") /
           (lit(2.0) * col("n_even") * col("n_odd"))).as("tv_distance"))
@@ -345,8 +350,10 @@ object StatQueries {
     * cumulative sums run in a window ORDERED BY bin with no partition —
     * safe HERE because the window input is the per-bin aggregate, whose
     * cardinality is the histogram design (hundreds of bins), not the
-    * data; the raw scan still aggregates map-side first. All integral
-    * until one final division (|cumA·nB − cumB·nA| < 2^53, the x1 rule).
+    * data; the raw scan still aggregates map-side first. All integral —
+    * counts widen to DECIMAL(20,0) before the cross-product (x9 rule:
+    * long·long always fits decimal(38,0), mirroring DuckDB's hugeint) —
+    * until one final division, exact in double at gate scale (x1 rule).
     */
   def x11KsDrift(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -365,10 +372,13 @@ object StatQueries {
       sum(when(col("side") === 1, 1L).otherwise(0L)).as("nb"))
     cum.crossJoin(tot)
       .agg(count(lit(1)).as("n_bins"),
-        max(abs(col("cuma") * col("nb") - col("cumb") * col("na"))).as("gap"),
+        max(abs(col("cuma").cast("decimal(20,0)") * col("nb").cast("decimal(20,0)") -
+          col("cumb").cast("decimal(20,0)") * col("na").cast("decimal(20,0)"))).as("gap"),
         max("na").as("na"), max("nb").as("nb"))
       .select(col("n_bins"),
-        (col("gap").cast("double") / (col("na") * col("nb")).cast("double")).as("ks_distance"))
+        (col("gap").cast("double") /
+          (col("na").cast("decimal(20,0)") * col("nb").cast("decimal(20,0)")).cast("double"))
+          .as("ks_distance"))
   }
 
   val x11Oracle: String =

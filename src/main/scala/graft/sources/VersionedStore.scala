@@ -111,10 +111,28 @@ final class VersionedStore(val base: String) {
   /** GC: delete superseded snapshots older than the `keep` most recent
     * committed ones, and every orphan above the live version. Never
     * touches the live snapshot.
+    *
+    * SINGLE-MAINTAINER CONTRACT: vacuum assumes no writer is mid-write —
+    * a `v=K` above the pointer is indistinguishable from a crashed
+    * orphan, so a concurrent writer's in-flight snapshot would be
+    * deleted before its pointer flip. Run vacuum from the same
+    * single-flight maintenance loop as write/compact (the CoolingStream
+    * checkpoint-lock idiom), never concurrently with a writer. Guarded:
+    * refuses to run on a never-committed table (live=0 would classify
+    * EVERY directory, including a first write in flight, as orphaned).
+    *
+    * READER GRACE CONTRACT: readers resolve `_current` once per scan and
+    * then stream file lists from the resolved `v=K`; vacuum(keep=1)
+    * deletes superseded snapshots immediately, so a reader still mid-scan
+    * on the prior version fails. Keep ≥ 2 (or an age threshold) wherever
+    * readers and maintenance overlap — `keep` IS the grace window,
+    * expressed in snapshots. `VersionedStoreSpec` pins both behaviors.
     */
   def vacuum(spark: SparkSession, keep: Int = 1): Seq[Long] = {
     val f = fs(spark)
     val live = currentVersion(spark)
+    require(live > 0,
+      s"$base has no committed version - vacuum would delete in-flight writes")
     val doomed = versionsOnDisk(spark).filter(v =>
       (v < live - (keep - 1).max(0)) || v > live)
     doomed.foreach(v => f.delete(versionDir(v), true))

@@ -31,15 +31,24 @@ class ExpectationsSpec extends AnyFunSuite {
   }
 
   test("split: clean keeps original schema, quarantine carries failed-rule names") {
-    val (clean, quarantined) = Expectations.split(df, rules)
-    assert(clean.columns.toSeq == Seq("id", "amount", "status"))
-    assert(clean.select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
-    val q = quarantined.orderBy("id")
-      .select(col("id"), col("_violations")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
-    assert(q == Map(
-      2L -> Set("positive"), 3L -> Set("positive"),
-      4L -> Set("status_ok"), 5L -> Set("positive", "status_ok")))
+    val s = Expectations.split(df, rules)
+    try {
+      assert(s.clean.columns.toSeq == Seq("id", "amount", "status"))
+      assert(s.clean.select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+      val q = s.quarantined.orderBy("id")
+        .select(col("id"), col("_violations")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+      assert(q == Map(
+        2L -> Set("positive"), 3L -> Set("positive"),
+        4L -> Set("status_ok"), 5L -> Set("positive", "status_ok")))
+    } finally s.release()
+  }
+
+  test("audit over an empty input reports 0 violations per rule, not NULL") {
+    val a = Expectations.audit(df.where(col("id") < 0L), rules)
+      .orderBy("rule").collect()
+    assert(a.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("positive", 0L, 0L), ("status_ok", 0L, 0L)))
   }
 
   test("enforce throws with per-rule counts; passes on clean data") {
