@@ -1,0 +1,73 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataOutputStream}
+
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+/** Deterministic synthetic-media fixture (builder brief: multimodal columns).
+  *
+  * The corpus ships no binary media, so each document's payload is generated
+  * executor-side as REAL encoded bytes — a true PNG (via `javax.imageio`), a
+  * true RIFF/WAVE file (via `javax.sound.sampled`), or a length-prefixed
+  * container of PNG frames standing in for a video. Pixel/sample values are
+  * closed-form functions of the seed, so the DuckDB oracle can compute the
+  * expected decoded features *without* decoding anything: if Spark's
+  * encode→decode roundtrip were unfaithful, the feature hashes would
+  * mismatch. Generation is pure in the seed — safe under task retries.
+  */
+object MediaGen {
+
+  /** Gray value at (x, y) for a given seed — the formula the oracle mirrors. */
+  def grayPixel(seed: Long, x: Int, y: Int): Int =
+    ((seed * 7 + x * 3 + y * 5) % 256).toInt
+
+  /** PCM sample i for a given seed (8-bit unsigned) — oracle-mirrored. */
+  def pcmSample(seed: Long, i: Int): Int =
+    ((seed * 11 + i * 17) % 256).toInt
+
+  /** A real 8-bit grayscale PNG whose pixels follow [[grayPixel]]. */
+  def pngBytes(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, grayPixel(seed, x, y)); x += 1 }
+      y += 1
+    }
+    val baos = new ByteArrayOutputStream()
+    ImageIO.setUseCache(false) // in-memory streams only; no temp-file cache on executors
+    ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** A real RIFF/WAVE file: 8 kHz mono 8-bit unsigned PCM, samples from
+    * [[pcmSample]]. Written through `AudioSystem` so the header is genuine.
+    */
+  def wavBytes(seed: Long, nSamples: Int): Array[Byte] = {
+    val pcm = Array.tabulate[Byte](nSamples)(i => pcmSample(seed, i).toByte)
+    val fmt = new AudioFormat(8000f, 8, 1, /*signed=*/ false, /*bigEndian=*/ false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val baos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** A "video": length-prefixed concatenation of real PNG frames (the
+    * MJPEG-style container shape — each frame independently decodable, so
+    * frame extraction parallelizes without a stateful demuxer).
+    */
+  def videoBytes(frameSeeds: Seq[Long], w: Int, h: Int): Array[Byte] = {
+    val baos = new ByteArrayOutputStream()
+    val dos = new DataOutputStream(baos)
+    frameSeeds.foreach { s =>
+      val png = pngBytes(s, w, h)
+      dos.writeInt(png.length)
+      dos.write(png)
+    }
+    dos.flush()
+    baos.toByteArray
+  }
+}

@@ -3,14 +3,18 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.multimodal.{MediaRow, MultimodalOps}
+import graft.multimodal.MultimodalOps
 import graft.sources.Tables
 
-/** Multimodal-column queries: binary payload + typed metadata, and the
-  * partition-batched stub decode (see MultimodalOps — decode is a
-  * deterministic STUB, the Spark plumbing is real). Oracles work because
-  * the corpus text is ASCII: byte-level ops on the payload equal char-level
-  * SQL on the text.
+/** Multimodal-column queries over binary payloads + typed metadata.
+  *
+  * m1/m3 exercise the opaque-binary plumbing (schema, hashing, chunking —
+  * no decode claimed; their oracles work because the corpus text is ASCII,
+  * so byte-level ops equal char-level SQL on the text). m2/m4/m5 go through
+  * REAL decoders (`javax.imageio`, `javax.sound.sampled`): payloads are
+  * genuine PNG/WAV/frame-container bytes whose decoded content follows a
+  * closed-form seed formula (MediaGen), which the DuckDB oracle mirrors —
+  * a hash match proves the encode→decode roundtrip is faithful.
   */
 object MultimodalQueries {
 
@@ -35,30 +39,40 @@ object MultimodalQueries {
       |       md5(text) AS content_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Features through the partition-batched stub decoder (mapPartitions
-    * path — exercises the typed encoder + batch shape end to end).
+  /** m2: REAL image decode — each doc carries a genuine PNG (MediaGen
+    * fixture), decoded per-partition with `javax.imageio`; features
+    * (luminance sum/min/max, row-major pixel fingerprint, 4×4 nearest-
+    * neighbor thumbnail fingerprint) are computed from the DECODED pixels
+    * only. The oracle computes the same integers from the seed formula —
+    * it never sees the PNG bytes, so a match certifies the decode path.
     */
   def m2DecodeFeatures(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val media = MultimodalOps.attachMedia(Tables.documents(spark, dir))
-      .select(
-        col("doc_id"), col("media"), col("meta.format").as("format"),
-        col("meta.width").as("width"), col("meta.height").as("height"))
-      .as[MediaRow]
-    MultimodalOps.decodeFeatures(spark, media)
+    val imgs = MultimodalOps.syntheticImages(spark, Tables.documents(spark, dir))
+    MultimodalOps.decodeImageFeatures(spark, imgs)
       .toDF()
       .orderBy("doc_id")
   }
 
   val m2Oracle: String =
-    """SELECT doc_id,
-      |       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mp4' END AS format,
-      |       octet_length(encode(text)) AS n_bytes,
-      |       md5(text) AS content_md5,
-      |       md5(substr(text, 1, 64)) AS thumb_md5,
-      |       CAST(CASE WHEN length(text) = 0 THEN 0
-      |                 ELSE (length(text) - 1) // 256 + 1 END AS INTEGER) AS n_frames_sampled
-      |FROM documents ORDER BY doc_id""".stripMargin
+    """WITH d AS (SELECT doc_id, doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h FROM documents),
+      |px AS (
+      |  SELECT d.doc_id, d.w, d.h, x.i AS x, y.i AS y,
+      |         (d.doc_id * 7 + x.i * 3 + y.i * 5) % 256 AS p
+      |  FROM d, unnest(range(0, d.w)) AS x(i), unnest(range(0, d.h)) AS y(i)),
+      |agg AS (
+      |  SELECT doc_id, CAST(max(w) AS INTEGER) AS width, CAST(max(h) AS INTEGER) AS height,
+      |         CAST(sum(p) AS BIGINT) AS lum_sum,
+      |         CAST(min(p) AS INTEGER) AS lum_min, CAST(max(p) AS INTEGER) AS lum_max,
+      |         CAST(sum(p * (y * w + x + 1)) AS BIGINT) AS px_fp
+      |  FROM px GROUP BY doc_id),
+      |th AS (
+      |  SELECT d.doc_id,
+      |         CAST(sum(((d.doc_id * 7 + ((i.i * d.w) // 4) * 3 + ((j.i * d.h) // 4) * 5) % 256)
+      |                  * (j.i * 4 + i.i + 1)) AS BIGINT) AS thumb_fp
+      |  FROM d, unnest(range(0, 4)) AS i(i), unnest(range(0, 4)) AS j(i)
+      |  GROUP BY d.doc_id)
+      |SELECT a.doc_id, a.width, a.height, a.lum_sum, a.lum_min, a.lum_max, a.px_fp, t.thumb_fp
+      |FROM agg a JOIN th t ON a.doc_id = t.doc_id ORDER BY a.doc_id""".stripMargin
 
   /** m3: frame-sample explosion — one output row per sampled "frame"
     * (every 2nd 256-byte chunk), the row-expansion shape video pipelines
@@ -89,50 +103,70 @@ object MultimodalQueries {
       |ORDER BY doc_id, frame_idx""".stripMargin
 
   /** m4: cross-media duplicate frames — the multimodal dedup shape (shared
-    * intros/stock footage across videos): every frame is content-hashed
-    * and frames appearing in ≥2 media flagged. Corpus carries synthetic
-    * re-crawls (every 10th doc again under a shifted id, the d1 scenario),
-    * so the duplicate set is non-trivial. One generate (frames ≫ media,
-    * executor-side) + ONE shuffle on the frame hash; at 100 TB this is
-    * exactly exact-dedup (d1) with frames as the unit instead of docs.
+    * intros/stock footage across videos). Each doc is a REAL container of
+    * PNG frames; documents in the same `doc_id % 50` cohort share frame
+    * content, so the duplicate set is non-trivial. The pipeline splits the
+    * container, genuinely decodes every frame with `javax.imageio`, and
+    * fingerprints its pixels — then ONE shuffle on the fingerprint; at
+    * 100 TB this is exactly exact-dedup (d1) with frames as the unit
+    * instead of docs. The oracle derives fingerprints from the seed
+    * formula, never touching the PNG bytes.
     */
   def m4FrameDedup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val corpus = docs.unionByName(
-      docs.where(col("doc_id") % 10 === 0)
-        .withColumn("doc_id", col("doc_id") + 1000000L))
-    MultimodalOps.attachMedia(corpus)
-      .where(length(col("media")) > 0)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, cast((length(media) - 1) / 256 as int)), i -> substring(media, i * 256 + 1, 256))")).as("frame"))
-      .groupBy(md5(col("frame")).as("frame_md5"))
+    val vids = MultimodalOps.syntheticVideos(spark, Tables.documents(spark, dir))
+    MultimodalOps.decodedFrameFingerprints(spark, vids)
+      .toDF()
+      .groupBy("frame_fp")
       .agg(countDistinct(col("doc_id")).as("n_docs"), min("doc_id").as("first_doc"))
       .where(col("n_docs") >= 2)
-      .orderBy("frame_md5")
+      .orderBy("frame_fp")
   }
 
   val m4Oracle: String =
-    """WITH corpus AS (
-      |  SELECT doc_id, text FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
-      |fr AS (
-      |  SELECT doc_id, md5(substr(text, CAST(f.i AS INTEGER) * 256 + 1, 256)) AS frame_md5
-      |  FROM corpus, unnest(range(0, (octet_length(encode(text)) + 255) // 256)) AS f(i)
-      |  WHERE octet_length(encode(text)) > 0)
-      |SELECT frame_md5, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, min(doc_id) AS first_doc
-      |FROM fr GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
-      |ORDER BY frame_md5""".stripMargin
+    """WITH df AS (
+      |  SELECT doc_id, (doc_id % 50) * 1000 + fr.i AS seed
+      |  FROM documents, unnest(range(0, doc_id % 4 + 2)) AS fr(i)),
+      |fp AS (
+      |  SELECT s.seed,
+      |         CAST(sum(((s.seed * 7 + x.i * 3 + y.i * 5) % 256) * (y.i * 16 + x.i + 1)) AS BIGINT) AS frame_fp
+      |  FROM (SELECT DISTINCT seed FROM df) s, unnest(range(0, 16)) AS x(i), unnest(range(0, 12)) AS y(i)
+      |  GROUP BY s.seed)
+      |SELECT f.frame_fp, CAST(count(DISTINCT d.doc_id) AS BIGINT) AS n_docs, min(d.doc_id) AS first_doc
+      |FROM df d JOIN fp f ON d.seed = f.seed
+      |GROUP BY 1 HAVING count(DISTINCT d.doc_id) >= 2 ORDER BY frame_fp""".stripMargin
+
+  /** m5: REAL audio decode — each doc carries a genuine RIFF/WAVE file,
+    * parsed per-partition with `javax.sound.sampled`; amplitude features
+    * come from the DECODED PCM samples only, the oracle from the seed
+    * formula.
+    */
+  def m5AudioDecode(spark: SparkSession, dir: String): DataFrame = {
+    val wavs = MultimodalOps.syntheticAudio(spark, Tables.documents(spark, dir))
+    MultimodalOps.decodeAudioFeatures(spark, wavs)
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  val m5Oracle: String =
+    """WITH d AS (SELECT doc_id, doc_id % 500 + 100 AS n FROM documents),
+      |s AS (SELECT doc_id, n, i.i AS i, (doc_id * 11 + i.i * 17) % 256 AS v
+      |      FROM d, unnest(range(0, d.n)) AS i(i))
+      |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_samples, CAST(sum(v) AS BIGINT) AS amp_sum,
+      |       CAST(min(v) AS INTEGER) AS amp_min, CAST(max(v) AS INTEGER) AS amp_max,
+      |       CAST(sum(v * (i + 1)) AS BIGINT) AS amp_fp
+      |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_meta" -> (m1MediaMeta _),
     "m2_decode_features" -> (m2DecodeFeatures _),
     "m3_frame_sample" -> (m3FrameSample _),
-    "m4_frame_dedup" -> (m4FrameDedup _))
+    "m4_frame_dedup" -> (m4FrameDedup _),
+    "m5_audio_decode" -> (m5AudioDecode _))
 
   val oracles: Map[String, String] = Map(
     "m1_media_meta" -> m1Oracle,
     "m2_decode_features" -> m2Oracle,
     "m3_frame_sample" -> m3Oracle,
-    "m4_frame_dedup" -> m4Oracle)
+    "m4_frame_dedup" -> m4Oracle,
+    "m5_audio_decode" -> m5Oracle)
 }
