@@ -104,13 +104,42 @@ object YqlTextQueries {
       |SELECT CAST(year(pdate) AS INTEGER) AS dyear, src, count(1) AS cnt
       |FROM a GROUP BY 1, 2 ORDER BY dyear, src""".stripMargin
 
+  /** y4: one notch beyond the reference's three texts — the constructs a
+    * real YQL user pastes next: `LEFT ONLY JOIN` (anti-join keeping left
+    * columns), `IF(cond, a, b)`, `LIMIT`, a signed-exponent literal and a
+    * block comment (the round-5 tokenizer defects, now load-bearing in the
+    * correctness gate).
+    */
+  def y4YqlOnlyLimit(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    YqlFrontend.run(spark,
+      """
+      /* customers with no order above 2.5e+5 = 250000.00,
+         classified by account balance */
+      $big = (select o_custkey from orders where o_totalprice > 2.5e+5);
+      select c.c_custkey as cust, if(c.c_acctbal < 0.0, 'neg', 'pos') as bal_class
+        from customer c left only join $big b on c.c_custkey = b.o_custkey
+       order by cust limit 50;
+      """).get
+  }
+
+  val y4Oracle: String =
+    """SELECT c.c_custkey AS cust,
+      |       CASE WHEN c.c_acctbal < 0.0 THEN 'neg' ELSE 'pos' END AS bal_class
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_totalprice > 2.5e+5 AND o.o_custkey = c.c_custkey)
+      |ORDER BY cust LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "y1_yql_project" -> (y1YqlProject _),
     "y2_yql_exclusion" -> (y2YqlExclusion _),
-    "y3_yql_federation" -> (y3YqlFederation _))
+    "y3_yql_federation" -> (y3YqlFederation _),
+    "y4_yql_only_limit" -> (y4YqlOnlyLimit _))
 
   val oracles: Map[String, String] = Map(
     "y1_yql_project" -> y1Oracle,
     "y2_yql_exclusion" -> y2Oracle,
-    "y3_yql_federation" -> y3Oracle)
+    "y3_yql_federation" -> y3Oracle,
+    "y4_yql_only_limit" -> y4Oracle)
 }

@@ -31,8 +31,9 @@ object YqlFrontend {
 
   // ---------------------------------------------------------------- lexer
 
-  /** Tokens preserve string/backtick literals whole; `--` comments and
-    * whitespace are dropped; two-char operators kept intact.
+  /** Tokens preserve string/backtick literals whole; `--` line comments,
+    * `&#47;* *&#47;` block comments and whitespace are dropped; two-char
+    * operators and signed-exponent numeric literals (`1.5e-3`) kept intact.
     */
   private[graft] def tokenize(text: String): Vector[String] = {
     val out = Vector.newBuilder[String]
@@ -43,6 +44,10 @@ object YqlFrontend {
       if (c.isWhitespace) i += 1
       else if (c == '-' && i + 1 < n && text(i + 1) == '-') {
         while (i < n && text(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < n && text(i + 1) == '*') {
+        val j = text.indexOf("*/", i + 2)
+        require(j >= 0, "YQL: unterminated block comment")
+        i = j + 2
       } else if (c == '\'' || c == '"') {
         // YQL string literals come single- OR double-quoted (doubling escapes)
         val q = c
@@ -74,6 +79,14 @@ object YqlFrontend {
       } else if (c.isDigit) {
         var j = i
         while (j < n && (text(j).isLetterOrDigit || text(j) == '.' || text(j) == '_')) j += 1
+        // signed exponent: `1.5e-3` / `2E+10` — the sign belongs to the literal
+        if (j < n && (text(j) == '+' || text(j) == '-') &&
+            (text(j - 1) == 'e' || text(j - 1) == 'E') && text(i).isDigit &&
+            text.substring(i, j - 1).forall(ch => ch.isDigit || ch == '.' || ch == '_') &&
+            j + 1 < n && text(j + 1).isDigit) {
+          j += 1
+          while (j < n && text(j).isLetterOrDigit) j += 1 // exponent digits + type suffix (7e-2d)
+        }
         out += text.substring(i, j)
         i = j
       } else {
@@ -144,26 +157,65 @@ object YqlFrontend {
     out.result()
   }
 
+  /** Functions whose argument list legally contains a FROM keyword — their
+    * inner FROM is NOT a relation position and must not be table-resolved
+    * (`extract(year from x)`, `substring(s from 2)`, `trim(both 'x' from s)`,
+    * `overlay(s placing t from 3)`, `position('a' in s)` variants).
+    */
+  private val FromArgFns = Set("extract", "substring", "trim", "overlay", "position")
+
   /** `` `conn`.table `` → resolver lookup; bare backtick idents lose their
     * quotes (YQL quoting ≠ Spark quoting); bare relation names directly
-    * after FROM/JOIN also go through the resolver (identity by default),
-    * so `from etl_object_storage` maps wherever the binding points.
+    * after a CLAUSE-LEVEL FROM/JOIN also go through the resolver (identity
+    * by default), so `from etl_object_storage` maps wherever the binding
+    * points. FROM inside `extract(...)`-style function calls passes through
+    * untouched — a paren stack tracks whether the innermost open group is a
+    * [[FromArgFns]] argument list.
     */
   private def rewriteTables(ts: Vector[String], resolver: YqlResolver): Vector[String] = {
     def strip(t: String) = if (t.startsWith("`")) t.substring(1, t.length - 1) else t
     val out = Vector.newBuilder[String]
+    var fnArgDepth = List.empty[Boolean] // per open paren: is it a FROM-arg function call?
     var i = 0
     while (i < ts.length) {
-      if (ts(i).startsWith("`")) {
+      if (ts(i) == "(") {
+        fnArgDepth ::= (i > 0 && FromArgFns.contains(ts(i - 1).toLowerCase))
+        out += ts(i); i += 1
+      } else if (ts(i) == ")") {
+        if (fnArgDepth.nonEmpty) fnArgDepth = fnArgDepth.tail
+        out += ts(i); i += 1
+      } else if (ts(i).startsWith("`")) {
         if (i + 2 < ts.length && ts(i + 1) == "." && (isIdent(ts(i + 2)) || ts(i + 2).startsWith("`"))) {
           out += resolver.table(Some(strip(ts(i))), strip(ts(i + 2)))
           i += 3
         } else { out += strip(ts(i)); i += 1 }
       } else if ((ts(i).equalsIgnoreCase("from") || ts(i).equalsIgnoreCase("join")) &&
+          !fnArgDepth.headOption.getOrElse(false) &&
           i + 1 < ts.length && isIdent(ts(i + 1)) && !ts(i + 1).startsWith("$") &&
           (i + 2 >= ts.length || ts(i + 2) != ".")) {
         out += ts(i) += resolver.table(None, ts(i + 1))
         i += 2
+      } else { out += ts(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** YQL `LEFT ONLY JOIN` — rows of the left side with no right match,
+    * keeping only left columns: exactly Spark's `LEFT ANTI JOIN`. `RIGHT
+    * ONLY` has no direct Spark form (swap the sides) — fail loudly.
+    */
+  private def rewriteOnlyJoins(ts: Vector[String]): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < ts.length) {
+      if (i + 2 < ts.length && ts(i).equalsIgnoreCase("left") &&
+          ts(i + 1).equalsIgnoreCase("only") && ts(i + 2).equalsIgnoreCase("join")) {
+        out += "LEFT" += "ANTI" += "JOIN"
+        i += 3
+      } else if (i + 2 < ts.length && ts(i).equalsIgnoreCase("right") &&
+          ts(i + 1).equalsIgnoreCase("only") && ts(i + 2).equalsIgnoreCase("join")) {
+        throw new IllegalArgumentException(
+          "YQL: RIGHT ONLY JOIN is not supported — swap the sides and use LEFT ONLY JOIN")
       } else { out += ts(i); i += 1 }
     }
     out.result()
@@ -469,7 +521,7 @@ object YqlFrontend {
 
     def body(ts: Vector[String]): Vector[String] =
       rewriteExclusionJoins(rewriteFlattenBy(rewriteGroupByAlias(rewriteCasts(rewriteModuleFns(
-        substitute(rewriteTables(ts, resolver)))))))
+        rewriteOnlyJoins(substitute(rewriteTables(ts, resolver))))))))
 
     val isSubqueryBinding: Vector[String] => Boolean =
       s => s.length > 4 && s(0).startsWith("$") && s(1) == "=" && s(2) == "(" &&

@@ -141,6 +141,49 @@ class YqlFrontendSpec extends AnyFunSuite {
     assert(YqlFrontend.run(spark, "select 1 as one;").get.head().getInt(0) == 1)
   }
 
+  test("tokenizer: signed-exponent literals stay one token; block comments are dropped") {
+    assert(YqlFrontend.tokenize("select 1.5e-3, 2E+10, 7e-2d") ==
+      Vector("select", "1.5e-3", ",", "2E+10", ",", "7e-2d"))
+    // plain subtraction after a number is NOT an exponent
+    assert(YqlFrontend.tokenize("select 3-1, x-1") ==
+      Vector("select", "3", "-", "1", ",", "x", "-", "1"))
+    assert(YqlFrontend.tokenize("select /* a\n * multi-line, 'quoted' */ 1; /*x*/") ==
+      Vector("select", "1", ";"))
+    intercept[IllegalArgumentException](YqlFrontend.tokenize("select /* never closed"))
+    // semantics end-to-end: the literal survives translation
+    val r = YqlFrontend.run(spark, "select 1.5e-3 /* tiny */ as v;").get.head()
+    assert(math.abs(r.getDouble(0) - 0.0015) < 1e-12)
+  }
+
+  test("FROM inside extract/substring/trim is not table-resolved") {
+    val poisoned = YqlResolver(tables = Map(
+      "o_orderdate" -> "WRONG_T1", "s" -> "WRONG_T2", "x" -> "WRONG_T3", "orders" -> "orders"))
+    val sql = YqlFrontend.translate(
+      "select extract(year from o_orderdate), substring(s from 2 for 3), trim(both 'a' from x) from orders;",
+      poisoned).sql
+    assert(!sql.contains("WRONG"), sql)
+    // and it actually runs on Spark's parser
+    spark.sql("SELECT TIMESTAMP '2022-05-06 00:00:00' AS d, 'abcdef' AS s0").createOrReplaceTempView("yql_ex")
+    val r = YqlFrontend.run(spark,
+      "select extract(year from d) as y, substring(s0 from 2 for 3) as m from yql_ex;").get.head()
+    assert(r.getInt(0) == 2022 && r.getString(1) == "bcd")
+  }
+
+  test("LEFT ONLY JOIN maps to LEFT ANTI JOIN; RIGHT ONLY fails loudly; LIMIT and IF pass through") {
+    val sql = YqlFrontend.translate("select a.x from t1 a left only join t2 b on a.x = b.x;").sql
+    assert(sql.toUpperCase.contains("LEFT ANTI JOIN"))
+    val e = intercept[IllegalArgumentException] {
+      YqlFrontend.translate("select b.x from t1 a right only join t2 b on a.x = b.x;")
+    }
+    assert(e.getMessage.contains("RIGHT ONLY"))
+    spark.sql("SELECT * FROM VALUES (1, 'a'), (2, 'b'), (3, 'c') AS t(k, v)").createOrReplaceTempView("yql_t1")
+    spark.sql("SELECT * FROM VALUES (2) AS t(k)").createOrReplaceTempView("yql_t2")
+    val rows = YqlFrontend.run(spark,
+      "select k, if(k > 1, 'big', 'small') as sz from yql_t1 a left only join yql_t2 b on a.k = b.k order by k limit 1;")
+      .get.collect()
+    assert(rows.length == 1 && rows(0).getInt(0) == 1 && rows(0).getString(1) == "small")
+  }
+
   // -- the reference's three texts, verbatim ---------------------------
 
   private val root = Files.createTempDirectory("graft-yql").toString
