@@ -45,8 +45,7 @@ final class JdbcPaymentsSource(
       * dialect by default (the reference's `pg_tables` scan,
       * yq_dag.py:112); Derby/H2 tests inject their own dialect.
       */
-    catalogQuery: String => String = prefix =>
-      s"select tablename from pg_tables where tablename like '$prefix%'") extends PaymentsSource {
+    catalogQuery: String => String = JdbcPaymentsSource.pgCatalogQuery) extends PaymentsSource {
 
   private def props: java.util.Properties = {
     val p = new java.util.Properties()
@@ -77,9 +76,23 @@ final class JdbcPaymentsSource(
       // Mirrors the PL/pgSQL loop `execute 'drop table ' || part_name`
       // (yq_dag.py:113-116); names come from the catalog scan (S4), so
       // plain DROP TABLE like the reference (no IF EXISTS — Derby lacks it).
-      names.foreach(n => st.execute(s"drop table $n"))
+      names.foreach(n => st.execute(JdbcPaymentsSource.dropDdl(n)))
     } finally conn.close()
   }
+}
+
+/** The exact wire strings the PG-bound pipeline emits — factored out so
+  * `PgDialectSpec` can pin them against the reference without a live
+  * server (no PostgreSQL exists in the test container; Derby carries the
+  * live-JDBC load with an injected dialect).
+  */
+object JdbcPaymentsSource {
+  /** The reference's PG catalog enumeration (yq_dag.py:112). */
+  def pgCatalogQuery(prefix: String): String =
+    s"select tablename from pg_tables where tablename like '$prefix%'"
+
+  /** DDL emitted per partition drop (yq_dag.py:113-116). */
+  def dropDdl(name: String): String = s"drop table $name"
 }
 
 /** JDBC implementation for *physically partitioned* hot stores: each
