@@ -50,7 +50,13 @@ object ExclusionJoin {
     * multiplicities too via per-side pre-aggregated counts — catches
     * duplicate-row corruption, not just missing rows.
     */
-  def count(left: DataFrame, right: DataFrame, keys: Seq[String]): Long = {
+  def count(left: DataFrame, right: DataFrame, keys: Seq[String]): Long =
+    countFrame(left, right, keys).head.getLong(0)
+
+  /** The count-reconciliation as a 1-row frame (so callers can inspect the
+    * physical plan or embed it in a larger query).
+    */
+  def countFrame(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame = {
     val kc = keys.map(col)
     val l = left.groupBy(kc: _*).agg(sum(lit(1L)).as("_ln"))
     val r = right.groupBy(kc: _*).agg(sum(lit(1L)).as("_rn"))
@@ -58,6 +64,30 @@ object ExclusionJoin {
     // A key tuple contributes |ln - rn| mismatched rows (missing side counts 0).
     val mism = joined.select(
       abs(coalesce(col("_ln"), lit(0L)) - coalesce(col("_rn"), lit(0L))).as("_d"))
-    mism.agg(coalesce(sum(col("_d")), lit(0L))).head.getLong(0)
+    mism.agg(coalesce(sum(col("_d")), lit(0L)).as("n_mismatch"))
+  }
+
+  /** Exchange-free reconciliation over CO-BUCKETED stores — the 100 TB
+    * shape of the pipeline's Q2 gate. Both tables must be written bucketed
+    * on the same column (a member of `keys`, normally the PK `id`) with the
+    * same bucket count (see [[ScaleJoins.writeBucketed]]): bucketing on a
+    * SUBSET of the reconcile keys already co-locates equal key tuples, so
+    * Spark satisfies both the per-side aggregation distribution and the
+    * full-outer join's co-partitioning straight off the bucketed scans —
+    * zero Exchange in the plan (`BucketedReconcileSpec` pins this). At
+    * 100 TB that removes the two full-corpus shuffles that dominate the
+    * unbucketed reconcile; the exchange happened once, at write time.
+    */
+  def countBucketed(spark: org.apache.spark.sql.SparkSession,
+                    leftTable: String, rightTable: String, keys: Seq[String]): Long = {
+    // Bucketing is on a SUBSET of the reconcile keys (the PK); Spark only
+    // accepts subset co-partitioning for a join when this flag is off
+    // (default on). Correctness is unaffected either way — the flag only
+    // widens what the planner may treat as co-partitioned.
+    val flag = "spark.sql.requireAllClusterKeysForCoPartition"
+    val saved = spark.conf.get(flag)
+    spark.conf.set(flag, "false")
+    try countFrame(spark.table(leftTable), spark.table(rightTable), keys).head.getLong(0)
+    finally spark.conf.set(flag, saved)
   }
 }

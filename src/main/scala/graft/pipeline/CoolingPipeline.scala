@@ -37,7 +37,7 @@ final class CoolingPipeline(
     * only — nullable `descr` and the truncated `payment_date` are
     * deliberately excluded; `amount` is a DOUBLE compared bit-exactly.
     */
-  val reconcileKeys: Seq[String] = Seq("id", "doc_num", "accdt", "acckt", "amount", "state")
+  val reconcileKeys: Seq[String] = CoolingPipeline.reconcileKeys
 
   private def windowFilter(df: DataFrame, start: LocalDate, end: LocalDate): DataFrame =
     df.filter(col("payment_date") >= lit(java.sql.Date.valueOf(start)) &&
@@ -128,4 +128,13 @@ final class CoolingPipeline(
       .agg(count(lit(1)).as("cnt"))
       .orderBy("dyear", "src")
   }
+}
+
+object CoolingPipeline {
+  /** The 6-column reconciliation key (yq_dag.py:93-94) — shared by the
+    * per-run reconcile and the bucketed variant
+    * ([[graft.operators.ExclusionJoin.countBucketed]]): stores co-bucketed
+    * on `id` (the PK member) reconcile with zero Exchange.
+    */
+  val reconcileKeys: Seq[String] = Seq("id", "doc_num", "accdt", "acckt", "amount", "state")
 }
