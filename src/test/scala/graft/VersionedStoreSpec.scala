@@ -71,4 +71,39 @@ class VersionedStoreSpec extends AnyFunSuite {
     assert(st.vacuum(spark).toSet == Set(1L, 2L))
     assert(st.read(spark).count() == 30)
   }
+
+  test("vacuum refuses a never-committed table (would classify in-flight writes as orphans)") {
+    import spark.implicits._
+    val st = freshStore()
+    // simulate a first writer mid-flight: data dir present, pointer not yet flipped
+    (1 to 10).toDF("n").write.parquet(s"${st.base}/v=1")
+    val e = intercept[IllegalArgumentException](st.vacuum(spark))
+    assert(e.getMessage.contains("no committed version"))
+    assert(spark.read.parquet(s"${st.base}/v=1").count() == 10, "in-flight write must survive")
+  }
+
+  test("keep is the reader grace window: pinned reader survives keep=2, fails after eviction") {
+    import spark.implicits._
+    val st = freshStore()
+    st.write(spark, (1 to 10).toDF("n"))
+    val pinned = st.read(spark) // resolves _current=1 once, like a mid-scan reader
+    assert(pinned.count() == 10)
+
+    // maintenance runs concurrently: new snapshot + vacuum with grace
+    st.write(spark, (1 to 50).toDF("n"))
+    assert(st.vacuum(spark, keep = 2).isEmpty, "keep=2 must retain the previous snapshot")
+    assert(pinned.count() == 10, "reader pinned to v=1 must survive vacuum(keep=2)")
+    assert(st.read(spark).count() == 50, "new readers resolve the live snapshot")
+
+    // a third snapshot pushes v=1 out of the grace window
+    st.compactCurrent(spark)
+    assert(st.vacuum(spark, keep = 2) == Seq(1L))
+    // the documented failure mode: a reader still pinned below the window
+    // now breaks loudly (missing files), never silently returns partial data
+    val e = intercept[Exception](pinned.count())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m => m.contains("v=1") || m.toLowerCase.contains("not exist")),
+      s"expected a missing-snapshot failure, got: $e")
+  }
 }
