@@ -55,7 +55,8 @@ object Expectations {
       filter(array(rules.map(r => when(violated(r), r.name)): _*), _.isNotNull))
 
   /** Both sides of a [[split]] plus the persist handle for the shared
-    * tagged frame: call [[Split.release]] after materializing both sides.
+    * tagged frame: call [[Split.release]] after materializing both sides
+    * (a no-op when the split was built with `StorageLevel.NONE`).
     */
   final case class Split(clean: DataFrame, quarantined: DataFrame,
       private val tagged: DataFrame) {
@@ -63,11 +64,24 @@ object Expectations {
   }
 
   /** (clean rows unchanged, quarantined rows + `_violations`) off ONE
-    * persisted scan of `df` — see the class doc for the release contract.
+    * scan of `df` — see the class doc for the release contract.
+    *
+    * `storage` sizes the shared-scan cache. MEMORY_AND_DISK (default) is
+    * right when the source scan is expensive relative to a spill of the
+    * full tagged frame; at the 100 TB design point that persist is itself
+    * a second copy of the corpus on executor local disk, which can cost
+    * MORE than the rescan it avoids — pass `StorageLevel.NONE` there to
+    * skip caching entirely and let each side re-run the (columnar,
+    * pushdown-pruned) scan, or `MEMORY_AND_DISK_SER` to trade CPU for
+    * footprint. See SCALE.md "Expectations.split persist vs rescan".
     */
-  def split(df: DataFrame, rules: Seq[Rule]): Split = {
-    val tagged = tag(df, rules)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  def split(df: DataFrame, rules: Seq[Rule],
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): Split = {
+    val tagged0 = tag(df, rules)
+    val tagged =
+      if (storage == org.apache.spark.storage.StorageLevel.NONE) tagged0
+      else tagged0.persist(storage)
     Split(
       tagged.where(size(col("_violations")) === 0).drop("_violations"),
       tagged.where(size(col("_violations")) > 0),

@@ -18,6 +18,16 @@ import org.apache.spark.sql.functions._
   * retractions are just more addition. Groups whose count reaches 0
   * disappear (the empty-group rule).
   *
+  * NULL discipline: SQL `sum` over a group with no non-NULL values is
+  * NULL, and retractions can empty a group's non-NULL contributions while
+  * NULL-measure rows keep cnt > 0 — additive sums alone cannot tell that
+  * apart from a genuine 0. So the state carries, per sum, a non-NULL
+  * contribution count `_nn_<alias>` (insert of a non-NULL value +1,
+  * retraction −1); the published sum is NULL exactly when that count is 0.
+  * This makes `refresh(full(base), Δ) == full(base ⊎ Δ)` hold on every
+  * changelog, including full retraction of a group's non-NULL rows
+  * (IncrementalAggSpec pins the edge).
+  *
   * The refresh cost is O(|delta| + |state|), independent of the base
   * table — the whole point. Composes with [[Upsert]]/dynamic partition
   * overwrite for idempotent persistence of the refreshed state.
@@ -25,13 +35,26 @@ import org.apache.spark.sql.functions._
 object IncrementalAgg {
 
   /** One maintained aggregate: `col` must hold (state side and delta side)
-    * the same named columns `cnt` and each sum alias.
+    * the same named columns `cnt`, each sum alias, and each `_nn_<alias>`
+    * non-NULL contribution count.
     */
   final case class SumSpec(alias: String, delta: Column)
 
+  private def nn(alias: String): String = s"_nn_$alias"
+
+  /** Mask a raw additive sum by its non-NULL contribution count: 0
+    * contributions ⇒ NULL (the from-scratch answer), else the raw sum
+    * (which a masked-NULL state stores as NULL but whose additive value is
+    * then exactly 0, so `coalesce(sum, 0)` reconstructs it).
+    */
+  private def masked(raw: Column, nnCol: Column, alias: String): Column =
+    when(nnCol > 0, raw).otherwise(lit(null)).as(alias)
+
   /** Merge a pre-existing aggregate state with a raw changelog.
     *
-    * @param state   (keys…, cnt BIGINT, sums…) — the materialized aggregate
+    * @param state   (keys…, cnt BIGINT, sums…, `_nn_` counts…) — the
+    *                materialized aggregate, as produced by [[full]] or a
+    *                previous refresh
     * @param delta   raw changelog rows; `weight` +1 insert / −1 delete
     * @param keys    grouping key columns
     * @param weight  the changelog sign column expression (lit(1L) for
@@ -45,39 +68,48 @@ object IncrementalAgg {
     val kc = keys.map(col)
     val deltaAgg = delta.groupBy(kc: _*).agg(
       sum(weight).as("cnt"),
-      sums.map(s => sum(s.delta * weight).as(s.alias)): _*)
-    val merged = state.select(kc ++ (col("cnt") +: sums.map(s => col(s.alias))): _*)
-      .join(deltaAgg.withColumnsRenamed(
-        ("cnt" +: sums.map(_.alias)).map(a => a -> s"_d_$a").toMap), keys, "full_outer")
-    // NULL discipline: a NULL sum can mean "this side's key is absent"
-    // (its cnt is NULL after the full outer) or "present but every measure
-    // value was NULL" (SQL sum ignores NULLs; all-NULL groups sum to
-    // NULL). Only the first may coalesce to 0 — an absent-side NULL is a
-    // missing contribution; a present-side NULL must survive the refresh
-    // so refresh(full(base), delta) == full(base ∪ delta) holds on
-    // all-NULL groups. cnt itself is never genuinely NULL (weight is
-    // non-null by contract), so plain coalesce is right there.
-    val bothPresent = col("cnt").isNotNull && col("_d_cnt").isNotNull
+      sums.flatMap(s => Seq(
+        sum(s.delta * weight).as(s.alias),
+        sum(when(s.delta.isNotNull, weight).otherwise(0L)).as(nn(s.alias)))): _*)
+    val stateCols = "cnt" +: sums.flatMap(s => Seq(s.alias, nn(s.alias)))
+    val merged = state.select((kc ++ stateCols.map(col)): _*)
+      .join(deltaAgg.withColumnsRenamed(stateCols.map(a => a -> s"_d_$a").toMap),
+        keys, "full_outer")
+    // After the full outer, a NULL on either side means "key absent there"
+    // (contributes 0) or, for a sum column, "present but masked/all-NULL"
+    // (raw additive value also 0) — either way coalesce-to-0 is exact, and
+    // the merged _nn_ count alone decides whether the published sum is NULL.
     val combined = merged.select(
       kc ++ (
         (coalesce(col("cnt"), lit(0L)) + coalesce(col("_d_cnt"), lit(0L))).as("cnt") +:
-        sums.map { s =>
-          val a = col(s.alias); val d = col(s"_d_${s.alias}")
-          when(bothPresent,
-            when(a.isNull && d.isNull, lit(null))
-              .otherwise(coalesce(a, lit(0L)) + coalesce(d, lit(0L))))
-            .otherwise(coalesce(a, d)) // one side absent: the present
-              .as(s.alias)             // side's value verbatim, NULL incl.
+        sums.flatMap { s =>
+          val mergedNn = coalesce(col(nn(s.alias)), lit(0L)) +
+            coalesce(col(s"_d_${nn(s.alias)}"), lit(0L))
+          val mergedRaw = coalesce(col(s.alias), lit(0L)) +
+            coalesce(col(s"_d_${s.alias}"), lit(0L))
+          Seq(masked(mergedRaw, mergedNn, s.alias), mergedNn.as(nn(s.alias)))
         }): _*)
     combined.where(col("cnt") > 0)
   }
 
   /** The from-scratch form of the same aggregate — the correctness oracle
-    * for [[refresh]]: `refresh(full(base), delta) == full(base ∪ delta)`.
+    * for [[refresh]]: `refresh(full(base), delta) == full(base ∪ delta)`
+    * on any changelog (the `_nn_` masking applies here too, so a group
+    * whose non-NULL rows fully cancel publishes NULL, exactly like an
+    * aggregate over the surviving multiset).
     */
-  def full(rows: DataFrame, keys: Seq[String], weight: Column, sums: Seq[SumSpec]): DataFrame =
-    rows.groupBy(keys.map(col): _*).agg(
+  def full(rows: DataFrame, keys: Seq[String], weight: Column, sums: Seq[SumSpec]): DataFrame = {
+    val agg = rows.groupBy(keys.map(col): _*).agg(
       sum(weight).as("cnt"),
-      sums.map(s => sum(s.delta * weight).as(s.alias)): _*)
+      sums.flatMap(s => Seq(
+        sum(s.delta * weight).as(s"_raw_${s.alias}"),
+        sum(when(s.delta.isNotNull, weight).otherwise(0L)).as(nn(s.alias)))): _*)
+    agg.select(
+      keys.map(col) ++ (
+        col("cnt") +:
+        sums.flatMap(s => Seq(
+          masked(coalesce(col(s"_raw_${s.alias}"), lit(0L)), col(nn(s.alias)), s.alias),
+          col(nn(s.alias))))): _*)
       .where(col("cnt") > 0)
+  }
 }

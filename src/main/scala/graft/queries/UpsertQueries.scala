@@ -101,6 +101,7 @@ object UpsertQueries {
     val delta = o.where(col("o_orderkey") % 4 === 0).withColumn("w", lit(1L))
       .unionByName(base.where(col("o_orderkey") % 7 === 0).withColumn("w", lit(-1L)))
     IncrementalAgg.refresh(state, delta, Seq("prio"), col("w"), sums)
+      .select("prio", "cnt", "sum_cents") // drop the internal _nn_ state column
       .orderBy("prio")
   }
 

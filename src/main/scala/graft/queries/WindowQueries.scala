@@ -126,15 +126,56 @@ object WindowQueries {
       |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
       |ORDER BY day""".stripMargin
 
+  /** w5: the same 7-day moving average with a DEFENSIVE partitioned frame —
+    * the 100 TB form of w4. w4's unpartitioned `Window.orderBy(day)` is
+    * safe only because its input is pre-aggregated to calendar days
+    * (cardinality-bounded: a century is ~36k rows on one partition); when
+    * the series key is NOT bounded (per-entity series, minute grain), the
+    * single-partition sort is the scale cliff. The standard fix, shown
+    * here on the same data so the oracle proves equivalence: partition by
+    * a coarse time bucket (year), duplicate each bucket's last 6 rows into
+    * the NEXT bucket as context rows, run the frame per-partition, drop
+    * the context rows. Every partition sorts independently; no global
+    * sort, no single-partition window. Precondition: consecutive buckets
+    * are non-empty (true for any dense daily series — a gap year would
+    * need context from further back).
+    */
+  def w5MovingAvgPart(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val byYear = daily.withColumn("yr", year(col("day")))
+    val tailW = Window.partitionBy("yr").orderBy(col("day").desc)
+    val context = byYear.withColumn("_rn", row_number().over(tailW))
+      .where(col("_rn") <= 6).drop("_rn")
+      .withColumn("yr", col("yr") + 1)
+      .withColumn("_ctx", lit(true))
+    val all = byYear.withColumn("_ctx", lit(false)).unionByName(context)
+    val w = Window.partitionBy("yr").orderBy(col("day")).rowsBetween(-6, Window.currentRow)
+    all
+      .select(
+        col("day"),
+        col("cents"),
+        (sum(col("cents")).over(w).cast("double") / count(lit(1)).over(w)).as("mov7"),
+        col("_ctx"))
+      .where(!col("_ctx"))
+      .drop("_ctx")
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w1_running_total" -> (w1RunningTotal _),
     "w2_lag_delta" -> (w2LagDelta _),
     "w3_rank_tiles" -> (w3RankTiles _),
-    "w4_moving_avg" -> (w4MovingAvg _))
+    "w4_moving_avg" -> (w4MovingAvg _),
+    "w5_moving_avg_part" -> (w5MovingAvgPart _))
 
   val oracles: Map[String, String] = Map(
     "w1_running_total" -> w1Oracle,
     "w2_lag_delta" -> w2Oracle,
     "w3_rank_tiles" -> w3Oracle,
-    "w4_moving_avg" -> w4Oracle)
+    "w4_moving_avg" -> w4Oracle,
+    // identical oracle text to w4 — the partitioned overlap plan must
+    // reproduce the global-window answer exactly
+    "w5_moving_avg_part" -> w4Oracle)
 }

@@ -40,4 +40,27 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(twice.where($"k" === "x").select("cnt", "total").head() ==
       org.apache.spark.sql.Row(3L, 5L))
   }
+
+  test("full retraction of a group's non-NULL rows publishes NULL, not 0 (nn masking)") {
+    // group "a": one non-NULL row + one NULL-measure row in base; the delta
+    // retracts the non-NULL row — surviving multiset is {NULL}, so the
+    // from-scratch sum is NULL, and refresh must agree (not 5 + (-5) = 0)
+    val base = Seq(("a", Some(5L), 1L), ("a", None, 1L), ("b", Some(2L), 1L))
+      .toDF("k", "v", "w")
+    val delta = Seq(("a", Some(5L), -1L)).toDF("k", "v", "w")
+    val state = IncrementalAgg.full(base, Seq("k"), col("w"), sums)
+    val got = IncrementalAgg.refresh(state, delta, Seq("k"), col("w"), sums)
+    val want = IncrementalAgg.full(base.unionByName(delta), Seq("k"), col("w"), sums)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    val a = got.where($"k" === "a").select("cnt", "total").head()
+    assert(a.getLong(0) == 1L && a.isNullAt(1), s"expected (1, NULL), got $a")
+
+    // an all-NULL group stays NULL through refresh too
+    val nullBase = Seq(("z", Option.empty[Long], 1L)).toDF("k", "v", "w")
+    val st2 = IncrementalAgg.full(nullBase, Seq("k"), col("w"), sums)
+    val more = Seq(("z", Option.empty[Long], 1L)).toDF("k", "v", "w")
+    val r2 = IncrementalAgg.refresh(st2, more, Seq("k"), col("w"), sums)
+      .where($"k" === "z").select("cnt", "total").head()
+    assert(r2.getLong(0) == 2L && r2.isNullAt(1))
+  }
 }
