@@ -131,15 +131,41 @@ object YqlTextQueries {
       |                  WHERE o.o_totalprice > 2.5e+5 AND o.o_custkey = c.c_custkey)
       |ORDER BY cust LIMIT 50""".stripMargin
 
+  /** y5: the next breadth notch — `SELECT * WITHOUT col` (YQL's star-minus
+    * projection, Spark `* EXCEPT`), `String::Contains`, and the Math module
+    * over the documents corpus. `sqrt` runs on an exactly-summed BIGINT so
+    * the double is identical cross-engine.
+    */
+  def y5YqlWithout(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    YqlFrontend.run(spark,
+      """
+      $d = select * without text from documents
+            where String::Contains(text, 'data') and not String::StartsWith(lang, 'x');
+      select lang, count(1) as n_docs, sum(n_chars) as chars,
+             cast(Math::Floor(Math::Sqrt(cast(sum(n_chars) as double))) as Int64) as sqrt_chars
+        from $d group by lang order by lang;
+      """).get
+  }
+
+  val y5Oracle: String =
+    """SELECT lang, count(1) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars,
+      |       CAST(floor(sqrt(CAST(sum(n_chars) AS DOUBLE))) AS BIGINT) AS sqrt_chars
+      |FROM documents
+      |WHERE contains(text, 'data') AND NOT starts_with(lang, 'x')
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "y1_yql_project" -> (y1YqlProject _),
     "y2_yql_exclusion" -> (y2YqlExclusion _),
     "y3_yql_federation" -> (y3YqlFederation _),
-    "y4_yql_only_limit" -> (y4YqlOnlyLimit _))
+    "y4_yql_only_limit" -> (y4YqlOnlyLimit _),
+    "y5_yql_without" -> (y5YqlWithout _))
 
   val oracles: Map[String, String] = Map(
     "y1_yql_project" -> y1Oracle,
     "y2_yql_exclusion" -> y2Oracle,
     "y3_yql_federation" -> y3Oracle,
-    "y4_yql_only_limit" -> y4Oracle)
+    "y4_yql_only_limit" -> y4Oracle,
+    "y5_yql_without" -> y5Oracle)
 }

@@ -135,13 +135,63 @@ object YqlFrontend {
     "datetime::getyear"       -> "year",
     "datetime::getmonth"      -> "month",
     "datetime::getdayofmonth" -> "day",
+    "datetime::getdayofyear"  -> "dayofyear",
     "datetime::gethour"       -> "hour",
     "datetime::getminute"     -> "minute",
     "datetime::getsecond"     -> "second",
     "string::asciitolower"    -> "lower",
     "string::asciitoupper"    -> "upper",
+    "string::tolower"         -> "lower",  // Spark lower IS unicode-aware
+    "string::toupper"         -> "upper",
+    "string::contains"        -> "contains",
+    "string::startswith"      -> "startswith",
+    "string::endswith"        -> "endswith",
+    "string::strip"           -> "trim",
+    "string::joinfromlist"    -> "array_join",  // (list, sep) both sides
+    "string::replaceall"      -> "replace",     // literal (non-regex) both sides
     "math::abs"               -> "abs",
-    "math::round"             -> "round")
+    "math::round"             -> "round",
+    "math::sqrt"              -> "sqrt",
+    "math::pow"               -> "power",
+    "math::exp"               -> "exp",
+    "math::log"               -> "ln",          // YQL Math::Log is natural log
+    "math::log2"              -> "log2",
+    "math::log10"             -> "log10",
+    "math::sin"               -> "sin",
+    "math::cos"               -> "cos",
+    "math::tan"               -> "tan",
+    "math::atan"              -> "atan",
+    "math::ceil"              -> "ceiling",
+    "math::floor"             -> "floor")
+
+  /** YQL bare-name builtins (mostly the List* family) whose Spark builtin
+    * has IDENTICAL argument order and semantics. Anything with a semantic
+    * gap (ListConcat's string-join, SplitToList's literal-vs-regex
+    * separator) is deliberately absent — those reach Spark's parser and
+    * fail loudly rather than silently computing something else.
+    */
+  private val BuiltinFns: Map[String, String] = Map(
+    "listlength"  -> "size",
+    "listhas"     -> "array_contains",
+    "listsort"    -> "array_sort",
+    "listreverse" -> "reverse",
+    "listextend"  -> "concat",
+    "listuniq"    -> "array_distinct",
+    "listmax"     -> "array_max",
+    "listmin"     -> "array_min",
+    "aslist"      -> "array")
+
+  /** Rename [[BuiltinFns]] calls: a bare identifier directly applied to an
+    * argument list, not preceded by `.`/`::` (those are member / module
+    * positions handled elsewhere).
+    */
+  private def rewriteBuiltinFns(ts: Vector[String]): Vector[String] =
+    ts.zipWithIndex.map { case (t, i) =>
+      if (isIdent(t) && i + 1 < ts.length && ts(i + 1) == "(" &&
+          (i == 0 || (ts(i - 1) != "." && ts(i - 1) != "::")))
+        BuiltinFns.getOrElse(t.toLowerCase, t)
+      else t
+    }
 
   private def rewriteModuleFns(ts: Vector[String]): Vector[String] = {
     val out = Vector.newBuilder[String]
@@ -216,6 +266,33 @@ object YqlFrontend {
           ts(i + 1).equalsIgnoreCase("only") && ts(i + 2).equalsIgnoreCase("join")) {
         throw new IllegalArgumentException(
           "YQL: RIGHT ONLY JOIN is not supported — swap the sides and use LEFT ONLY JOIN")
+      } else { out += ts(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** YQL `SELECT * WITHOUT a, b` — star expansion minus named columns —
+    * is Spark's `SELECT * EXCEPT (a, b)` exactly (both drop the columns
+    * from the expansion and fail on unknown names). Applies to `t.*` too.
+    * A WITHOUT not following a star is left for Spark's parser to reject.
+    */
+  private def rewriteWithout(ts: Vector[String]): Vector[String] = {
+    def strip(t: String) = if (t.startsWith("`")) t.substring(1, t.length - 1) else t
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < ts.length) {
+      if (ts(i).equalsIgnoreCase("without") && i > 0 && ts(i - 1) == "*" &&
+          i + 1 < ts.length && isIdent(strip(ts(i + 1)))) {
+        val cols = Vector.newBuilder[String]
+        cols += strip(ts(i + 1))
+        var j = i + 2
+        while (j + 1 < ts.length && ts(j) == "," && isIdent(strip(ts(j + 1)))) {
+          cols += strip(ts(j + 1)); j += 2
+        }
+        out += "EXCEPT" += "("
+        out ++= cols.result().flatMap(c => Vector(c, ",")).dropRight(1)
+        out += ")"
+        i = j
       } else { out += ts(i); i += 1 }
     }
     out.result()
@@ -520,8 +597,9 @@ object YqlFrontend {
     }
 
     def body(ts: Vector[String]): Vector[String] =
-      rewriteExclusionJoins(rewriteFlattenBy(rewriteGroupByAlias(rewriteCasts(rewriteModuleFns(
-        rewriteOnlyJoins(substitute(rewriteTables(ts, resolver))))))))
+      rewriteExclusionJoins(rewriteFlattenBy(rewriteGroupByAlias(rewriteWithout(rewriteCasts(
+        rewriteBuiltinFns(rewriteModuleFns(
+          rewriteOnlyJoins(substitute(rewriteTables(ts, resolver))))))))))
 
     val isSubqueryBinding: Vector[String] => Boolean =
       s => s.length > 4 && s(0).startsWith("$") && s(1) == "=" && s(2) == "(" &&

@@ -184,6 +184,44 @@ class YqlFrontendSpec extends AnyFunSuite {
     assert(rows.length == 1 && rows(0).getInt(0) == 1 && rows(0).getString(1) == "small")
   }
 
+  test("SELECT * WITHOUT maps to star-EXCEPT; multi-column and t.* forms") {
+    val s1 = YqlFrontend.translate("select * without a from t;").sql.toUpperCase
+    assert(s1.contains("* EXCEPT ( A )"))
+    val s2 = YqlFrontend.translate("select p.* without a, `b` from t p;").sql.toUpperCase
+    assert(s2.contains("* EXCEPT ( A , B )"))
+    spark.sql("SELECT 1 AS a, 2 AS b, 3 AS c").createOrReplaceTempView("yql_wo")
+    val df = YqlFrontend.run(spark, "select * without b from yql_wo;").get
+    assert(df.columns.toSeq == Seq("a", "c"))
+    // a WITHOUT not following a star is not YQL; Spark's parser rejects it
+    intercept[Exception] {
+      YqlFrontend.run(spark, "select a without b from yql_wo;").get.collect()
+    }
+  }
+
+  test("List builtins and the Math/String modules map 1:1; gap'd names fail loudly") {
+    val r = YqlFrontend.run(spark,
+      """select ListLength(AsList(3, 1, 2)) as n, ListSort(AsList(3, 1, 2)) as srt,
+        |       ListHas(AsList(1, 2), 2) as has, ListUniq(ListExtend(AsList(1), AsList(1, 2))) as uq,
+        |       Math::Pow(2.0, 10.0) as p, Math::Floor(Math::Log2(1024.0)) as lg,
+        |       String::ReplaceAll('a.b.c', '.', '-') as rep, String::Strip('  x ') as st,
+        |       String::Contains('haystack', 'stack') as c1, String::EndsWith('file.csv', '.csv') as c2
+        |  from (select 1);""".stripMargin).get.head()
+    assert(r.getInt(0) == 3)
+    assert(r.getSeq[Int](1) == Seq(1, 2, 3))
+    assert(r.getBoolean(2))
+    assert(r.getSeq[Int](3) == Seq(1, 2))
+    assert(r.getDouble(4) == 1024.0)
+    assert(r.getLong(5) == 10L) // Spark floor(double) → BIGINT (DuckDB keeps DOUBLE)
+    assert(r.getString(6) == "a-b-c" && r.getString(7) == "x")
+    assert(r.getBoolean(8) && r.getBoolean(9))
+    // ListConcat (string-join, not list-append) is a semantic gap: unmapped,
+    // so it reaches Spark's analyzer and fails loudly instead of silently
+    // concatenating lists
+    intercept[Exception] {
+      YqlFrontend.run(spark, "select ListConcat(AsList('a','b')) from (select 1);").get.collect()
+    }
+  }
+
   // -- the reference's three texts, verbatim ---------------------------
 
   private val root = Files.createTempDirectory("graft-yql").toString
