@@ -1,0 +1,201 @@
+package graft
+
+import java.nio.file.{Files, LinkOption, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** sf1 scale probe: nothing in this repo had ever executed above sf0.1, so
+  * a scale cliff (super-linear candidate growth in an LSH join, a window
+  * that stops fitting a partition) would first be seen on a real cluster.
+  * This main synthesizes a `factor`× corpus from an existing SF directory,
+  * times the corpus families (dedup / similarity / corpus-prep) at both
+  * scales, and reports per-query wall-clock ratios so anything scaling
+  * worse than the data growth is flagged before it ships.
+  *
+  * Synthesis (documents + embeddings only — the families under probe read
+  * nothing else; the remaining tables are symlinked from the base SF so
+  * every `SparkEntry` query still resolves):
+  *  - ids are re-keyed `old * factor + r`, keeping them distinct and dense
+  *    and keeping the bounded query blocks (`vec_id < 50`) bounded;
+  *  - replica r=0 is the base corpus byte-for-byte; replicas r>0 get a
+  *    deterministic per-(doc,r) suffix so they are NEAR-duplicates, except
+  *    ~10% (hash-picked) which stay exact clones — a re-crawl-shaped dup
+  *    rate rather than a degenerate every-doc-×10 clone corpus that would
+  *    inflate every candidate join quadratically by construction;
+  *  - embeddings get ±1% deterministic element noise for r>0 (same
+  *    rationale: near-dup structure, not collapsed identical vectors).
+  *
+  * The probe is diagnostic, not an oracle gate: scaled data never feeds
+  * DuckDB. Results land in `target/bench_sf1.json`; SCALE.md records the
+  * conclusions.
+  */
+object ScaleProbe {
+
+  /** Query-name prefixes probed: the document/embedding families. */
+  private val Families: Set[Char] = Set('d', 's', 'v')
+
+  def synthesize(spark: SparkSession, baseDir: String, outDir: String, factor: Int): Unit = {
+    val out = Paths.get(outDir)
+    val marker = out.resolve("_PROBE_OK")
+    val stamp = s"factor=$factor base=$baseDir"
+    if (Files.exists(marker) && new String(Files.readAllBytes(marker)) == stamp) return
+    Files.createDirectories(out)
+
+    val reps = broadcast(spark.range(factor.toLong).select(col("id").cast("int").as("r")))
+
+    val docs = Tables.documents(spark, baseDir)
+    docs.crossJoin(reps)
+      .withColumn("doc_id", col("doc_id") * factor + col("r"))
+      .withColumn("text",
+        when(col("r") === 0 || pmod(hash(col("doc_id"), col("r")), lit(10)) === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" zq"),
+            substring(md5(concat(col("doc_id").cast("string"), lit(":"), col("r").cast("string"))), 1, 6))))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(math.max(8, factor))
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    Tables.embeddings(spark, baseDir).crossJoin(reps)
+      .withColumn("vec_id", col("vec_id") * factor + col("r"))
+      .withColumn("embedding", expr(
+        "transform(embedding, (x, i) -> x + CAST(pmod(hash(vec_id, i), 1000) - 500 AS FLOAT)" +
+          " / 50000.0F * CAST(IF(r = 0, 0, 1) AS FLOAT))"))
+      .select("vec_id", "embedding", "label")
+      .repartition(math.max(8, factor))
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    Tables.names.filterNot(n => n == "documents" || n == "embeddings").foreach { n =>
+      val link = out.resolve(s"$n.parquet")
+      if (!Files.exists(link, LinkOption.NOFOLLOW_LINKS))
+        Files.createSymbolicLink(link, Paths.get(baseDir, s"$n.parquet").toAbsolutePath)
+    }
+    Files.write(marker, stamp.getBytes("UTF-8"))
+  }
+
+  /** Per-query budget: a probe exists to FIND blow-ups, so a query that
+    * exceeds this at the scaled SF is itself the finding — cancel its jobs
+    * (job-group cancel, the supported way to abort a running action) and
+    * record the timeout instead of wedging the whole battery behind it.
+    */
+  private val QueryTimeoutSec: Int =
+    sys.env.getOrElse("SPARK_GRAFT_PROBE_TIMEOUT_SEC", "300").toInt
+
+  /** Min-of-`reps` wall-clock of `fn(spark, dir).count()` plus the result
+    * cardinality; None on failure/timeout. Rows disambiguate the ratio
+    * analysis: a candidate-driven operator (near-dup pairs) legitimately
+    * costs Θ(output), so runtime ratio ≈ row ratio is linear-in-work even
+    * when it exceeds the data growth factor.
+    */
+  private def time(spark: SparkSession, dir: String, name: String,
+                   fn: (SparkSession, String) => DataFrame, reps: Int): Option[(Double, Long)] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val runs = (1 to reps).flatMap { _ =>
+      val t0 = System.nanoTime()
+      // drop d-family shared caches BETWEEN reps too: min-of-reps must
+      // measure the cold query, not rep2 reading rep1's persisted
+      // intermediates (which understated d4/d5 by >10x in the first run)
+      queries.DedupQueries.unpersistShared()
+      val attempt = Future {
+        spark.sparkContext.setJobGroup(s"probe-$name", name, interruptOnCancel = true)
+        try fn(spark, dir).count() finally spark.sparkContext.clearJobGroup()
+      }
+      try { val n = Await.result(attempt, QueryTimeoutSec.seconds)
+            Some(((System.nanoTime() - t0) / 1e9, n)) }
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          spark.sparkContext.cancelJobGroup(s"probe-$name")
+          System.err.println(s"[probe] TIMEOUT after ${QueryTimeoutSec}s: $name"); None
+        case t: Throwable =>
+          System.err.println(s"[probe] FAILED: ${t.getClass.getSimpleName}: ${t.getMessage}"); None
+      }
+    }
+    if (runs.nonEmpty) Some(runs.minBy(_._1)) else None
+  }
+
+  /** `--pairstats <dir>`: d5 near-dup pair-graph shape at a given SF —
+    * edge count, degree skew, wedge count (= the d8 triangle join's input
+    * cardinality, Σ indeg·outdeg over the a<b orientation). This is the
+    * number that explains a d8 blow-up: wedges grow with the square of
+    * cluster sizes, so a dup-dense corpus explodes it quadratically.
+    */
+  private def pairStats(spark: SparkSession, dir: String): Unit = {
+    val e = queries.DedupQueries.d5SimhashPairs(spark, dir)
+      .select(col("da").as("a"), col("db").as("b")).persist()
+    val edges = e.count()
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val wedges = e.groupBy("a").agg(count(lit(1)).as("out"))
+      .join(e.groupBy("b").agg(count(lit(1)).as("in")), col("a") === col("b"))
+      .agg(sum(col("in") * col("out"))).head.get(0)
+    val top = deg.orderBy(col("deg").desc).limit(5).collect()
+      .map(r => s"${r.get(0)}:${r.get(1)}").mkString(", ")
+    println(s"[pairstats] dir=$dir edges=$edges wedges=$wedges topDeg=[$top]")
+    e.unpersist()
+    queries.DedupQueries.unpersistShared()
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--pairstats")) {
+      val spark = GraftSession.prepare(GraftSession.local("graft-pairstats"))
+      args.drop(1).foreach(d => pairStats(spark, d))
+      spark.stop(); return
+    }
+    val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val outDir = if (args.length > 2) args(2) else s"target/sfprobe/x$factor"
+    val spark = GraftSession.prepare(GraftSession.local("graft-scale-probe"))
+
+    synthesize(spark, baseDir, outDir, factor)
+
+    val probed = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => Families.contains(name.head) }
+
+    // JIT/codegen warmup at the smallest SF so base timings are steady-state
+    probed.foreach { case (_, fn) =>
+      try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => () }
+    }
+    queries.DedupQueries.unpersistShared()
+
+    val rows = probed.map { case (name, fn) =>
+      val base = time(spark, baseDir, name, fn, reps = 2)
+      queries.DedupQueries.unpersistShared()
+      val scaled = time(spark, outDir, name, fn, reps = 2)
+      queries.DedupQueries.unpersistShared()
+      println(f"[probe] $name%-22s base=${base.map(_._1).getOrElse(Double.NaN)}%7.2fs " +
+        f"x$factor=${scaled.map(_._1).getOrElse(Double.NaN)}%7.2fs " +
+        f"ratio=${(for (b <- base; s <- scaled) yield s._1 / b._1).getOrElse(Double.NaN)}%6.2f " +
+        f"rows=${base.map(_._2).getOrElse(-1L)}->${scaled.map(_._2).getOrElse(-1L)}")
+      (name, base, scaled)
+    }
+
+    val qjson = rows.map { case (name, b, s) =>
+      val ratio = for (bb <- b; ss <- s) yield ss._1 / bb._1
+      s""""$name":{"base":${b.map(_._1).getOrElse(-1.0)},"scaled":${s.map(_._1).getOrElse(-1.0)},""" +
+        s""""ratio":${ratio.getOrElse(-1.0)},"rows_base":${b.map(_._2).getOrElse(-1L)},""" +
+        s""""rows_scaled":${s.map(_._2).getOrElse(-1L)}}"""
+    }.mkString("{", ",", "}")
+    val failed = rows.collect { case (n, b, s) if b.isEmpty || s.isEmpty => "\"" + n + "\"" }
+      .mkString("[", ",", "]")
+    // flag anything growing faster than BOTH the data factor and its own
+    // output growth (2x headroom for the noisy host; sub-second baselines
+    // make small ratios meaningless)
+    val superlinear = rows.collect {
+      case (n, Some((bt, bn)), Some((st, sn)))
+          if st / bt > factor * 2.0 && st > 2.0 &&
+             st / bt > 2.0 * (sn.toDouble / math.max(1L, bn)) => "\"" + n + "\""
+    }.mkString("[", ",", "]")
+    val total = rows.flatMap(_._3.map(_._1)).sum
+    val line = s"""{"metric":"sf_probe_total","value":$total,"unit":"sec","factor":$factor,""" +
+      s""""base":"$baseDir","scaled":"$outDir","queries":$qjson,"failed":$failed,""" +
+      s""""superlinear":$superlinear}"""
+    println(line)
+    Files.createDirectories(Paths.get("target"))
+    Files.write(Paths.get("target/bench_sf1.json"), line.getBytes("UTF-8"))
+    spark.stop()
+  }
+}

@@ -291,8 +291,26 @@ object DedupQueries {
        |ORDER BY da, db""".stripMargin
 
   private val EmbDim = 64
-  private val EmbBands = 4      // 4 bands × 4 hyperplanes = 16 signs per vector
-  private val EmbBandPlanes = 4
+  private val EmbBands = 4      // 4 bands × (adaptive ≥ 4) hyperplanes
+  private val EmbBandPlanesMin = 4
+  private val EmbTargetBucket = 128 // hold E[band bucket] ≈ this as n grows;
+  // 128 keeps the width at the 4-plane floor through sf0.1 (n=2000), so
+  // the gate's hash-match holds at BOTH its SFs
+
+  /** Hyperplanes per d6 band for an n-vector corpus: the sf1 probe showed
+    * a FIXED band key space (4 planes → 16 buckets) makes expected bucket
+    * size n/16 and the candidate join n²/16 — quadratic, 224× wall-clock
+    * at 10× data. Holding E[bucket] constant needs key cardinality ∝ n,
+    * i.e. planes ∝ log₂(n): buckets stay ~EmbTargetBucket and the
+    * candidate join stays ~n·bucket = linear. Recall per band drops as
+    * planes grow (standard LSH trade-off — compensate with more bands if
+    * the corpus demands it); at the correctness gate's corpora (sf0.001/
+    * sf0.01: 500 vectors, sf0.1: 2000) this floors at the historical 4
+    * planes, so the DuckDB oracle contract is unchanged at every gate SF.
+    */
+  private[queries] def embPlanesFor(n: Long): Int =
+    math.max(EmbBandPlanesMin,
+      math.ceil(math.log(math.max(1L, n).toDouble / EmbTargetBucket) / math.log(2)).toInt)
 
   /** Hyperplane p as a double[] literal — same md5-derived family as the
     * ANN queries ([[SimilarityQueries.weightInt]]), extended past p=8.
@@ -301,10 +319,10 @@ object DedupQueries {
     array((0 until EmbDim).map(d =>
       lit(SimilarityQueries.weightInt(p, d)).cast("double") / lit(1000.0)): _*)
 
-  /** 4-bit band key: bit i = [dot(v, w_{band·4+i}) > 0]. */
-  private def embBandKey(v: Column, band: Int): Column =
-    (0 until EmbBandPlanes).map { i =>
-      when(Vectors.dotD(v, embPlaneCol(band * EmbBandPlanes + i)) > 0,
+  /** `planes`-bit band key: bit i = [dot(v, w_{band·planes+i}) > 0]. */
+  private def embBandKey(v: Column, band: Int, planes: Int): Column =
+    (0 until planes).map { i =>
+      when(Vectors.dotD(v, embPlaneCol(band * planes + i)) > 0,
         lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -312,35 +330,41 @@ object DedupQueries {
     (0 until EmbDim).map(d =>
       s"${SimilarityQueries.weightInt(p, d)} / 1000.0").mkString("[", ", ", "]")
 
-  private def embBandKeySql(vExpr: String, band: Int): String =
-    (0 until EmbBandPlanes).map { i =>
+  private def embBandKeySql(vExpr: String, band: Int, planes: Int): String =
+    (0 until planes).map { i =>
       val dot = s"list_reduce(list_prepend(0.0, list_transform(list_zip($vExpr, " +
-        s"${embPlaneSql(band * EmbBandPlanes + i)}), s -> s[1] * s[2])), (x, y) -> x + y)"
+        s"${embPlaneSql(band * planes + i)}), s -> s[1] * s[2])), (x, y) -> x + y)"
       s"CASE WHEN $dot > 0 THEN ${1L << i} ELSE 0 END"
     }.mkString("(", " + ", ")")
 
   /** Embedding-cosine near-dup pairs, LSH-banded: anchors (vec_id ≡ 0
     * mod 5) pair only with vectors sharing at least one of 4 random-
-    * hyperplane band keys (4 signs each); candidates then cosine-verify
-    * at ≥ 0.35. The band key is an equi-join key, so the candidate step
-    * is a hash-partitioned shuffle over a slim (id, band, key) relation
+    * hyperplane band keys; candidates then cosine-verify at ≥ 0.35. The
+    * band key is an equi-join key, so the candidate step is a
+    * hash-partitioned shuffle over a slim (id, band, key) relation
     * — no nested-loop pass, vectors rejoin only for the verify — which
     * is the shape that survives 100 TB (cf. the exact brute-force pair
     * scan this replaced, which was anchors × corpus quadratic).
-    * Approximate recall (high for true near-dups by the hyperplane-LSH
-    * collision bound), bit-deterministic given the md5 hash family, so
-    * the oracle reproduces it exactly.
+    * Band WIDTH is adaptive ([[embPlanesFor]]): the sf1 probe caught the
+    * fixed 4-plane key space going quadratic (224× at 10× data), so the
+    * key cardinality now tracks the corpus and the candidate join stays
+    * ~n·EmbTargetBucket. Approximate recall (high for true near-dups by
+    * the hyperplane-LSH collision bound), bit-deterministic given the
+    * md5 hash family AND the corpus count, so the oracle reproduces it
+    * exactly at the gate's scale.
     */
   def d6EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     graft.GraftSession.prepare(spark)
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
       .withColumn("n2", Vectors.norm2D(col("v"))) // widen + norm once per vector, not per pair
+    // count() is metadata-only on parquet (no columns survive pruning)
+    val planes = embPlanesFor(Tables.embeddings(spark, dir).count())
     // slim banded relation: band keys only — the 64-dim vectors stay out
     // of the candidate shuffle entirely
     val bands = e
       .select(col("vec_id") +:
-        (0 until EmbBands).map(b => embBandKey(col("v"), b).as(s"k$b")): _*)
+        (0 until EmbBands).map(b => embBandKey(col("v"), b, planes).as(s"k$b")): _*)
       .select(col("vec_id"), explode(array((0 until EmbBands).map(b =>
         struct(lit(b).as("band"), col(s"k$b").as("bkey"))): _*)).as("bk"))
       .select(col("vec_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
@@ -359,8 +383,11 @@ object DedupQueries {
   }
 
   val d6Oracle: String = {
+    // the gate's corpora (sf0.001/sf0.01: 500 vectors) sit at the
+    // adaptive floor, so the oracle pins the 4-plane banding
+    val planes = embPlanesFor(500)
     val bandSelects = (0 until EmbBands).map(b =>
-      s"SELECT vec_id, $b AS band, ${embBandKeySql("v", b)} AS bkey FROM e")
+      s"SELECT vec_id, $b AS band, ${embBandKeySql("v", b, planes)} AS bkey FROM e")
       .mkString("\n  UNION ALL ")
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
        |bands AS (
@@ -378,25 +405,68 @@ object DedupQueries {
        |SELECT va, vb, cos FROM p WHERE cos >= 0.35 ORDER BY va, vb""".stripMargin
   }
 
-  /** Duplicate *clusters* from the SimHash pair graph: connected components
-    * turn pairwise near-dup hits into groups; component = min doc_id is the
-    * survivor each group keeps. Default algorithm: alternating large-star/
-    * small-star (operators.ConnectedComponents.alternatingStars) — O(log n)
-    * rounds on ANY topology including adversarial chains, and it measures
-    * at-or-below the min-label variant even on the small-diameter graphs
-    * where min-label shines (min-of-3 at sf0.1: 2.5 s vs 2.9 s). The
-    * min-label form remains available as ConnectedComponents.apply. The
-    * oracle reproduces the clustering with a recursive CTE (transitive
-    * closure — affordable for the oracle's small graph; the Spark side is
-    * the scalable path).
+  /** Distinct-fingerprint collapse of the SimHash near-dup graph: one node
+    * per simhash VALUE, with multiplicity m and the min doc_id carrying it.
+    * Within a value every doc pair is a near-dup edge (hamming 0, bands
+    * trivially collide); across two values, band collision and hamming
+    * depend ONLY on the values — so the doc-level pair graph is exactly
+    * the multiplicity blow-up of this collapsed graph, and d7/d8 computed
+    * on the collapse are EXACT, not approximations. This is what survives
+    * a dup-dense corpus: the sf1 probe measured a 3,000-doc identical
+    * cluster making the doc-level pair set 8.76M edges and the d8 wedge
+    * join 2.76e9 rows, while the collapsed graph stays near the distinct-
+    * value count.
+    */
+  private def simhashGroups(spark: SparkSession, dir: String): DataFrame =
+    d4Simhash(spark, dir).groupBy("simhash")
+      .agg(count(lit(1)).as("m"), min("doc_id").as("min_id"))
+
+  /** Collapsed near-dup edges between DISTINCT simhash values — same
+    * band-collision + hamming≤3 rule as [[d5SimhashPairs]], on a relation
+    * whose worst bucket is the number of distinct values per band key,
+    * not the number of documents.
+    */
+  private def groupEdges(groups: DataFrame): DataFrame = {
+    val bands = groups.select(col("simhash"),
+        explode(sequence(lit(0), lit(SimhashBands - 1))).as("band"))
+      .withColumn("bkey", expr("(simhash >> (band * 8)) & 255"))
+    bands.as("a").join(bands.as("b"), Seq("band", "bkey"))
+      .where(col("a.simhash") < col("b.simhash"))
+      .where(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= 3)
+      .select(col("a.simhash").as("su"), col("b.simhash").as("sv"))
+      .distinct()
+  }
+
+  /** Duplicate *clusters* from the SimHash near-dup relation: connected
+    * components turn pairwise near-dup hits into groups; component = min
+    * doc_id is the survivor each group keeps. Runs on the distinct-
+    * fingerprint collapse ([[simhashGroups]]): components over the
+    * collapsed edge set (alternating large-star/small-star, O(log n)
+    * rounds), multiplicity-m values with no cross edge kept as their own
+    * component, labels mapped back to docs by one equi-join on the
+    * signature. Output is identical to components over the doc-level
+    * pair graph (the r5 form) — the collapse is exact — but the edge set
+    * no longer grows with the square of duplicate-cluster sizes. The
+    * oracle reproduces the clustering with a recursive CTE over the
+    * doc-level pairs (transitive closure — affordable for the oracle's
+    * small graph; the Spark side is the scalable path).
     */
   def d7DupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = d5SimhashPairs(spark, dir).select(col("da"), col("db"))
-    val labels = graft.operators.ConnectedComponents.alternatingStars(pairs)
-      .withColumnRenamed("id", "doc_id")
-    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "comp")
-      .select(col("doc_id"), col("comp").as("component"), col("cluster_size"))
+    val g = simhashGroups(spark, dir)
+    val labels = graft.operators.ConnectedComponents.alternatingStars(groupEdges(g))
+    // values with ≥2 docs but no cross-value edge: internal clique only
+    val lone = g.where(col("m") >= 2)
+      .join(labels, g("simhash") === labels("id"), "left_anti")
+      .select(col("simhash").as("id"), col("simhash").as("comp"))
+    val byValue = labels.unionByName(lone)
+      .join(g, col("id") === col("simhash"))
+      .select(col("simhash"), col("comp"), col("m"), col("min_id"))
+    val byComp = byValue.groupBy("comp")
+      .agg(min("min_id").as("component"), sum("m").as("cluster_size"))
+    d4Simhash(spark, dir)
+      .join(byValue.select("simhash", "comp"), "simhash")
+      .join(byComp, "comp")
+      .select(col("doc_id"), col("component"), col("cluster_size"))
       .orderBy("doc_id")
   }
 
@@ -415,17 +485,40 @@ object DedupQueries {
 
   /** d8: triangle count in the near-dup pair graph — the density signal
     * that distinguishes a genuine duplicate cluster (clique-like, many
-    * triangles) from chained false positives (path-like, none). The
-    * canonical distributed formulation: orient every edge small→large id,
-    * then one self-join on the middle vertex + one edge-existence
-    * semi-join — two hash shuffles, no per-node adjacency materialization.
+    * triangles) from chained false positives (path-like, none).
+    *
+    * Multigraph formulation over the distinct-fingerprint collapse
+    * ([[simhashGroups]]) — exact, because the doc-level graph is the
+    * multiplicity blow-up of the collapsed graph. A doc-level triangle has
+    * its 3 corners in 1, 2, or 3 distinct values, giving three closed
+    * forms: Σ C(m,3) per value; Σ [C(mu,2)·mv + mu·C(mv,2)] per collapsed
+    * edge; Σ mu·mv·mw per collapsed triangle (wedge join + edge
+    * semi-join, the canonical oriented-triangle shape, but on the
+    * distinct-value graph). The r5 doc-level wedge join was the probe's
+    * worst cliff — 2.76e9 wedge rows at 10× data (cluster sizes ×10 →
+    * wedges ×1000, cubic); the collapsed wedge join does the same
+    * counting arithmetically per value-triple.
     */
   def d8Triangles(spark: SparkSession, dir: String): DataFrame = {
-    val e = d5SimhashPairs(spark, dir).select(col("da").as("a"), col("db").as("b"))
-    val wedges = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
-      .select(col("e1.a").as("wa"), col("e1.b").as("wb"), col("e2.b").as("wc"))
-    wedges.join(e.as("e3"), col("wa") === col("e3.a") && col("wc") === col("e3.b"), "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
+    val g = simhashGroups(spark, dir)
+    val e = groupEdges(g)
+    val gm = g.select(col("simhash"), col("m"))
+    val t1 = g.agg(coalesce(sum(expr("m * (m - 1) * (m - 2) div 6")), lit(0L)).as("t"))
+    val withM = e
+      .join(gm.select(col("simhash").as("su"), col("m").as("mu")), "su")
+      .join(gm.select(col("simhash").as("sv"), col("m").as("mv")), "sv")
+    val t2 = withM.agg(coalesce(
+      sum(expr("(mu * (mu - 1) div 2) * mv + mu * (mv * (mv - 1) div 2)")), lit(0L)).as("t"))
+    val wedges = e.as("e1").join(e.as("e2"), col("e1.sv") === col("e2.su"))
+      .select(col("e1.su").as("u"), col("e1.sv").as("v"), col("e2.sv").as("w"))
+    val tri = wedges.join(e.as("e3"),
+        col("u") === col("e3.su") && col("w") === col("e3.sv"), "left_semi")
+    val t3 = tri
+      .join(gm.select(col("simhash").as("u"), col("m").as("mu")), "u")
+      .join(gm.select(col("simhash").as("v"), col("m").as("mv")), "v")
+      .join(gm.select(col("simhash").as("w"), col("m").as("mw")), "w")
+      .agg(coalesce(sum(expr("mu * mv * mw")), lit(0L)).as("t"))
+    t1.unionByName(t2).unionByName(t3).agg(sum("t").as("n_triangles"))
   }
 
   val d8Oracle: String =

@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+
+/** The sf-probe synthesizer must produce a corpus that is a faithful
+  * `factor`× scale-up: exact row multiples, still-distinct dense ids, the
+  * declared near-dup structure (replica 0 byte-identical, replicas
+  * perturbed except the ~10% hash-picked exact clones), recomputed
+  * `n_chars`, and every non-scaled table still resolvable via the
+  * symlinks — so probe timings measure the engine, not synthesis bugs.
+  */
+class ScaleProbeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val base = "/root/testdata/sf0.001"
+  private val factor = 3
+  private lazy val out: String = {
+    val dir = Files.createTempDirectory("graft-probe").toString + "/x3"
+    ScaleProbe.synthesize(spark, base, dir, factor)
+    dir
+  }
+
+  test("documents and embeddings scale by exactly factor, ids distinct") {
+    val d0 = Tables.documents(spark, base).count()
+    val e0 = Tables.embeddings(spark, base).count()
+    val d = Tables.documents(spark, out)
+    val e = Tables.embeddings(spark, out)
+    assert(d.count() == d0 * factor)
+    assert(e.count() == e0 * factor)
+    assert(d.select("doc_id").distinct().count() == d0 * factor)
+    assert(e.select("vec_id").distinct().count() == e0 * factor)
+  }
+
+  test("replica 0 is the base corpus byte-for-byte; n_chars recomputed") {
+    val d = Tables.documents(spark, out)
+    val r0 = d.where(pmod(col("doc_id"), lit(factor)) === 0)
+      .select((col("doc_id") / factor).cast("long").as("doc_id"), col("text"))
+    val mismatch = r0.as("a")
+      .join(Tables.documents(spark, base).as("b"), Seq("doc_id"))
+      .where(col("a.text") =!= col("b.text")).count()
+    assert(mismatch == 0, "replica 0 must be unperturbed")
+    assert(d.where(col("n_chars") =!= length(col("text"))).count() == 0)
+  }
+
+  test("replicas are near-dups: some exact clones, most perturbed") {
+    val d = Tables.documents(spark, out)
+    val byText = d.groupBy("text").agg(count(lit(1)).as("n"))
+    // hash-picked exact clones exist, but nothing like every doc ×factor
+    assert(byText.where(col("n") > 1).count() > 0, "expected some exact clones")
+    val dupRate = byText.where(col("n") > 1).agg(sum("n")).head.getLong(0).toDouble / d.count()
+    assert(dupRate < 0.5, s"dup rate $dupRate — corpus collapsed to clones")
+  }
+
+  test("symlinked tables resolve and a dedup query runs on the scaled dir") {
+    assert(Tables.lineitem(spark, out).count() == Tables.lineitem(spark, base).count())
+    assert(queries.DedupQueries.d1ExactDedup(spark, out).count() > 0)
+    queries.DedupQueries.unpersistShared()
+  }
+
+  test("synthesize is idempotent: a matching marker skips the rewrite") {
+    val marker = Paths.get(out, "_PROBE_OK")
+    val before = Files.getLastModifiedTime(marker)
+    ScaleProbe.synthesize(spark, base, out, factor)
+    assert(Files.getLastModifiedTime(marker) == before)
+  }
+}
