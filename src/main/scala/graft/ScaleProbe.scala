@@ -34,8 +34,12 @@ import graft.sources.Tables
   */
 object ScaleProbe {
 
-  /** Query-name prefixes probed: the document/embedding families. */
-  private val Families: Set[Char] = Set('d', 's', 'v')
+  /** Query-name prefixes probed: the document/embedding families by
+    * default (dedup / similarity / corpus-prep); override with e.g.
+    * `SPARK_GRAFT_PROBE_FAMILIES=dsvt` to include text analysis.
+    */
+  private val Families: Set[Char] =
+    sys.env.getOrElse("SPARK_GRAFT_PROBE_FAMILIES", "dsv").toSet
 
   def synthesize(spark: SparkSession, baseDir: String, outDir: String, factor: Int): Unit = {
     val out = Paths.get(outDir)
