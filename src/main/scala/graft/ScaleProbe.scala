@@ -44,7 +44,7 @@ object ScaleProbe {
   def synthesize(spark: SparkSession, baseDir: String, outDir: String, factor: Int): Unit = {
     val out = Paths.get(outDir)
     val marker = out.resolve("_PROBE_OK")
-    val stamp = s"factor=$factor base=$baseDir"
+    val stamp = s"v2 factor=$factor base=$baseDir" // v2: events scaled too
     if (Files.exists(marker) && new String(Files.readAllBytes(marker)) == stamp) return
     Files.createDirectories(out)
 
@@ -71,7 +71,23 @@ object ScaleProbe {
       .repartition(math.max(8, factor))
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
-    Tables.names.filterNot(n => n == "documents" || n == "embeddings").foreach { n =>
+    // events ×factor: replicated USERS (new user_id/event_id keyspace,
+    // same per-user activity shape) — horizontal growth, which is how an
+    // event stream actually scales. The file is physically
+    // TIMESTAMP(NANOS); `Tables.events` reads it as raw nanos under the
+    // legacy flag, so the scaled copy keeps ts as the raw long — the
+    // reader path is then byte-identical to the driver corpus.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val evLink = out.resolve("events.parquet")
+    if (Files.isSymbolicLink(evLink)) Files.delete(evLink) // v1 layout linked it
+    spark.read.parquet(s"$baseDir/events.parquet").crossJoin(reps)
+      .withColumn("event_id", col("event_id") * factor + col("r"))
+      .withColumn("user_id", col("user_id") * factor + col("r"))
+      .drop("r")
+      .repartition(math.max(8, factor))
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
+    Tables.names.filterNot(n => Set("documents", "embeddings", "events")(n)).foreach { n =>
       val link = out.resolve(s"$n.parquet")
       if (!Files.exists(link, LinkOption.NOFOLLOW_LINKS))
         Files.createSymbolicLink(link, Paths.get(baseDir, s"$n.parquet").toAbsolutePath)

@@ -62,6 +62,16 @@ class ScaleProbeSpec extends AnyFunSuite {
     queries.DedupQueries.unpersistShared()
   }
 
+  test("events scale by factor through the raw-nanos reader path") {
+    val e0 = Tables.events(spark, base)
+    val e = Tables.events(spark, out)
+    assert(e.count() == e0.count() * factor)
+    assert(e.select("user_id").distinct().count() ==
+      e0.select("user_id").distinct().count() * factor)
+    // ts survived the raw-long round-trip: same min/max per replica set
+    assert(e.agg(min("ts"), max("ts")).head() == e0.agg(min("ts"), max("ts")).head())
+  }
+
   test("synthesize is idempotent: a matching marker skips the rewrite") {
     val marker = Paths.get(out, "_PROBE_OK")
     val before = Files.getLastModifiedTime(marker)
