@@ -22,8 +22,21 @@ object DedupQueries {
   private val MinhashFns = 12   // hash family size
   private val BandRows = 2      // MinHash rows per band → 6 bands
   private val ShingleDfCap = 100 // drop shingles shared by > cap docs (skew guard)
-  private val SimhashBits = 32
-  private val SimhashBands = 4  // 8 bits per band
+  /** 64-bit SimHash with 4×16-bit bands (pigeonhole-complete for
+    * Hamming ≤ 3, same as the previous 4×8 over 32 bits). The width is a
+    * 100 TB requirement, not a tuning knob: a 32-bit sketch has 2³²
+    * values, so at ~10¹¹ documents EVERY value is occupied (~25 docs
+    * each) and even the distinct-fingerprint collapse is a dense 2³²-node
+    * graph with 8-bit band buckets of 2²⁴ values; at 64 bits the value
+    * space (1.8e19) stays sparse at any realistic corpus and the 16-bit
+    * band buckets stay ~n/65536. Bit 63's place value is Long.MinValue
+    * (two's complement) on BOTH engines — the oracle sums place values in
+    * hugeint and lands exactly on the signed 64-bit value.
+    */
+  private val SimhashBits = 64
+  private val SimhashBands = 4  // 16 bits per band
+  private val SimhashBandBits = SimhashBits / SimhashBands
+  private val SimhashBandMask = (1L << SimhashBandBits) - 1
 
   /** Universal-hash family h_j(x) = (a_j·h32(x) + b_j) mod p over ONE md5
     * base hash — 12 multiplications instead of 12 md5 digests per shingle
@@ -201,20 +214,26 @@ object DedupQueries {
        |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
        |ORDER BY da, db""".stripMargin
 
-  /** Term-frequency-weighted 32-bit SimHash per document. One aggregation
-    * with 32 codegen'd sum expressions (one per bit) — no 32× row
+  /** Term-frequency-weighted 64-bit SimHash per document. One aggregation
+    * with 64 codegen'd sum expressions (one per bit) — no 64× row
     * explosion, no second shuffle; the per-bit sums then assemble into the
-    * signature in a single projection.
+    * signature in a single projection. See the [[SimhashBits]] note for
+    * why 64 bits is the 100 TB requirement.
     */
   def d4Simhash(spark: SparkSession, dir: String): DataFrame = {
+    // two 60-bit md5-derived hashes cover the 64 bit positions: seed 99
+    // serves bits 0–31 (as the 32-bit sketch did), seed 98 bits 32–63
     val tf = tokensDf(spark, dir)
       .select(col("doc_id"), explode(col("tk")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
       .withColumn("hv", Text.md5LongSeeded(col("tok"), 99))
+      .withColumn("hv2", Text.md5LongSeeded(col("tok"), 98))
+    def bitSrc(b: Int): Column =
+      if (b < 32) shiftright(col("hv"), b) else shiftright(col("hv2"), b - 32)
     val bitSums = tf.groupBy("doc_id").agg(
-      sum(col("tf") * (shiftright(col("hv"), 0).bitwiseAND(lit(1L)) * 2 - 1)).as("s0"),
+      sum(col("tf") * (bitSrc(0).bitwiseAND(lit(1L)) * 2 - 1)).as("s0"),
       (1 until SimhashBits).map(b =>
-        sum(col("tf") * (shiftright(col("hv"), b).bitwiseAND(lit(1L)) * 2 - 1)).as(s"s$b")): _*)
+        sum(col("tf") * (bitSrc(b).bitwiseAND(lit(1L)) * 2 - 1)).as(s"s$b")): _*)
     // persisted: d5/d7/d8/t5 all build on the signature; Spark's cache
     // manager matches the identical logical plan across those calls, so
     // the corpus is hashed once per (session, dir), not once per query.
@@ -227,6 +246,19 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** DuckDB SQL for the 64-bit place value of bit `b` of the signature:
+    * bit 63's place is Long.MinValue in two's complement.
+    */
+  private val simhashPlaceSql =
+    "CASE WHEN b = 63 THEN -9223372036854775808 ELSE 1::BIGINT << b END"
+
+  /** DuckDB SQL for the seeded bit source of bit `b` (seed 99 bits 0–31,
+    * seed 98 bits 32–63 — mirrors [[d4Simhash]]'s bitSrc).
+    */
+  private val simhashBitSrcSql =
+    "CASE WHEN b < 32 THEN ('0x' || substr(md5('99:' || tok), 1, 15))::BIGINT >> b" +
+      " ELSE ('0x' || substr(md5('98:' || tok), 1, 15))::BIGINT >> (b - 32) END"
+
   val d4Oracle: String =
     s"""WITH toks AS (
        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') tk
@@ -234,20 +266,23 @@ object DedupQueries {
        |tf AS (SELECT doc_id, unnest(tk) tok FROM toks),
        |tfc AS (SELECT doc_id, tok, count(*) tf FROM tf GROUP BY 1, 2),
        |bits AS (
-       |  SELECT doc_id, b, sum(tf * (((('0x' || substr(md5('99:' || tok), 1, 15))::BIGINT >> b) & 1) * 2 - 1)) s
+       |  SELECT doc_id, b, sum(tf * ((($simhashBitSrcSql) & 1) * 2 - 1)) s
        |  FROM tfc, unnest(range(0, $SimhashBits)) AS r(b)
        |  GROUP BY 1, 2)
-       |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
+       |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN $simhashPlaceSql ELSE 0 END) AS BIGINT) AS simhash
        |FROM bits GROUP BY 1 ORDER BY doc_id""".stripMargin
 
-  /** SimHash near-dup pairs: band-partitioned candidates (4×8-bit bands —
+  /** SimHash near-dup pairs: band-partitioned candidates (4×16-bit bands —
     * pigeonhole-complete for Hamming ≤ 3), verified by popcount of the XOR.
+    * The arithmetic-vs-logical shift question is moot: every band's top
+    * bit index is ≤ 63, so the masked low 16 bits are identical either way
+    * on both engines.
     */
   def d5SimhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val sim = d4Simhash(spark, dir)
     val bands = sim.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(SimhashBands - 1))).as("band"))
-      .withColumn("bkey", expr("(simhash >> (band * 8)) & 255"))
+      .withColumn("bkey", expr(s"(simhash >> (band * $SimhashBandBits)) & $SimhashBandMask"))
     val cand = bands.as("a").join(bands.as("b"), Seq("band", "bkey"))
       .where(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
@@ -272,11 +307,11 @@ object DedupQueries {
        |  FROM documents),
        |tfc AS (SELECT doc_id, tok, count(*) tf FROM (SELECT doc_id, unnest(tk) tok FROM toks) GROUP BY 1, 2),
        |bits AS (
-       |  SELECT doc_id, b, sum(tf * (((('0x' || substr(md5('99:' || tok), 1, 15))::BIGINT >> b) & 1) * 2 - 1)) s
+       |  SELECT doc_id, b, sum(tf * ((($simhashBitSrcSql) & 1) * 2 - 1)) s
        |  FROM tfc, unnest(range(0, $SimhashBits)) AS r(b) GROUP BY 1, 2),
-       |sim AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash FROM bits GROUP BY 1),
+       |sim AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN $simhashPlaceSql ELSE 0 END) AS BIGINT) AS simhash FROM bits GROUP BY 1),
        |bands AS (
-       |  SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS bkey
+       |  SELECT doc_id, simhash, band, (simhash >> (band * $SimhashBandBits)) & $SimhashBandMask AS bkey
        |  FROM sim, unnest(range(0, $SimhashBands)) AS r(band)),
        |cand AS (
        |  SELECT DISTINCT a.doc_id da, b.doc_id db, a.simhash sa, b.simhash sb
@@ -429,7 +464,7 @@ object DedupQueries {
   private def groupEdges(groups: DataFrame): DataFrame = {
     val bands = groups.select(col("simhash"),
         explode(sequence(lit(0), lit(SimhashBands - 1))).as("band"))
-      .withColumn("bkey", expr("(simhash >> (band * 8)) & 255"))
+      .withColumn("bkey", expr(s"(simhash >> (band * $SimhashBandBits)) & $SimhashBandMask"))
     bands.as("a").join(bands.as("b"), Seq("band", "bkey"))
       .where(col("a.simhash") < col("b.simhash"))
       .where(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= 3)
