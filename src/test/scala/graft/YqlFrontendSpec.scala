@@ -222,6 +222,28 @@ class YqlFrontendSpec extends AnyFunSuite {
     }
   }
 
+  test("ANSI constructs pass through untouched: named windows, EXISTS/IN, BETWEEN, CASE") {
+    spark.sql("SELECT * FROM VALUES (1, 10.0), (2, 5.0), (3, 20.0), (4, 1.0) AS t(k, amt)")
+      .createOrReplaceTempView("yql_ansi")
+    // named WINDOW clause survives the rewriter and Spark resolves it
+    val w = YqlFrontend.run(spark,
+      """$r = (select k, amt, row_number() over w as rn from yql_ansi
+        |       window w as (order by amt desc));
+        |select k, rn from $r where rn <= 2 order by rn;""".stripMargin).get.collect()
+    assert(w.map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((3, 1), (1, 2)))
+    // EXISTS / IN subqueries, BETWEEN, CASE — clause-level FROM rewriting
+    // must not touch the inner relations' usage as expression operands
+    val rows = YqlFrontend.run(spark,
+      """select k,
+        |       case when amt between 4.0 and 15.0 then 'mid' else 'edge' end as bucket
+        |  from yql_ansi a
+        | where exists (select 1 from yql_ansi b where b.k = a.k + 1)
+        |   and k in (select k from yql_ansi where amt > 2.0)
+        | order by k;""".stripMargin).get.collect()
+    assert(rows.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "mid"), (2, "mid"), (3, "edge")))
+  }
+
   // -- the reference's three texts, verbatim ---------------------------
 
   private val root = Files.createTempDirectory("graft-yql").toString
