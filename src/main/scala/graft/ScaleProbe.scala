@@ -44,7 +44,7 @@ object ScaleProbe {
   def synthesize(spark: SparkSession, baseDir: String, outDir: String, factor: Int): Unit = {
     val out = Paths.get(outDir)
     val marker = out.resolve("_PROBE_OK")
-    val stamp = s"v2 factor=$factor base=$baseDir" // v2: events scaled too
+    val stamp = s"v3 factor=$factor base=$baseDir" // v3: facts scaled too
     if (Files.exists(marker) && new String(Files.readAllBytes(marker)) == stamp) return
     Files.createDirectories(out)
 
@@ -87,7 +87,24 @@ object ScaleProbe {
       .repartition(math.max(8, factor))
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
 
-    Tables.names.filterNot(n => Set("documents", "embeddings", "events")(n)).foreach { n =>
+    // facts ×factor, FK-consistent: orders get a rekeyed o_orderkey per
+    // replica and their lineitems follow with the same rekey; customers/
+    // parts/suppliers stay the base dims (facts grow faster than
+    // dimensions — the realistic shape, and it keeps dim joins
+    // broadcast-sized at any factor). Same customer base ⇒ factor× orders
+    // per customer.
+    val scaled = Set("documents", "embeddings", "events", "orders", "lineitem")
+    Seq("orders" -> "o_orderkey", "lineitem" -> "l_orderkey").foreach { case (t, key) =>
+      val link = out.resolve(s"$t.parquet")
+      if (Files.isSymbolicLink(link)) Files.delete(link) // pre-v3 layout linked it
+      Tables.load(spark, baseDir, t).crossJoin(reps)
+        .withColumn(key, col(key) * factor + col("r"))
+        .drop("r")
+        .repartition(math.max(8, factor))
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+
+    Tables.names.filterNot(scaled).foreach { n =>
       val link = out.resolve(s"$n.parquet")
       if (!Files.exists(link, LinkOption.NOFOLLOW_LINKS))
         Files.createSymbolicLink(link, Paths.get(baseDir, s"$n.parquet").toAbsolutePath)

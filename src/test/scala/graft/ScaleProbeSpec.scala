@@ -57,9 +57,18 @@ class ScaleProbeSpec extends AnyFunSuite {
   }
 
   test("symlinked tables resolve and a dedup query runs on the scaled dir") {
-    assert(Tables.lineitem(spark, out).count() == Tables.lineitem(spark, base).count())
+    assert(Tables.customer(spark, out).count() == Tables.customer(spark, base).count())
     assert(queries.DedupQueries.d1ExactDedup(spark, out).count() > 0)
     queries.DedupQueries.unpersistShared()
+  }
+
+  test("facts scale FK-consistently: every scaled lineitem still has its order") {
+    val o = Tables.orders(spark, out)
+    val l = Tables.lineitem(spark, out)
+    assert(o.count() == Tables.orders(spark, base).count() * factor)
+    assert(l.count() == Tables.lineitem(spark, base).count() * factor)
+    val orphans = l.join(o, l("l_orderkey") === o("o_orderkey"), "left_anti").count()
+    assert(orphans == 0, s"$orphans lineitems lost their order under the rekey")
   }
 
   test("events scale by factor through the raw-nanos reader path") {
