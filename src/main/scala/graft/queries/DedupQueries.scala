@@ -487,7 +487,9 @@ object DedupQueries {
     * small graph; the Spark side is the scalable path).
     */
   def d7DupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val g = simhashGroups(spark, dir)
+    // the collapse is tiny by construction (≤ distinct signatures) and
+    // g feeds three branches — persist both, lifecycle-tracked
+    val g = tracked(simhashGroups(spark, dir).persist())
     val labels = graft.operators.ConnectedComponents.alternatingStars(groupEdges(g))
     // values with ≥2 docs but no cross-value edge: internal clique only
     val lone = g.where(col("m") >= 2)
@@ -535,8 +537,13 @@ object DedupQueries {
     * counting arithmetically per value-triple.
     */
   def d8Triangles(spark: SparkSession, dir: String): DataFrame = {
-    val g = simhashGroups(spark, dir)
-    val e = groupEdges(g)
+    // e is consumed FOUR times (t2, both wedge sides, the closure
+    // semi-join): unpersisted, Spark recomputes the band join per use —
+    // the 100x probe saw one rep time out while its twin ran 34 s on
+    // exactly that recomputation variance. Both frames are small by
+    // construction (collapse ≤ distinct signatures).
+    val g = tracked(simhashGroups(spark, dir).persist())
+    val e = tracked(groupEdges(g).persist())
     val gm = g.select(col("simhash"), col("m"))
     val t1 = g.agg(coalesce(sum(expr("m * (m - 1) * (m - 2) div 6")), lit(0L)).as("t"))
     val withM = e
