@@ -7,6 +7,11 @@ import org.apache.spark.sql.SparkSession
   * engine cost, not first-query JVM compilation.
   */
 object Bench {
+  /** Locale-pinned "%.4f": the f-interpolator honors the default locale,
+    * and a comma decimal separator would corrupt the JSON line. */
+  private def s4(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.prepare(GraftSession.local("graft-bench"))
@@ -35,21 +40,33 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       val good = runs.filter(_._2).map(_._1)
-      (name, if (good.nonEmpty) Some(good.min) else None)
+      val best = if (good.nonEmpty) Some(good.min) else None
+      // per-query progress line (plain text, NOT JSON — the driver must
+      // only ever see one parseable line): survives any stdout-tail
+      // truncation of the final summary
+      System.err.println(s"[bench] $name ${best.map(s4).getOrElse("FAILED")}")
+      (name, best)
     }
     queries.DedupQueries.unpersistShared()
     val ok = results.collect { case (k, Some(v)) => k -> v }
     val failed = results.collect { case (k, None) => k }
-    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // 4-decimal (0.1 ms) timings: full-double rendering made the 104-query
+    // line >4 KiB and the round-6 driver artifact truncated it mid-line
+    // (parsed:null, only the last ~64 queries visible). Rounded, the whole
+    // line fits a 4 KiB stdout tail.
+    val qs = ok.map { case (k, v) => s""""$k":${s4(v)}""" }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${s4(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // sbt decorates stdout with [info] prefixes (round-1 driver record
-    // shows parsed:null); the undecorated line is also left on disk
+    // shows parsed:null); the undecorated line is also left on disk —
+    // target/ for tooling, repo root so the round commit preserves the
+    // full per-query map even if the driver's stdout capture truncates
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
-    java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),
-      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    for (p <- Seq("target/bench.json", "BENCH_last.json"))
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

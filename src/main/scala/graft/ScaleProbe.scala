@@ -131,7 +131,14 @@ object ScaleProbe {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
-    val runs = (1 to reps).flatMap { _ =>
+    val runs = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+    var rep = 0
+    var timedOut = false
+    // a timeout ends the battery entry for this query: min-of-reps is
+    // already known (the finding IS the timeout), and rep 2 would wedge
+    // the whole battery another QueryTimeoutSec for no information
+    while (rep < reps && !timedOut) {
+      rep += 1
       val t0 = System.nanoTime()
       // drop d-family shared caches BETWEEN reps too: min-of-reps must
       // measure the cold query, not rep2 reading rep1's persisted
@@ -142,13 +149,14 @@ object ScaleProbe {
         try fn(spark, dir).count() finally spark.sparkContext.clearJobGroup()
       }
       try { val n = Await.result(attempt, QueryTimeoutSec.seconds)
-            Some(((System.nanoTime() - t0) / 1e9, n)) }
+            runs += (((System.nanoTime() - t0) / 1e9, n)) }
       catch {
         case _: java.util.concurrent.TimeoutException =>
           spark.sparkContext.cancelJobGroup(s"probe-$name")
-          System.err.println(s"[probe] TIMEOUT after ${QueryTimeoutSec}s: $name"); None
+          System.err.println(s"[probe] TIMEOUT after ${QueryTimeoutSec}s: $name")
+          timedOut = true
         case t: Throwable =>
-          System.err.println(s"[probe] FAILED: ${t.getClass.getSimpleName}: ${t.getMessage}"); None
+          System.err.println(s"[probe] FAILED: ${t.getClass.getSimpleName}: ${t.getMessage}")
       }
     }
     if (runs.nonEmpty) Some(runs.minBy(_._1)) else None

@@ -343,7 +343,7 @@ object DedupQueries {
     * sf0.01: 500 vectors, sf0.1: 2000) this floors at the historical 4
     * planes, so the DuckDB oracle contract is unchanged at every gate SF.
     */
-  private[queries] def embPlanesFor(n: Long): Int =
+  private[graft] def embPlanesFor(n: Long): Int =
     math.max(EmbBandPlanesMin,
       math.ceil(math.log(math.max(1L, n).toDouble / EmbTargetBucket) / math.log(2)).toInt)
 
@@ -417,10 +417,20 @@ object DedupQueries {
       .orderBy("va", "vb")
   }
 
+  /** Largest corpus for which [[embPlanesFor]] still returns the floor —
+    * the boundary of the static-oracle contract below. */
+  private[graft] val EmbFloorMaxVectors: Long =
+    (EmbTargetBucket.toLong << EmbBandPlanesMin) // n/128 ≤ 2^4 ⇔ n ≤ 2048
+
   val d6Oracle: String = {
-    // the gate's corpora (sf0.001/sf0.01: 500 vectors) sit at the
-    // adaptive floor, so the oracle pins the 4-plane banding
-    val planes = embPlanesFor(500)
+    // CONTRACT: the oracle is a static SQL string, so it pins the
+    // adaptive-floor banding (4 planes). That is only valid while every
+    // gate corpus sits at the floor, i.e. has ≤ EmbFloorMaxVectors = 2048
+    // vectors (sf0.001/sf0.01: 500; sf0.1: 2000). ScaleProbeSpec asserts
+    // this against the real gate parquet so adding a larger gate SF fails
+    // loudly here instead of surfacing as an unexplained hash mismatch.
+    val planes = EmbBandPlanesMin
+    assert(planes == embPlanesFor(500) && planes == embPlanesFor(EmbFloorMaxVectors))
     val bandSelects = (0 until EmbBands).map(b =>
       s"SELECT vec_id, $b AS band, ${embBandKeySql("v", b, planes)} AS bkey FROM e")
       .mkString("\n  UNION ALL ")
@@ -545,12 +555,22 @@ object DedupQueries {
     val g = tracked(simhashGroups(spark, dir).persist())
     val e = tracked(groupEdges(g).persist())
     val gm = g.select(col("simhash"), col("m"))
-    val t1 = g.agg(coalesce(sum(expr("m * (m - 1) * (m - 2) div 6")), lit(0L)).as("t"))
+    // The closed-form products run in DECIMAL(38,0): 64-bit m*(m-1)*(m-2)
+    // overflows once a single fingerprint's multiplicity passes ~2.6M docs
+    // (plausible boilerplate clusters at the 100 TB design point), and
+    // under ANSI mode that's a runtime throw, not a wrong answer. Decimal
+    // holds per-value multiplicities to ~10^10 (product < 10^32 after the
+    // exact /6); only the final triangle total narrows back to BIGINT,
+    // which a real corpus cannot exceed (9.2e18 triangles).
+    val zero = lit(0L).cast("decimal(38,0)")
+    val t1 = g.agg(coalesce(sum(expr(
+      "CAST(CAST(m AS DECIMAL(38,0)) * (m - 1) * (m - 2) / 6 AS DECIMAL(38,0))")), zero).as("t"))
     val withM = e
       .join(gm.select(col("simhash").as("su"), col("m").as("mu")), "su")
       .join(gm.select(col("simhash").as("sv"), col("m").as("mv")), "sv")
-    val t2 = withM.agg(coalesce(
-      sum(expr("(mu * (mu - 1) div 2) * mv + mu * (mv * (mv - 1) div 2)")), lit(0L)).as("t"))
+    val t2 = withM.agg(coalesce(sum(expr(
+      "CAST((CAST(mu AS DECIMAL(38,0)) * (mu - 1) / 2) * mv" +
+        " + (CAST(mv AS DECIMAL(38,0)) * (mv - 1) / 2) * mu AS DECIMAL(38,0))")), zero).as("t"))
     val wedges = e.as("e1").join(e.as("e2"), col("e1.sv") === col("e2.su"))
       .select(col("e1.su").as("u"), col("e1.sv").as("v"), col("e2.sv").as("w"))
     val tri = wedges.join(e.as("e3"),
@@ -559,8 +579,10 @@ object DedupQueries {
       .join(gm.select(col("simhash").as("u"), col("m").as("mu")), "u")
       .join(gm.select(col("simhash").as("v"), col("m").as("mv")), "v")
       .join(gm.select(col("simhash").as("w"), col("m").as("mw")), "w")
-      .agg(coalesce(sum(expr("mu * mv * mw")), lit(0L)).as("t"))
-    t1.unionByName(t2).unionByName(t3).agg(sum("t").as("n_triangles"))
+      .agg(coalesce(sum(expr(
+        "CAST(CAST(mu AS DECIMAL(38,0)) * mv * mw AS DECIMAL(38,0))")), zero).as("t"))
+    t1.unionByName(t2).unionByName(t3)
+      .agg(sum("t").cast("long").as("n_triangles"))
   }
 
   val d8Oracle: String =

@@ -238,7 +238,12 @@ object YqlFrontend {
         if (i + 2 < ts.length && ts(i + 1) == "." && (isIdent(ts(i + 2)) || ts(i + 2).startsWith("`"))) {
           out += resolver.table(Some(strip(ts(i))), strip(ts(i + 2)))
           i += 3
-        } else { out += strip(ts(i)); i += 1 }
+        } else {
+          // bare backquoted identifier (e.g. a reserved-word column like
+          // `order`): keep the user's quoting — Spark's parser accepts
+          // backquoted names everywhere, and stripping breaks them
+          out += ts(i); i += 1
+        }
       } else if ((ts(i).equalsIgnoreCase("from") || ts(i).equalsIgnoreCase("join")) &&
           !fnArgDepth.headOption.getOrElse(false) &&
           i + 1 < ts.length && isIdent(ts(i + 1)) && !ts(i + 1).startsWith("$") &&
@@ -283,11 +288,14 @@ object YqlFrontend {
     while (i < ts.length) {
       if (ts(i).equalsIgnoreCase("without") && i > 0 && ts(i - 1) == "*" &&
           i + 1 < ts.length && isIdent(strip(ts(i + 1)))) {
+        // emit the ORIGINAL (possibly backquoted) token: Spark accepts
+        // backquoted names inside EXCEPT, and stripping the quotes would
+        // break reserved-word identifiers like `order`
         val cols = Vector.newBuilder[String]
-        cols += strip(ts(i + 1))
+        cols += ts(i + 1)
         var j = i + 2
         while (j + 1 < ts.length && ts(j) == "," && isIdent(strip(ts(j + 1)))) {
-          cols += strip(ts(j + 1)); j += 2
+          cols += ts(j + 1); j += 2
         }
         out += "EXCEPT" += "("
         out ++= cols.result().flatMap(c => Vector(c, ",")).dropRight(1)

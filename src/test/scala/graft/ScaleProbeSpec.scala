@@ -87,4 +87,22 @@ class ScaleProbeSpec extends AnyFunSuite {
     ScaleProbe.synthesize(spark, base, out, factor)
     assert(Files.getLastModifiedTime(marker) == before)
   }
+
+  test("every gate SF sits at the d6 adaptive-plane floor (static-oracle contract)") {
+    // d6Oracle is a static SQL string pinning the 4-plane floor banding;
+    // that contract holds only while every gate corpus has at most
+    // EmbFloorMaxVectors embeddings. Assert against the REAL gate parquet
+    // so a future, larger gate SF fails here with a named cause rather
+    // than as an unexplained d6 hash mismatch.
+    val gateDirs = Seq("sf0.001", "sf0.01", "sf0.1")
+      .map(s => s"/root/testdata/$s").filter(d => Files.exists(Paths.get(d)))
+    assert(gateDirs.nonEmpty)
+    gateDirs.foreach { dir =>
+      val n = Tables.embeddings(spark, dir).count()
+      assert(n <= queries.DedupQueries.EmbFloorMaxVectors &&
+        queries.DedupQueries.embPlanesFor(n) == queries.DedupQueries.embPlanesFor(1),
+        s"$dir has $n vectors — above the adaptive floor; d6Oracle's pinned " +
+          "banding no longer matches the Spark side (re-pin the oracle)")
+    }
+  }
 }

@@ -188,10 +188,14 @@ class YqlFrontendSpec extends AnyFunSuite {
     val s1 = YqlFrontend.translate("select * without a from t;").sql.toUpperCase
     assert(s1.contains("* EXCEPT ( A )"))
     val s2 = YqlFrontend.translate("select p.* without a, `b` from t p;").sql.toUpperCase
-    assert(s2.contains("* EXCEPT ( A , B )"))
+    assert(s2.contains("* EXCEPT ( A , `B` )")) // user quoting preserved
     spark.sql("SELECT 1 AS a, 2 AS b, 3 AS c").createOrReplaceTempView("yql_wo")
     val df = YqlFrontend.run(spark, "select * without b from yql_wo;").get
     assert(df.columns.toSeq == Seq("a", "c"))
+    // a backquoted reserved word survives the rewrite with its quoting
+    spark.sql("SELECT 1 AS `order`, 2 AS b").createOrReplaceTempView("yql_wo_rw")
+    val rw = YqlFrontend.run(spark, "select * without `order` from yql_wo_rw;").get
+    assert(rw.columns.toSeq == Seq("b"))
     // a WITHOUT not following a star is not YQL; Spark's parser rejects it
     intercept[Exception] {
       YqlFrontend.run(spark, "select a without b from yql_wo;").get.collect()
