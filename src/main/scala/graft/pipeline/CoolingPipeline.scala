@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Yql
 import graft.operators.ExclusionJoin
-import graft.sources.{ColdStore, PaymentsSource}
+import graft.sources.{ColdStore, PaymentsSource, YearBucketedStore}
 
 /** The reference's whole DAG as one Spark driver program (SURVEY.md §2.9,
   * §3.1): per run, move one year of `payments` from the hot store to
@@ -62,13 +62,41 @@ final class CoolingPipeline(
 
   /** Q2 "check" (yq_dag.py:82-95): exclusion-join cardinality across the
     * two stores over the same window; 0 ⇔ the copy is faithful.
+    *
+    * Store-layout detection: when BOTH stores are year-co-bucketed
+    * catalog tables ([[graft.sources.YearBucketedStore]], the lake-to-lake
+    * 100 TB deployment) and the window is one whole year, the gate takes
+    * [[ExclusionJoin.countBucketed]] — zero data Exchange; the shuffle was
+    * paid once, at write time. Any other layout (the reference's live-PG
+    * hot store can't be bucket-aligned) takes the shuffle plan, which is
+    * the correct default there.
     */
-  def reconcile(spark: SparkSession, start: LocalDate, end: LocalDate): Long = {
-    val hot = windowFilter(source.scan(spark), start, end)
-      .select(reconcileKeys.map(col): _*)
-    val coldSide = windowFilter(cold.scan(spark), start, end)
-      .select(reconcileKeys.map(col): _*)
-    ExclusionJoin.count(hot, coldSide, reconcileKeys)
+  def reconcile(spark: SparkSession, start: LocalDate, end: LocalDate): Long =
+    bucketedPair(spark, start, end) match {
+      case Some((hotTable, coldTable)) =>
+        ExclusionJoin.countBucketed(spark, hotTable, coldTable, reconcileKeys)
+      case None =>
+        val hot = windowFilter(source.scan(spark), start, end)
+          .select(reconcileKeys.map(col): _*)
+        val coldSide = windowFilter(cold.scan(spark), start, end)
+          .select(reconcileKeys.map(col): _*)
+        ExclusionJoin.count(hot, coldSide, reconcileKeys)
+    }
+
+  /** The co-bucketed table pair for this window, when the layout supports
+    * the exchange-free gate: both stores year-bucketed with the SAME
+    * bucket count, a whole-year window, both year tables present. Exposed
+    * so specs can assert the plan the gate executes.
+    */
+  def bucketedPair(spark: SparkSession, start: LocalDate,
+                   end: LocalDate): Option[(String, String)] = (source, cold) match {
+    case (h: YearBucketedStore, c: YearBucketedStore)
+        if h.buckets == c.buckets &&
+          start.getDayOfYear == 1 && end == start.plusYears(1) &&
+          spark.catalog.tableExists(h.yearTable(start.getYear)) &&
+          spark.catalog.tableExists(c.yearTable(start.getYear)) =>
+      Some((h.yearTable(start.getYear), c.yearTable(start.getYear)))
+    case _ => None
   }
 
   /** One DAG run. Returns (year, rowsExported, diffCount). */

@@ -11,7 +11,7 @@ import org.apache.spark.sql.types._
   * required; we do the same so reads don't depend on footer sampling and the
   * nullability contract matches YQL's `Optional<T>` columns.
   */
-final class ColdStore(val base: String) {
+class ColdStore(val base: String) {
 
   /** Declared read schema of the binding (img/YQLink3.png). `payment_year`
     * is recovered by partition discovery, declared INT (Spark has no
