@@ -40,7 +40,22 @@ object IncrementalAgg {
     */
   final case class SumSpec(alias: String, delta: Column)
 
+  /** One maintained MIN/MAX pair (state columns `min_<alias>` /
+    * `max_<alias>`). Extrema are NOT retractable from (value, count)
+    * state — removing the current minimum says nothing about the next —
+    * so [[refreshWithExtrema]] needs the base relation: retraction-touched
+    * keys are re-aggregated from base ⊎ delta restricted to those keys
+    * (O(Δ + affected-key rows), not O(base) — provided the base's access
+    * path prunes on the key, e.g. partition/cluster on it; see SCALE.md).
+    * Insert-only-touched keys merge with least/greatest and never reread
+    * base. `delta` must be an expression resolvable against BOTH the
+    * changelog rows and the base rows (same column names).
+    */
+  final case class ExtremaSpec(alias: String, delta: Column)
+
   private def nn(alias: String): String = s"_nn_$alias"
+  private def minC(alias: String): String = s"min_$alias"
+  private def maxC(alias: String): String = s"max_$alias"
 
   /** Mask a raw additive sum by its non-NULL contribution count: 0
     * contributions ⇒ NULL (the from-scratch answer), else the raw sum
@@ -90,6 +105,94 @@ object IncrementalAgg {
           Seq(masked(mergedRaw, mergedNn, s.alias), mergedNn.as(nn(s.alias)))
         }): _*)
     combined.where(col("cnt") > 0)
+  }
+
+  /** Per-key MIN/MAX over the SURVIVING multiset of a weighted changelog:
+    * rows collapse on (keys, value-tuple) with Σweight as multiplicity,
+    * tuples with multiplicity ≤ 0 drop, extrema aggregate what remains.
+    * Exact for any changelog (retractions cancel matching tuples); NULL
+    * values ride along and are ignored by min/max, so an all-NULL group
+    * publishes NULL extrema like a from-scratch aggregate.
+    */
+  private def survivingExtrema(rows: DataFrame, keys: Seq[String], weight: Column,
+                               extrema: Seq[ExtremaSpec], prefix: String): DataFrame = {
+    val kc = keys.map(col)
+    val vNames = extrema.map(e => s"_v_${e.alias}")
+    val surv = rows
+      .select(kc ++ extrema.zip(vNames).map { case (e, v) => e.delta.as(v) } :+
+        weight.cast("long").as("_w"): _*)
+      .groupBy(kc ++ vNames.map(col): _*)
+      .agg(sum(col("_w")).as("_m"))
+      .where(col("_m") > 0)
+    val aggs = extrema.zip(vNames).flatMap { case (e, v) =>
+      Seq(min(col(v)).as(prefix + minC(e.alias)), max(col(v)).as(prefix + maxC(e.alias)))
+    }
+    surv.groupBy(kc: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** [[refresh]] plus MIN/MAX maintenance. Sums/counts refresh exactly as
+    * [[refresh]]; extrema take one of two paths per key:
+    *
+    *  - keys touched ONLY by inserts: `least`/`greatest` of the state's
+    *    extrema and the delta-insert extrema — no base access;
+    *  - keys touched by any retraction: exact re-aggregation over
+    *    base ⊎ delta RESTRICTED to those keys (semi-join), the O(Δ ·
+    *    affected) repair — never a full-base rescan in the plan shape,
+    *    and never a wrong "previous max lingers" answer.
+    *
+    * `refreshWithExtrema(fullWithExtrema(base), Δ, base) ==
+    * fullWithExtrema(base ⊎ Δ)` on every changelog (IncrementalAggSpec
+    * pins retract-the-min, full-retraction→NULL, and the stepwise
+    * property).
+    */
+  def refreshWithExtrema(state: DataFrame, delta: DataFrame, base: DataFrame,
+                         keys: Seq[String], weight: Column, sums: Seq[SumSpec],
+                         extrema: Seq[ExtremaSpec]): DataFrame = {
+    val refreshed = refresh(state, delta, keys, weight, sums)
+    if (extrema.isEmpty) return refreshed
+    val kc = keys.map(col)
+    // insert-merge side: per-key extrema of the positive-weight delta rows
+    val dInsAggs = extrema.flatMap(e => Seq(
+      min(e.delta).as(s"_di_${minC(e.alias)}"),
+      max(e.delta).as(s"_di_${maxC(e.alias)}")))
+    val dIns = delta.where(weight > 0).groupBy(kc: _*).agg(dInsAggs.head, dInsAggs.tail: _*)
+    val extState = state.select(kc ++ extrema.flatMap(e =>
+      Seq(col(minC(e.alias)), col(maxC(e.alias)))): _*)
+    // least/greatest skip NULLs, so a key present on one side only keeps
+    // the other side's extremum — exactly the merge semantics we need
+    val merged = extState.join(dIns, keys, "full_outer")
+      .select(kc ++ extrema.flatMap(e => Seq(
+        least(col(minC(e.alias)), col(s"_di_${minC(e.alias)}")).as(s"_mg_${minC(e.alias)}"),
+        greatest(col(maxC(e.alias)), col(s"_di_${maxC(e.alias)}")).as(s"_mg_${maxC(e.alias)}"))): _*)
+    // repair side: exact surviving-multiset extrema for retraction-touched keys
+    val touched = delta.where(weight < 0).select(kc: _*).distinct()
+    val contrib = base
+      .select(kc ++ extrema.map(e => e.delta.as(s"_v_${e.alias}")) :+ lit(1L).as("_cw"): _*)
+      .unionByName(delta.select(kc ++ extrema.map(e => e.delta.as(s"_v_${e.alias}")) :+
+        weight.cast("long").as("_cw"): _*))
+      .join(touched, keys, "left_semi")
+    val repaired = survivingExtrema(contrib, keys, col("_cw"),
+      extrema.map(e => ExtremaSpec(e.alias, col(s"_v_${e.alias}"))), "_rc_")
+    refreshed
+      .join(merged, keys, "left")
+      .join(repaired, keys, "left")
+      .join(touched.withColumn("_retr", lit(true)), keys, "left")
+      .select(kc ++ ("cnt" +: sums.flatMap(s => Seq(s.alias, nn(s.alias)))).map(col) ++
+        extrema.flatMap(e => Seq(
+          when(col("_retr"), col(s"_rc_${minC(e.alias)}"))
+            .otherwise(col(s"_mg_${minC(e.alias)}")).as(minC(e.alias)),
+          when(col("_retr"), col(s"_rc_${maxC(e.alias)}"))
+            .otherwise(col(s"_mg_${maxC(e.alias)}")).as(maxC(e.alias)))): _*)
+  }
+
+  /** [[full]] plus per-key MIN/MAX over the surviving multiset — the
+    * from-scratch twin of [[refreshWithExtrema]].
+    */
+  def fullWithExtrema(rows: DataFrame, keys: Seq[String], weight: Column,
+                      sums: Seq[SumSpec], extrema: Seq[ExtremaSpec]): DataFrame = {
+    val s = full(rows, keys, weight, sums)
+    if (extrema.isEmpty) s
+    else s.join(survivingExtrema(rows, keys, weight, extrema, ""), keys, "left")
   }
 
   /** The from-scratch form of the same aggregate — the correctness oracle

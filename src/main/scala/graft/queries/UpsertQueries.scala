@@ -112,13 +112,51 @@ object UpsertQueries {
       |SELECT prio, count(1) AS cnt, CAST(sum(cents) AS BIGINT) AS sum_cents
       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** u4: incremental MIN/MAX maintenance
+    * ([[graft.operators.IncrementalAgg.refreshWithExtrema]]) — the u3
+    * changelog shape, now also carrying per-priority min/max cents.
+    * Extrema are not retractable from additive state, so
+    * retraction-touched keys are exactly re-aggregated from base ⊎ Δ
+    * restricted to those keys (one semi-join), while insert-only keys
+    * merge with least/greatest and never reread base. The oracle
+    * aggregates the surviving rows directly, so the hash-match proves
+    * the two-path repair ≡ full recompute — including the "retract the
+    * current minimum" edge that naive min-merge gets wrong.
+    */
+  def u4IncrementalExtrema(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IncrementalAgg
+    import graft.operators.IncrementalAgg.{ExtremaSpec, SumSpec}
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderpriority").as("prio"), col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val sums = Seq(SumSpec("sum_cents", col("cents")))
+    val ext = Seq(ExtremaSpec("cents", col("cents")))
+    val base = o.where(col("o_orderkey") % 4 =!= 0)
+    val state = IncrementalAgg.fullWithExtrema(base, Seq("prio"), lit(1L), sums, ext)
+    val delta = o.where(col("o_orderkey") % 4 === 0).withColumn("w", lit(1L))
+      .unionByName(base.where(col("o_orderkey") % 7 === 0).withColumn("w", lit(-1L)))
+    IncrementalAgg.refreshWithExtrema(state, delta, base, Seq("prio"), col("w"), sums, ext)
+      .select("prio", "cnt", "sum_cents", "min_cents", "max_cents")
+      .orderBy("prio")
+  }
+
+  val u4Oracle: String =
+    """WITH t AS (
+      |  SELECT o_orderpriority AS prio, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 4 = 0 OR o_orderkey % 7 <> 0)
+      |SELECT prio, count(1) AS cnt, CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |       CAST(min(cents) AS BIGINT) AS min_cents, CAST(max(cents) AS BIGINT) AS max_cents
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "u1_argmax_aggregator" -> (u1ArgmaxAggregator _),
     "u2_upsert" -> (u2Upsert _),
-    "u3_incremental_agg" -> (u3IncrementalAgg _))
+    "u3_incremental_agg" -> (u3IncrementalAgg _),
+    "u4_incremental_extrema" -> (u4IncrementalExtrema _))
 
   val oracles: Map[String, String] = Map(
     "u1_argmax_aggregator" -> u1Oracle,
     "u2_upsert" -> u2Oracle,
-    "u3_incremental_agg" -> u3Oracle)
+    "u3_incremental_agg" -> u3Oracle,
+    "u4_incremental_extrema" -> u4Oracle)
 }

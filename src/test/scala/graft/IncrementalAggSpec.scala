@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.IncrementalAgg
-import graft.operators.IncrementalAgg.SumSpec
+import graft.operators.IncrementalAgg.{ExtremaSpec, SumSpec}
 
 class IncrementalAggSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -62,5 +62,62 @@ class IncrementalAggSpec extends AnyFunSuite {
     val r2 = IncrementalAgg.refresh(st2, more, Seq("k"), col("w"), sums)
       .where($"k" === "z").select("cnt", "total").head()
     assert(r2.getLong(0) == 2L && r2.isNullAt(1))
+  }
+
+  private val ext = Seq(ExtremaSpec("v", col("v")))
+
+  private def wantWithExt(rows: org.apache.spark.sql.DataFrame) =
+    IncrementalAgg.fullWithExtrema(rows, Seq("k"), col("w"), sums, ext)
+
+  test("extrema: retracting the current minimum surfaces the next one (base repair)") {
+    val base = Seq(("a", 1L), ("a", 5L), ("a", 9L), ("b", 10L)).toDF("k", "v")
+      .withColumn("w", lit(1L))
+    val delta = Seq(("a", 1L, -1L)).toDF("k", "v", "w")
+    val state = wantWithExt(base)
+    val got = IncrementalAgg.refreshWithExtrema(state, delta, base, Seq("k"), col("w"), sums, ext)
+    val want = wantWithExt(base.unionByName(delta))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(got.where($"k" === "a").select("min_v", "max_v").head() ==
+      org.apache.spark.sql.Row(5L, 9L)) // NOT the stale 1
+    // b untouched by retraction: carried through the merge path
+    assert(got.where($"k" === "b").select("min_v", "max_v").head() ==
+      org.apache.spark.sql.Row(10L, 10L))
+  }
+
+  test("extrema: insert-only keys merge without base access; new keys appear") {
+    val base = Seq(("a", 5L)).toDF("k", "v").withColumn("w", lit(1L))
+    val delta = Seq(("a", 2L, 1L), ("a", 8L, 1L), ("n", 3L, 1L)).toDF("k", "v", "w")
+    val state = wantWithExt(base)
+    // base deliberately WRONG here (empty) to prove inserts never reread it
+    val emptyBase = Seq.empty[(String, Long, Long)].toDF("k", "v", "w").drop("w")
+      .withColumn("w", lit(1L))
+    val got = IncrementalAgg.refreshWithExtrema(
+      state, delta, emptyBase, Seq("k"), col("w"), sums, ext)
+    assert(got.where($"k" === "a").select("min_v", "max_v").head() ==
+      org.apache.spark.sql.Row(2L, 8L))
+    assert(got.where($"k" === "n").select("cnt", "min_v", "max_v").head() ==
+      org.apache.spark.sql.Row(1L, 3L, 3L))
+  }
+
+  test("extrema: retracting every non-NULL value publishes NULL min/max") {
+    val base = Seq(("a", Some(4L), 1L), ("a", None, 1L)).toDF("k", "v", "w")
+    val delta = Seq(("a", Some(4L), -1L)).toDF("k", "v", "w")
+    val state = IncrementalAgg.fullWithExtrema(base, Seq("k"), col("w"), sums, ext)
+    val got = IncrementalAgg.refreshWithExtrema(state, delta, base, Seq("k"), col("w"), sums, ext)
+    val a = got.where($"k" === "a").select("cnt", "min_v", "max_v").head()
+    assert(a.getLong(0) == 1L && a.isNullAt(1) && a.isNullAt(2), s"expected (1, NULL, NULL), got $a")
+    val want = IncrementalAgg.fullWithExtrema(
+      base.unionByName(delta), Seq("k"), col("w"), sums, ext)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("extrema: duplicate-value retraction only cancels one multiplicity") {
+    // two identical (a, 7) rows; retracting one must keep min/max at 7
+    val base = Seq(("a", 7L), ("a", 7L), ("a", 9L)).toDF("k", "v").withColumn("w", lit(1L))
+    val delta = Seq(("a", 7L, -1L)).toDF("k", "v", "w")
+    val state = wantWithExt(base)
+    val got = IncrementalAgg.refreshWithExtrema(state, delta, base, Seq("k"), col("w"), sums, ext)
+    assert(got.where($"k" === "a").select("cnt", "min_v", "max_v").head() ==
+      org.apache.spark.sql.Row(2L, 7L, 9L))
   }
 }
