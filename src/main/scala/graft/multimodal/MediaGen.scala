@@ -28,20 +28,8 @@ object MediaGen {
     ((seed * 11 + i * 17) % 256).toInt
 
   /** A real 8-bit grayscale PNG whose pixels follow [[grayPixel]]. */
-  def pngBytes(seed: Long, w: Int, h: Int): Array[Byte] = {
-    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
-    val raster = img.getRaster
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) { raster.setSample(x, y, 0, grayPixel(seed, x, y)); x += 1 }
-      y += 1
-    }
-    val baos = new ByteArrayOutputStream()
-    ImageIO.setUseCache(false) // in-memory streams only; no temp-file cache on executors
-    ImageIO.write(img, "png", baos)
-    baos.toByteArray
-  }
+  def pngBytes(seed: Long, w: Int, h: Int): Array[Byte] =
+    imageBytes(seed, w, h, "png")
 
   /** A real RIFF/WAVE file: 8 kHz mono 8-bit unsigned PCM, samples from
     * [[pcmSample]]. Written through `AudioSystem` so the header is genuine.
@@ -52,6 +40,26 @@ object MediaGen {
     val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, nSamples.toLong)
     val baos = new ByteArrayOutputStream()
     AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** The same grayscale image in any other ImageIO-writable format
+    * ("jpg", "bmp", "gif") — exercises [[MediaCodec.decodeGray]]'s format
+    * dispatch on genuinely different containers. JPEG is lossy: callers
+    * must assert bounded (not bit-equal) luminance against [[grayPixel]].
+    */
+  def imageBytes(seed: Long, w: Int, h: Int, format: String): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, grayPixel(seed, x, y)); x += 1 }
+      y += 1
+    }
+    val baos = new ByteArrayOutputStream()
+    ImageIO.setUseCache(false)
+    require(ImageIO.write(img, format, baos), s"no ImageIO writer for $format")
     baos.toByteArray
   }
 

@@ -41,6 +41,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(bytes.take(8).toSeq == Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
   }
 
+  test("JPEG decode: format dispatch on real lossy bytes, luminance bounded") {
+    val codec = new MediaCodec()
+    for ((seed, w, h) <- Seq((3L, 24, 16), (91L, 17, 29))) {
+      val bytes = MediaGen.imageBytes(seed, w, h, "jpg")
+      // real JPEG container (SOI marker), not a renamed PNG
+      assert((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8, "missing SOI marker")
+      val (dw, dh, px) = codec.decodeGray(bytes)
+      assert(dw == w && dh == h)
+      // JPEG is lossy: assert bounded mean |error| vs the formula, not equality.
+      // The gradient has mod-256 wrap edges (worst case for DCT ringing), so
+      // the bound is loose but still far below what a wrong-image decode gives
+      // (uniform-random error would average ~85).
+      val errs = for (y <- 0 until h; x <- 0 until w)
+        yield math.abs(px(y * w + x) - MediaGen.grayPixel(seed, x, y))
+      val mean = errs.sum.toDouble / errs.size
+      assert(mean < 24.0, s"mean abs luminance error $mean for seed=$seed")
+    }
+  }
+
+  test("BMP decode: third container format roundtrips losslessly") {
+    val codec = new MediaCodec()
+    val (w, h) = (13, 7)
+    val bytes = MediaGen.imageBytes(5L, w, h, "bmp")
+    assert(new String(bytes.take(2), "US-ASCII") == "BM")
+    val (dw, dh, px) = codec.decodeGray(bytes)
+    assert(dw == w && dh == h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(px(y * w + x) == MediaGen.grayPixel(5L, x, y))
+  }
+
   test("WAV roundtrip: javax.sound.sampled recovers the exact PCM samples") {
     val codec = new MediaCodec()
     val samples = codec.decodeWav(MediaGen.wavBytes(7L, 250))
