@@ -155,17 +155,46 @@ object YqlTextQueries {
       |WHERE contains(text, 'data') AND NOT starts_with(lang, 'x')
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** y6: breadth notch 3 — `SELECT DISTINCT` in a binding, and `HAVING`
+    * that references BOTH an aggregate and the `GROUP BY … AS alias` name
+    * (YQL resolves the grouping alias in HAVING; the frontend inlines the
+    * expression since Spark's HAVING does not see grouping-item aliases).
+    */
+  def y6YqlHaving(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    YqlFrontend.run(spark,
+      """
+      $a = (select distinct o_custkey as acc, cast(o_orderdate as datetime) as pdate
+              from orders);
+      select dyear, count(1) as n_accounts
+        from $a
+       group by DateTime::GetYear(pdate) as dyear
+      having count(1) > 50 and dyear >= 1993
+       order by dyear;
+      """).get
+  }
+
+  val y6Oracle: String =
+    """WITH a AS (SELECT DISTINCT o_custkey AS acc,
+      |                           date_trunc('second', o_orderdate) AS pdate FROM orders)
+      |SELECT CAST(year(pdate) AS INTEGER) AS dyear, count(1) AS n_accounts
+      |FROM a GROUP BY year(pdate)
+      |HAVING count(1) > 50 AND year(pdate) >= 1993
+      |ORDER BY dyear""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "y1_yql_project" -> (y1YqlProject _),
     "y2_yql_exclusion" -> (y2YqlExclusion _),
     "y3_yql_federation" -> (y3YqlFederation _),
     "y4_yql_only_limit" -> (y4YqlOnlyLimit _),
-    "y5_yql_without" -> (y5YqlWithout _))
+    "y5_yql_without" -> (y5YqlWithout _),
+    "y6_yql_having" -> (y6YqlHaving _))
 
   val oracles: Map[String, String] = Map(
     "y1_yql_project" -> y1Oracle,
     "y2_yql_exclusion" -> y2Oracle,
     "y3_yql_federation" -> y3Oracle,
     "y4_yql_only_limit" -> y4Oracle,
-    "y5_yql_without" -> y5Oracle)
+    "y5_yql_without" -> y5Oracle,
+    "y6_yql_having" -> y6Oracle)
 }

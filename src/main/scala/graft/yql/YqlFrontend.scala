@@ -422,7 +422,22 @@ object YqlFrontend {
           strippedItems.zipWithIndex.flatMap { case (it, i) =>
             if (i == 0) it else "," +: it
           }
-        ts = ts.take(sIdx + 1) ++ newSelect ++ ts.slice(fIdx, g) ++ newGroup ++ ts.drop(end)
+        // YQL lets HAVING reference the grouping alias too; Spark's HAVING
+        // resolves only against the aggregate's child and output, so inline
+        // the expression (parenthesized — it replaces a bare identifier)
+        val tail: Vector[String] =
+          if (end < ts.length && d(end) == dep && ts(end).equalsIgnoreCase("having")) {
+            val hEnd = (end + 1 until ts.length).find(j =>
+              d(j) < dep || (d(j) == dep && ClauseEnds.contains(ts(j).toLowerCase) &&
+                !ts(j).equalsIgnoreCase("having"))).getOrElse(ts.length)
+            (ts(end) +: (end + 1 until hEnd).toVector.flatMap { k =>
+              if (aliases.contains(ts(k)) && ts(k - 1) != "." &&
+                  (k + 1 >= ts.length || ts(k + 1) != "."))
+                ("(" +: aliases(ts(k))) :+ ")"
+              else Vector(ts(k))
+            }) ++ ts.drop(hEnd)
+          } else ts.drop(end)
+        ts = ts.take(sIdx + 1) ++ newSelect ++ ts.slice(fIdx, g) ++ newGroup ++ tail
         changed = true
       }
     }
@@ -569,7 +584,7 @@ object YqlFrontend {
     * insert).
     */
   final case class YqlScript(sql: String, insert: Option[InsertTarget])
-  final case class InsertTarget(sink: String, columns: Seq[String])
+  final case class InsertTarget(sink: String, columns: Seq[String], truncate: Boolean = false)
 
   /** SQL literal rendering for submitted parameters (YQL `DECLARE`). */
   private def literal(v: Any): String = v match {
@@ -636,11 +651,18 @@ object YqlFrontend {
         require(fin.length > 2 && fin(1).equalsIgnoreCase("into"), "YQL: INSERT must be INSERT INTO")
         val open = fin.indexOf("(")
         require(open > 2, "YQL: INSERT INTO requires an explicit column list")
-        val target = fin.slice(2, open).map(t => if (t.startsWith("`")) t.substring(1, t.length - 1) else t).mkString
+        // YQL table hint between target and column list: `WITH TRUNCATE`
+        // replaces existing data instead of appending
+        val hint = fin.slice(2, open).map(_.toLowerCase)
+        val truncate = hint.length >= 2 && hint.endsWith(Seq("with", "truncate"))
+        val nameEnd = if (truncate) open - 2 else open
+        require(!hint.contains("with") || truncate,
+          s"YQL: unsupported INSERT hint ${fin.slice(2, open).mkString(" ")}")
+        val target = fin.slice(2, nameEnd).map(t => if (t.startsWith("`")) t.substring(1, t.length - 1) else t).mkString
         val close = fin.indexOf(")", open)
         val cols = fin.slice(open + 1, close).filter(_ != ",")
         require(cols.forall(isIdent), s"YQL: bad INSERT column list: ${cols.mkString(" ")}")
-        (Some(InsertTarget(target, cols)), fin.drop(close + 1))
+        (Some(InsertTarget(target, cols, truncate)), fin.drop(close + 1))
       } else (None, fin)
 
     val cte =
@@ -662,7 +684,11 @@ object YqlFrontend {
     val script = translate(text, resolver, params)
     val df = spark.sql(script.sql)
     script.insert match {
-      case Some(t) => resolver.sink(t.sink).insert(df.toDF(t.columns: _*)); None
+      case Some(t) =>
+        val sink = resolver.sink(t.sink)
+        val renamed = df.toDF(t.columns: _*)
+        if (t.truncate) sink.insertTruncate(renamed) else sink.insert(renamed)
+        None
       case None    => Some(df)
     }
   }
@@ -696,14 +722,32 @@ object YqlResolver {
 /** Destination of a YQL `INSERT INTO`. */
 trait YqlSink {
   def insert(df: DataFrame): Unit
+
+  /** `INSERT INTO … WITH TRUNCATE` — replace existing data instead of
+    * appending. Optional: sinks that cannot replace fail loudly.
+    */
+  def insertTruncate(df: DataFrame): Unit =
+    throw new UnsupportedOperationException(
+      s"YQL: sink ${getClass.getSimpleName} does not support INSERT WITH TRUNCATE")
 }
 
 /** The reference's Object Storage binding as a sink: Hive-partitioned
   * parquet append (yq_dag.py:71-73 inserts into the partitioned binding;
   * idempotent re-runs should instead go through
   * [[graft.sources.ColdStore.exportYear]]'s dynamic overwrite).
+  *
+  * `WITH TRUNCATE` is deliberately scoped to DYNAMIC partition overwrite:
+  * only the partitions the insert produces are replaced. On a managed table
+  * YQL's hint truncates everything, but on a 100 TB partitioned object-store
+  * binding a full-prefix truncate rewrites the world to re-load one year —
+  * the delete-partition-then-insert idempotency the reference DAG builds by
+  * hand (yq_dag.py drop_partition → insert) is exactly dynamic overwrite.
   */
 final case class PartitionedParquetSink(base: String, partitionCol: String) extends YqlSink {
   def insert(df: DataFrame): Unit =
     df.write.mode("append").partitionBy(partitionCol).parquet(base)
+
+  override def insertTruncate(df: DataFrame): Unit =
+    df.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol).parquet(base)
 }

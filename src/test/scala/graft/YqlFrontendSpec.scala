@@ -248,6 +248,54 @@ class YqlFrontendSpec extends AnyFunSuite {
       Seq((1, "mid"), (2, "mid"), (3, "edge")))
   }
 
+  test("HAVING resolves a GROUP BY alias (inlined) next to an aggregate; DISTINCT passes through") {
+    spark.sql("SELECT * FROM VALUES (1, 10), (1, 10), (2, 20), (3, 30), (4, 41), (5, 52) AS t(k, v)")
+      .createOrReplaceTempView("yql_hav")
+    // alias referenced ONLY in HAVING — Spark's output-alias fallback can't
+    // resolve it (it isn't in the SELECT list), so this proves the inline
+    val r = YqlFrontend.run(spark,
+      """$d = (select distinct k, v from yql_hav);
+        |select count(1) as n from $d
+        | group by v % 10 as vmod having vmod > 0 and count(1) >= 1
+        | order by n;""".stripMargin).get.collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1, 1)) // vmod 1 -> {41}, 2 -> {52}
+    // DISTINCT deduplicated the (1,10) twin: groups of vmod=0 were dropped by
+    // HAVING; sanity-check the distinct binding alone
+    val d = YqlFrontend.run(spark,
+      "select distinct k, v from yql_hav;").get.count()
+    assert(d == 5)
+  }
+
+  test("INSERT WITH TRUNCATE parses, replaces instead of appends, and unknown hints fail") {
+    val s = YqlFrontend.translate(
+      "insert into sink_t with truncate (a, b) select k, v from yql_hav;")
+    assert(s.insert.exists(t => t.truncate && t.sink == "sink_t" && t.columns == Seq("a", "b")))
+    assert(!YqlFrontend.translate(
+      "insert into sink_t (a, b) select k, v from yql_hav;").insert.get.truncate)
+    val bad = intercept[IllegalArgumentException] {
+      YqlFrontend.translate("insert into sink_t with xlock (a) select k from yql_hav;")
+    }
+    assert(bad.getMessage.contains("hint"))
+
+    // end-to-end: re-running a WITH TRUNCATE insert is idempotent (dynamic
+    // overwrite of produced partitions), while plain INSERT appends
+    val base = Files.createTempDirectory("graft-yql-trunc").toString + "/cold"
+    spark.sql("SELECT * FROM VALUES (1, 2020), (2, 2020), (3, 2021) AS t(id, y)")
+      .createOrReplaceTempView("yql_trunc_src")
+    val res = YqlResolver(sinks = Map("store" -> PartitionedParquetSink(base, "y")))
+    val text = "insert into store with truncate (id, y) select id, y from yql_trunc_src;"
+    YqlFrontend.run(spark, text, res)
+    YqlFrontend.run(spark, text, res)
+    assert(spark.read.parquet(base).count() == 3) // not 6: second run replaced
+    YqlFrontend.run(spark, "insert into store (id, y) select id, y from yql_trunc_src;", res)
+    assert(spark.read.parquet(base).count() == 6) // append still appends
+    // a sink without truncate support fails loudly
+    val noTrunc = YqlResolver(sinks = Map("store" -> new graft.yql.YqlSink {
+      def insert(df: org.apache.spark.sql.DataFrame): Unit = ()
+    }))
+    intercept[UnsupportedOperationException] { YqlFrontend.run(spark, text, noTrunc) }
+  }
+
   // -- the reference's three texts, verbatim ---------------------------
 
   private val root = Files.createTempDirectory("graft-yql").toString
