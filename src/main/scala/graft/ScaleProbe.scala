@@ -50,7 +50,14 @@ object ScaleProbe {
 
     val reps = broadcast(spark.range(factor.toLong).select(col("id").cast("int").as("r")))
 
-    val docs = Tables.documents(spark, baseDir)
+    // The base SF tables are single parquet files → one scan task; without a
+    // spread the ×factor explode AND its shuffle write run on one core (the
+    // 100× lineitem synth took 12 min serial vs ~1 min spread). Content is
+    // per-row deterministic, so partitioning never changes the corpus.
+    val spread = spark.sparkContext.defaultParallelism
+    def spreadOut(df: org.apache.spark.sql.DataFrame) = df.repartition(spread)
+
+    val docs = spreadOut(Tables.documents(spark, baseDir))
     docs.crossJoin(reps)
       .withColumn("doc_id", col("doc_id") * factor + col("r"))
       .withColumn("text",
@@ -62,7 +69,7 @@ object ScaleProbe {
       .repartition(math.max(8, factor))
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
-    Tables.embeddings(spark, baseDir).crossJoin(reps)
+    spreadOut(Tables.embeddings(spark, baseDir)).crossJoin(reps)
       .withColumn("vec_id", col("vec_id") * factor + col("r"))
       .withColumn("embedding", expr(
         "transform(embedding, (x, i) -> x + CAST(pmod(hash(vec_id, i), 1000) - 500 AS FLOAT)" +
@@ -80,7 +87,7 @@ object ScaleProbe {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val evLink = out.resolve("events.parquet")
     if (Files.isSymbolicLink(evLink)) Files.delete(evLink) // v1 layout linked it
-    spark.read.parquet(s"$baseDir/events.parquet").crossJoin(reps)
+    spreadOut(spark.read.parquet(s"$baseDir/events.parquet")).crossJoin(reps)
       .withColumn("event_id", col("event_id") * factor + col("r"))
       .withColumn("user_id", col("user_id") * factor + col("r"))
       .drop("r")
@@ -97,7 +104,7 @@ object ScaleProbe {
     Seq("orders" -> "o_orderkey", "lineitem" -> "l_orderkey").foreach { case (t, key) =>
       val link = out.resolve(s"$t.parquet")
       if (Files.isSymbolicLink(link)) Files.delete(link) // pre-v3 layout linked it
-      Tables.load(spark, baseDir, t).crossJoin(reps)
+      spreadOut(Tables.load(spark, baseDir, t)).crossJoin(reps)
         .withColumn(key, col(key) * factor + col("r"))
         .drop("r")
         .repartition(math.max(8, factor))
