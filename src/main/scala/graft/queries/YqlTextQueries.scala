@@ -182,13 +182,52 @@ object YqlTextQueries {
       |HAVING count(1) > 50 AND year(pdate) >= 1993
       |ORDER BY dyear""".stripMargin
 
+  /** y7: breadth notch 4 — list-collecting aggregates (`AGGREGATE_LIST`,
+    * `AGGREGATE_LIST_DISTINCT`) and YQL lambdas in all three shapes: an
+    * inline `($x) -> (expr)`, a NAMED lambda binding (`$small = …` — inlined
+    * bare, since Spark only accepts lambdas as direct HOF arguments), and a
+    * block body `($s) -> { RETURN …; }`. Collected lists are sorted before
+    * joining/counting, so the engine-dependent collection order (true in
+    * both engines) never reaches the hash compare.
+    */
+  def y7YqlLambdas(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    YqlFrontend.run(spark,
+      """
+      $by_lang = (select lang,
+             String::JoinFromList(ListSort(AGGREGATE_LIST_DISTINCT(source)), ',') as sources,
+             AGGREGATE_LIST(n_chars) as sizes
+        from documents group by lang);
+      $small = ($s) -> ($s < 120);
+      select lang, sources,
+             cast(ListLength(ListFilter(sizes, ($x) -> ($x >= 500))) as Int64) as n_large,
+             String::JoinFromList(
+               ListMap(ListSort(ListFilter(sizes, $small)),
+                       ($s) -> { RETURN cast($s as Utf8); }), ',') as small_sizes
+        from $by_lang order by lang;
+      """).get
+  }
+
+  val y7Oracle: String =
+    """WITH by_lang AS (
+      |  SELECT lang,
+      |         array_to_string(list_sort(list(DISTINCT source)), ',') AS sources,
+      |         list(n_chars) AS sizes
+      |  FROM documents GROUP BY lang)
+      |SELECT lang, sources,
+      |       CAST(len(list_filter(sizes, x -> x >= 500)) AS BIGINT) AS n_large,
+      |       array_to_string(list_transform(list_sort(list_filter(sizes, s -> s < 120)),
+      |                                      s -> CAST(s AS VARCHAR)), ',') AS small_sizes
+      |FROM by_lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "y1_yql_project" -> (y1YqlProject _),
     "y2_yql_exclusion" -> (y2YqlExclusion _),
     "y3_yql_federation" -> (y3YqlFederation _),
     "y4_yql_only_limit" -> (y4YqlOnlyLimit _),
     "y5_yql_without" -> (y5YqlWithout _),
-    "y6_yql_having" -> (y6YqlHaving _))
+    "y6_yql_having" -> (y6YqlHaving _),
+    "y7_yql_lambdas" -> (y7YqlLambdas _))
 
   val oracles: Map[String, String] = Map(
     "y1_yql_project" -> y1Oracle,
@@ -196,5 +235,6 @@ object YqlTextQueries {
     "y3_yql_federation" -> y3Oracle,
     "y4_yql_only_limit" -> y4Oracle,
     "y5_yql_without" -> y5Oracle,
-    "y6_yql_having" -> y6Oracle)
+    "y6_yql_having" -> y6Oracle,
+    "y7_yql_lambdas" -> y7Oracle)
 }

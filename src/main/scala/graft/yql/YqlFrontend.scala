@@ -91,7 +91,7 @@ object YqlFrontend {
         i = j
       } else {
         val two = if (i + 1 < n) text.substring(i, i + 2) else ""
-        if (Set("::", "<=", ">=", "<>", "!=", "||").contains(two)) { out += two; i += 2 }
+        if (Set("::", "<=", ">=", "<>", "!=", "||", "->").contains(two)) { out += two; i += 2 }
         else { out += c.toString; i += 1 }
       }
     }
@@ -112,9 +112,9 @@ object YqlFrontend {
     var curNonEmpty = false
     ts.foreach { t =>
       t match {
-        case "(" => depth += 1
-        case ")" => depth -= 1
-        case _   =>
+        case "(" | "{" => depth += 1 // braces: lambda `{ RETURN …; }` bodies
+        case ")" | "}" => depth -= 1 // hold statement `;`s that must not split
+        case _         =>
       }
       if (t == ";" && depth == 0) {
         if (curNonEmpty) stmts += cur.result()
@@ -179,7 +179,18 @@ object YqlFrontend {
     "listuniq"    -> "array_distinct",
     "listmax"     -> "array_max",
     "listmin"     -> "array_min",
-    "aslist"      -> "array")
+    "aslist"      -> "array",
+    // higher-order: YQL lambdas are rewritten to Spark lambdas first
+    // (rewriteLambdas), and these take (list, lambda) in the same order
+    "listmap"     -> "transform",
+    "listfilter"  -> "filter",
+    // NOT ListAny/ListAll: YQL's take a Bool list (no predicate), Spark's
+    // exists/forall take (list, lambda) — a semantic gap, so they fail loudly
+    // aggregate-function names (YQL's list-collecting aggregates); order
+    // within the collected list is engine-dependent in BOTH engines, so
+    // deterministic queries sort before comparing
+    "aggregate_list"          -> "collect_list",
+    "aggregate_list_distinct" -> "collect_set")
 
   /** Rename [[BuiltinFns]] calls: a bare identifier directly applied to an
     * argument list, not preceded by `.`/`::` (those are member / module
@@ -253,6 +264,95 @@ object YqlFrontend {
       } else { out += ts(i); i += 1 }
     }
     out.result()
+  }
+
+  /** YQL lambda literals — `($x) -> ($x + 1)` and the block form
+    * `($x, $y) -> { RETURN $x + $y; }` — become Spark higher-order-function
+    * lambdas. Three deliberate mappings:
+    *   - parameters lose their `$` (Spark lambda variables are bare
+    *     identifiers that shadow same-named columns, which matches YQL's
+    *     scoping: the parameter wins inside the body);
+    *   - a SINGLE parameter drops its parens — Spark's grammar only accepts
+    *     a parenthesized list for 2+ parameters (`x -> e` / `(x, y) -> e`);
+    *   - the `{ RETURN expr; }` block body becomes `( expr )`; multi-statement
+    *     bodies (local bindings before RETURN) have no Spark-expression
+    *     equivalent and fail loudly.
+    * Runs BEFORE [[substitute]] so `$param` references are renamed here and
+    * never mistaken for undefined script bindings. Converges because rewritten
+    * lambdas have bare (un-`$`ed) parameters and no longer match.
+    */
+  private def rewriteLambdas(ts0: Vector[String]): Vector[String] = {
+    def isParam(t: String) = t.length > 1 && t.head == '$' && isIdent(t.drop(1))
+    def findClose(ts: Vector[String], open: Int, o: String, c: String): Int = {
+      var depth = 0; var j = open
+      while (j < ts.length) {
+        if (ts(j) == o) depth += 1
+        else if (ts(j) == c) { depth -= 1; if (depth == 0) return j }
+        j += 1
+      }
+      -1
+    }
+    var ts = ts0
+    var guard = 0
+    var changed = true
+    while (changed && guard < 256) {
+      changed = false
+      guard += 1
+      val arrow = ts.indices.find { i =>
+        ts(i) == "->" && i > 0 && {
+          // `$x ->` or `( $x , $y ) ->` with at least one $-param
+          if (isParam(ts(i - 1))) true
+          else if (ts(i - 1) == ")") {
+            val open = (i - 2 to 0 by -1).find(ts(_) == "(").getOrElse(-1)
+            open >= 0 && (open + 1 until i - 1).forall(k => isParam(ts(k)) || ts(k) == ",") &&
+              (open + 1 until i - 1).exists(k => isParam(ts(k)))
+          } else false
+        }
+      }
+      arrow.foreach { i =>
+        val (paramStart, params) =
+          if (isParam(ts(i - 1))) (i - 1, Vector(ts(i - 1).drop(1)))
+          else {
+            val open = (i - 2 to 0 by -1).find(ts(_) == "(").get
+            (open, ts.slice(open + 1, i - 1).filter(_ != ",").map(_.drop(1)))
+          }
+        val bodyTokens: Vector[String] = ts.lift(i + 1) match {
+          case Some("(") =>
+            val close = findClose(ts, i + 1, "(", ")")
+            require(close > 0, "YQL: unterminated lambda body")
+            val inner = rename(ts.slice(i + 2, close), params)
+            ts = ts.take(paramStart) ++ emit(params, inner) ++ ts.drop(close + 1)
+            inner
+          case Some("{") =>
+            val close = findClose(ts, i + 1, "{", "}")
+            require(close > 0, "YQL: unterminated lambda body")
+            val stmt = ts.slice(i + 2, close)
+            require(stmt.headOption.exists(_.equalsIgnoreCase("return")),
+              "YQL: lambda block body must be a single RETURN expression")
+            val expr = if (stmt.lastOption.contains(";")) stmt.slice(1, stmt.length - 1) else stmt.drop(1)
+            require(!expr.contains(";"),
+              "YQL: multi-statement lambda bodies are not supported — use a single RETURN expression")
+            val inner = rename(expr, params)
+            ts = ts.take(paramStart) ++ emit(params, inner) ++ ts.drop(close + 1)
+            inner
+          case _ => throw new IllegalArgumentException(
+            "YQL: lambda body must be a parenthesized expression or { RETURN expr; }")
+        }
+        require(bodyTokens.nonEmpty, "YQL: empty lambda body")
+        changed = true
+      }
+    }
+    ts
+  }
+
+  private def rename(body: Vector[String], params: Vector[String]): Vector[String] =
+    body.map(t => if (t.length > 1 && t.head == '$' && params.contains(t.drop(1))) t.drop(1) else t)
+
+  private def emit(params: Vector[String], body: Vector[String]): Vector[String] = {
+    val head =
+      if (params.length == 1) Vector(params.head) // Spark: single param is BARE
+      else "(" +: params.flatMap(p => Vector(p, ",")).dropRight(1) :+ ")"
+    (head :+ "->") ++ ("(" +: body :+ ")")
   }
 
   /** YQL `LEFT ONLY JOIN` — rows of the left side with no right match,
@@ -613,7 +713,21 @@ object YqlFrontend {
       if (t.startsWith("$")) {
         val n = t.drop(1)
         if (cteNames.contains(n)) Vector(s"_yql_$n")
-        else if (exprBindings.contains(n)) "(" +: exprBindings(n) :+ ")"
+        else if (exprBindings.contains(n)) {
+          val b = exprBindings(n)
+          // a lambda binding (`$f = ($x) -> …`) inlines BARE: Spark's grammar
+          // only accepts a lambda as a direct higher-order-function argument,
+          // never inside parens
+          val isLambda = {
+            var depth = 0
+            b.exists { t =>
+              if (t == "(") { depth += 1; false }
+              else if (t == ")") { depth -= 1; false }
+              else t == "->" && depth == 0
+            }
+          }
+          if (isLambda) b else "(" +: b :+ ")"
+        }
         else if (paramTokens.contains(n)) Vector(paramTokens(n))
         else throw new IllegalArgumentException(s"YQL: reference to undefined binding $$$n")
       } else Vector(t)
@@ -622,7 +736,7 @@ object YqlFrontend {
     def body(ts: Vector[String]): Vector[String] =
       rewriteExclusionJoins(rewriteFlattenBy(rewriteGroupByAlias(rewriteWithout(rewriteCasts(
         rewriteBuiltinFns(rewriteModuleFns(
-          rewriteOnlyJoins(substitute(rewriteTables(ts, resolver))))))))))
+          rewriteOnlyJoins(substitute(rewriteLambdas(rewriteTables(ts, resolver)))))))))))
 
     val isSubqueryBinding: Vector[String] => Boolean =
       s => s.length > 4 && s(0).startsWith("$") && s(1) == "=" && s(2) == "(" &&

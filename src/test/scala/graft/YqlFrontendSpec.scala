@@ -226,6 +226,42 @@ class YqlFrontendSpec extends AnyFunSuite {
     }
   }
 
+  test("lambdas: inline, named-binding, block body; AGGREGATE_LIST collects") {
+    // single-param lambda loses its parens (Spark's grammar: bare `x -> e`;
+    // only 2+ params parenthesize) and `$x` refs become bare
+    val t = YqlFrontend.translate(
+      "select ListMap(AsList(1, 2), ($x) -> ($x * 2)) as m from (select 1);").sql
+    assert(t.contains("transform ( array ( 1 , 2 ) , x -> ( x * 2 ) )"), t)
+    // multi-param keeps the paren list
+    val t2 = YqlFrontend.translate("select ListFilter(l, ($x, $i) -> ($i > $x)) from v;").sql
+    assert(t2.contains("( x , i ) -> ( i > x )"), t2)
+    // execution: inline lambda, NAMED lambda binding (inlined bare — a
+    // parenthesized lambda is not a Spark expression), and a block body
+    val r = YqlFrontend.run(spark,
+      """$small = ($s) -> ($s < 10);
+        |select ListMap(AsList(1, 2, 3), ($x) -> ($x * 2)) as dbl,
+        |       ListFilter(AsList(5, 50, 7), $small) as sm,
+        |       ListMap(AsList(1, 2), ($x) -> { RETURN $x + 100; }) as blk
+        |  from (select 1);""".stripMargin).get.head()
+    assert(r.getSeq[Int](0) == Seq(2, 4, 6))
+    assert(r.getSeq[Int](1) == Seq(5, 7))
+    assert(r.getSeq[Int](2) == Seq(101, 102))
+    // list-collecting aggregates
+    spark.sql("SELECT * FROM VALUES ('a', 1), ('a', 2), ('a', 1), ('b', 3) AS t(g, v)")
+      .createOrReplaceTempView("yql_agg")
+    val a = YqlFrontend.run(spark,
+      """select g, ListSort(AGGREGATE_LIST(v)) as vs,
+        |       ListSort(AGGREGATE_LIST_DISTINCT(v)) as dvs
+        |  from yql_agg group by g order by g;""".stripMargin).get.collect()
+    assert(a(0).getSeq[Int](1) == Seq(1, 1, 2) && a(0).getSeq[Int](2) == Seq(1, 2))
+    assert(a(1).getSeq[Int](1) == Seq(3))
+    // multi-statement lambda bodies have no Spark-expression form: loud fail
+    val e = intercept[IllegalArgumentException] {
+      YqlFrontend.translate("select ListMap(l, ($x) -> { $y = 1; RETURN $x; }) from v;")
+    }
+    assert(e.getMessage.toLowerCase.contains("return"))
+  }
+
   test("ANSI constructs pass through untouched: named windows, EXISTS/IN, BETWEEN, CASE") {
     spark.sql("SELECT * FROM VALUES (1, 10.0), (2, 5.0), (3, 20.0), (4, 1.0) AS t(k, amt)")
       .createOrReplaceTempView("yql_ansi")
