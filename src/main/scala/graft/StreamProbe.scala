@@ -116,14 +116,16 @@ object StreamProbe {
     * over the full timeline — run2's clock includes state restore. Returns
     * (run1, run2, output rows).
     */
-  private def probeWorkload(spark: SparkSession, tag: String, name: String,
+  private[graft] def probeWorkload(spark: SparkSession, tag: String, name: String,
                             chunks: Seq[String], root: String,
                             build: DataFrame => DataFrame): (RunStats, RunStats, Long) = {
     val src = s"$root/$tag/$name/src"; val out = s"$root/$tag/$name/out"
     val ck = s"$root/$tag/$name/ck"
     Files.createDirectories(Paths.get(src))
     def deliver(paths: Seq[String]): Unit = paths.foreach { p =>
-      val from = Paths.get(p)
+      // absolute target: a RELATIVE symlink target resolves against the
+      // link's own directory, so `target/...` links from inside src/ dangle
+      val from = Paths.get(p).toAbsolutePath.normalize
       Files.createSymbolicLink(Paths.get(src, from.getFileName.toString), from)
     }
     val (firstHalf, secondHalf) = chunks.splitAt(Chunks / 2)

@@ -52,4 +52,18 @@ class StreamProbeSpec extends AnyFunSuite {
     val want = spark.read.parquet(s"$sfDir/events.parquet").count()
     assert(got == want, s"dedup stream emitted $got of $want")
   }
+
+  test("probeWorkload delivers chunks under a RELATIVE root (main's usage)") {
+    // main passes root = "target/streamprobe"; symlink targets must be
+    // absolutized or they resolve against the link's directory and dangle
+    // (the whole stream then reads zero files and reports an empty run)
+    val root = "target/streamprobe-spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val chunks = StreamProbe.chunkEvents(spark, sfDir, s"$root/chunks")
+    val dedup = StreamProbe.workloads(spark).toMap.apply("dedup")
+    val (r1, r2, rows) = StreamProbe.probeWorkload(spark, "base", "dedup", chunks, root, dedup)
+    assert(r1.batches == 4 && r2.batches == 4, s"got ${r1.batches}+${r2.batches} batches")
+    val want = spark.read.parquet(s"$sfDir/events.parquet").count()
+    assert(rows == want, s"relative-root probe emitted $rows of $want")
+  }
 }

@@ -263,14 +263,17 @@ class YqlFrontendSpec extends AnyFunSuite {
   }
 
   test("ANSI constructs pass through untouched: named windows, EXISTS/IN, BETWEEN, CASE") {
-    spark.sql("SELECT * FROM VALUES (1, 10.0), (2, 5.0), (3, 20.0), (4, 1.0) AS t(k, amt)")
+    spark.sql(
+      "SELECT * FROM VALUES (1, 10.0, 'a'), (2, 5.0, 'a'), (3, 20.0, 'b'), (4, 1.0, 'b') AS t(k, amt, g)")
       .createOrReplaceTempView("yql_ansi")
     // named WINDOW clause survives the rewriter and Spark resolves it
+    // (partitioned — an unpartitioned window would warn WindowExec about
+    // single-partition collapse on every test run)
     val w = YqlFrontend.run(spark,
       """$r = (select k, amt, row_number() over w as rn from yql_ansi
-        |       window w as (order by amt desc));
-        |select k, rn from $r where rn <= 2 order by rn;""".stripMargin).get.collect()
-    assert(w.map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((3, 1), (1, 2)))
+        |       window w as (partition by g order by amt desc));
+        |select k, rn from $r where rn = 1 order by k;""".stripMargin).get.collect()
+    assert(w.map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((1, 1), (3, 1)))
     // EXISTS / IN subqueries, BETWEEN, CASE — clause-level FROM rewriting
     // must not touch the inner relations' usage as expression operands
     val rows = YqlFrontend.run(spark,
