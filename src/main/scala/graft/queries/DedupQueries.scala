@@ -72,13 +72,24 @@ object DedupQueries {
     Tables.documents(spark, dir)
       .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
 
-  /** (doc_id, shingle) — distinct word 3-grams, document-frequency capped. */
+  /** (doc_id, sh64) — distinct word 3-grams, document-frequency capped.
+    *
+    * Shingles are hashed to 64-bit md5 longs AT THE EXPLODE, so the DF
+    * groupBy, the cap join-back, and every downstream candidate join
+    * shuffle 8-byte keys instead of ~25-byte strings (~3× less shuffle
+    * volume at any scale; cheaper sorts). Set semantics are preserved
+    * modulo md5Long collisions (~n²/2⁶⁵ — negligible, deterministic, and
+    * the DuckDB oracle joins on the raw strings so a collision would fail
+    * the gate loudly rather than pass silently). d3's MinHash family was
+    * already md5Long-derived, so its per-shingle hashes are unchanged.
+    */
   private def shinglesDf(spark: SparkSession, dir: String): DataFrame = {
     val sh = tokensDf(spark, dir)
       .select(col("doc_id"), explode(Text.shingles(col("tk"))).as("shingle"))
-    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .select(col("doc_id"), Text.md5Long(col("shingle")).as("sh64"))
+    val df = sh.groupBy("sh64").agg(count(lit(1)).as("df"))
       .where(col("df") <= ShingleDfCap)
-    sh.join(df, "shingle").select("doc_id", "shingle")
+    sh.join(df, "sh64").select("doc_id", "sh64")
   }
 
   private val shingleSqlBase: String =
@@ -126,7 +137,7 @@ object DedupQueries {
   def d2NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = tracked(shinglesDf(spark, dir).cache())
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"), Seq("shingle"))
+    val inter = sh.as("a").join(sh.as("b"), Seq("sh64"))
       .where(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("i"))
@@ -159,7 +170,7 @@ object DedupQueries {
   def d3MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = tracked(shinglesDf(spark, dir).cache())
     val hashed = sh
-      .withColumn("h32", Text.md5Long(col("shingle")).bitwiseAND(lit(0xFFFFFFFFL)))
+      .withColumn("h32", col("sh64").bitwiseAND(lit(0xFFFFFFFFL)))
       .select(
         col("doc_id") +: (0 until MinhashFns).map(j =>
           ((col("h32") * affineA(j) + affineB(j)) % MersenneP).as(s"h$j")): _*)
@@ -179,7 +190,7 @@ object DedupQueries {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.as("x"), col("x.doc_id") === col("da"))
-      .join(sh.as("y"), col("y.doc_id") === col("db") && col("y.shingle") === col("x.shingle"))
+      .join(sh.as("y"), col("y.doc_id") === col("db") && col("y.sh64") === col("x.sh64"))
       .groupBy("da", "db").agg(count(lit(1)).as("i"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
