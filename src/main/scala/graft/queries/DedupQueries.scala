@@ -641,6 +641,101 @@ object DedupQueries {
       |FROM incoming i LEFT JOIN fp c USING (fp)
       |GROUP BY in_id ORDER BY in_id""".stripMargin
 
+  /** d10: repeated-span (substring-level) dedup — the ExactSubstr method
+    * of the public training-data-dedup literature (find every k-token
+    * span that occurs ≥2 times anywhere in the corpus; mark the merged
+    * per-doc intervals), re-expressed declaratively. Test corpus adds
+    * re-crawled full copies (every 7th doc) and head+tail splices (every
+    * 11th doc quotes doc n's head and doc n+1's tail around a unique
+    * middle token), so affected docs carry one OR two merged spans and
+    * the island merge is genuinely exercised.
+    *
+    * Scale shape: word-count, not pairing — positions explode once
+    * (k-token windows, fingerprinted to 8-byte md5 longs like
+    * [[shinglesDf]]), one partial-agg shuffle counts fingerprint
+    * frequency, one equi-join keeps repeated positions, and the interval
+    * merge is a per-doc sort (gaps-and-islands: a window position opens a
+    * new island iff it clears the running max span end). Nothing is
+    * quadratic in duplication density: a span repeated a billion times
+    * contributes a billion *rows*, never pairs. At 100 TB the frequency
+    * index persists like d9's fingerprint index and increments join
+    * against it.
+    */
+  def d10SpanDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 8
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val maxId = docs.agg(max(col("doc_id")).as("mx")) // 1-row broadcast (K4 pattern)
+    val splice = docs.where(col("doc_id") % 11 === 0).crossJoin(maxId)
+      .select(col("doc_id").as("a_id"), Text.tokens(col("text")).as("ta"),
+        ((col("doc_id") + 1) % (col("mx") + 1)).as("b_id"))
+      .join(docs.select(col("doc_id").as("b_id"), Text.tokens(col("text")).as("tb")), "b_id")
+      .where(size(col("ta")) >= 20 && size(col("tb")) >= 20)
+      .select((col("a_id") + 2000000L).as("doc_id"),
+        concat_ws(" ",
+          concat_ws(" ", slice(col("ta"), 1, 20)),
+          md5(col("a_id").cast("string")),
+          concat_ws(" ", slice(col("tb"), size(col("tb")) - 19, lit(20)))).as("text"))
+    val corpus = docs
+      .unionByName(docs.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .unionByName(splice)
+    val wins = corpus
+      .select(col("doc_id"), Text.tokens(col("text")).as("tk")) // tokens before the HOF lambda
+      .where(size(col("tk")) >= k)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("tk")) - k),
+        i => concat_ws(" ", slice(col("tk"), i + lit(1), lit(k))))))
+      .select(col("doc_id"), col("pos"), Text.md5Long(col("col")).as("fp"))
+    val repeated = wins.groupBy("fp").agg(count(lit(1)).as("c")).where(col("c") >= 2)
+    val rep = wins.join(repeated, "fp").select("doc_id", "pos")
+    val wOrd = Window.partitionBy("doc_id").orderBy("pos")
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val spans = rep
+      .withColumn("new_island",
+        when(col("pos") > coalesce(max(col("pos") + k).over(wPrev), lit(-1)), 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(wOrd))
+      .groupBy("doc_id", "island")
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + k).as("e"))
+    spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum(col("e") - col("s")).cast("long").as("dup_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val d10Oracle: String =
+    """WITH base AS (SELECT doc_id, text FROM documents),
+      |corpus AS (
+      |  SELECT doc_id, text FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM base WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT a.doc_id + 2000000,
+      |         list_aggregate(list_slice(ta.tk, 1, 20), 'string_agg', ' ')
+      |         || ' ' || md5(a.doc_id::VARCHAR) || ' ' ||
+      |         list_aggregate(list_slice(tb.tk, len(tb.tk) - 19, len(tb.tk)), 'string_agg', ' ')
+      |  FROM base a JOIN base b ON b.doc_id = (a.doc_id + 1) % (SELECT max(doc_id) + 1 FROM base),
+      |  LATERAL (SELECT list_filter(regexp_split_to_array(lower(trim(a.text)), '\s+'), x -> x <> '') tk) ta,
+      |  LATERAL (SELECT list_filter(regexp_split_to_array(lower(trim(b.text)), '\s+'), x -> x <> '') tk) tb
+      |  WHERE a.doc_id % 11 = 0 AND len(ta.tk) >= 20 AND len(tb.tk) >= 20),
+      |toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') tk
+      |  FROM corpus),
+      |wins AS (
+      |  SELECT doc_id, i - 1 AS pos, list_aggregate(list_slice(tk, i, i + 7), 'string_agg', ' ') AS w
+      |  FROM toks, LATERAL unnest(range(1, len(tk) - 6)) AS r(i)
+      |  WHERE len(tk) >= 8),
+      |freq AS (SELECT w FROM wins GROUP BY w HAVING count(*) >= 2),
+      |rep AS (SELECT doc_id, pos FROM wins WHERE w IN (SELECT w FROM freq)),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |         CASE WHEN pos > coalesce(max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS ni
+      |  FROM rep),
+      |grp AS (SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
+      |spans AS (SELECT doc_id, island, min(pos) s, max(pos) + 8 e FROM grp GROUP BY 1, 2)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, CAST(sum(e - s) AS BIGINT) AS dup_tokens
+      |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d9_incremental_dedup" -> (d9IncrementalDedup _),
     "d1_exact_dedup" -> (d1ExactDedup _),
@@ -650,7 +745,8 @@ object DedupQueries {
     "d5_simhash_pairs" -> (d5SimhashPairs _),
     "d6_embedding_neardup" -> (d6EmbeddingNearDup _),
     "d7_dup_clusters" -> (d7DupClusters _),
-    "d8_triangles" -> (d8Triangles _))
+    "d8_triangles" -> (d8Triangles _),
+    "d10_span_dedup" -> (d10SpanDedup _))
 
   val oracles: Map[String, String] = Map(
     "d9_incremental_dedup" -> d9Oracle,
@@ -661,5 +757,6 @@ object DedupQueries {
     "d5_simhash_pairs" -> d5Oracle,
     "d6_embedding_neardup" -> d6Oracle,
     "d7_dup_clusters" -> d7Oracle,
-    "d8_triangles" -> d8Oracle)
+    "d8_triangles" -> d8Oracle,
+    "d10_span_dedup" -> d10Oracle)
 }
