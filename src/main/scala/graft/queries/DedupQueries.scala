@@ -661,45 +661,66 @@ object DedupQueries {
     * index persists like d9's fingerprint index and increments join
     * against it.
     */
-  def d10SpanDedup(spark: SparkSession, dir: String): DataFrame = {
+  private val SpanK = 8 // ExactSubstr window length in tokens
+
+  /** (doc_id, pos, fp) — every k-token window of every doc, md5Long-keyed
+    * (same hashed-shuffle discipline as [[shinglesDf]]).
+    */
+  private def spanWindows(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), Text.tokens(col("text")).as("tk")) // tokens before the HOF lambda
+    .where(size(col("tk")) >= SpanK)
+    .select(col("doc_id"), posexplode(transform(
+      sequence(lit(0), size(col("tk")) - SpanK),
+      i => concat_ws(" ", slice(col("tk"), i + lit(1), lit(SpanK))))))
+    .select(col("doc_id"), col("pos"), Text.md5Long(col("col")).as("fp"))
+
+  /** Merge repeated window positions into maximal spans (gaps-and-islands:
+    * a position opens a new island iff it clears the running max span
+    * end), then per-doc (n_spans, dup_tokens). One doc_id exchange.
+    */
+  private def mergeSpans(rep: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val k = 8
-    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val wOrd = Window.partitionBy("doc_id").orderBy("pos")
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    rep
+      .withColumn("new_island",
+        when(col("pos") > coalesce(max(col("pos") + SpanK).over(wPrev), lit(-1)), 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(wOrd))
+      .groupBy("doc_id", "island")
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + SpanK).as("e"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum(col("e") - col("s")).cast("long").as("dup_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Head+unique-middle+tail splice docs: every `mod`-th doc quotes doc
+    * n's first 20 tokens and doc n+1's last 20 around a unique md5 token,
+    * re-keyed at `idOffset`. The two quoted halves become separate merged
+    * spans in both the splice doc and its sources.
+    */
+  private def spliceDocs(docs: DataFrame, mod: Int, idOffset: Long): DataFrame = {
     val maxId = docs.agg(max(col("doc_id")).as("mx")) // 1-row broadcast (K4 pattern)
-    val splice = docs.where(col("doc_id") % 11 === 0).crossJoin(maxId)
+    docs.where(col("doc_id") % 11 === mod).crossJoin(maxId)
       .select(col("doc_id").as("a_id"), Text.tokens(col("text")).as("ta"),
         ((col("doc_id") + 1) % (col("mx") + 1)).as("b_id"))
       .join(docs.select(col("doc_id").as("b_id"), Text.tokens(col("text")).as("tb")), "b_id")
       .where(size(col("ta")) >= 20 && size(col("tb")) >= 20)
-      .select((col("a_id") + 2000000L).as("doc_id"),
+      .select((col("a_id") + idOffset).as("doc_id"),
         concat_ws(" ",
           concat_ws(" ", slice(col("ta"), 1, 20)),
           md5(col("a_id").cast("string")),
           concat_ws(" ", slice(col("tb"), size(col("tb")) - 19, lit(20)))).as("text"))
+  }
+
+  def d10SpanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val corpus = docs
       .unionByName(docs.where(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-      .unionByName(splice)
-    val wins = corpus
-      .select(col("doc_id"), Text.tokens(col("text")).as("tk")) // tokens before the HOF lambda
-      .where(size(col("tk")) >= k)
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(0), size(col("tk")) - k),
-        i => concat_ws(" ", slice(col("tk"), i + lit(1), lit(k))))))
-      .select(col("doc_id"), col("pos"), Text.md5Long(col("col")).as("fp"))
+      .unionByName(spliceDocs(docs, 0, 2000000L))
+    val wins = spanWindows(corpus)
     val repeated = wins.groupBy("fp").agg(count(lit(1)).as("c")).where(col("c") >= 2)
-    val rep = wins.join(repeated, "fp").select("doc_id", "pos")
-    val wOrd = Window.partitionBy("doc_id").orderBy("pos")
-    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
-    val spans = rep
-      .withColumn("new_island",
-        when(col("pos") > coalesce(max(col("pos") + k).over(wPrev), lit(-1)), 1L).otherwise(0L))
-      .withColumn("island", sum(col("new_island")).over(wOrd))
-      .groupBy("doc_id", "island")
-      .agg(min(col("pos")).as("s"), (max(col("pos")) + k).as("e"))
-    spans.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_spans"), sum(col("e") - col("s")).cast("long").as("dup_tokens"))
-      .orderBy("doc_id")
+    mergeSpans(wins.join(repeated, "fp").select("doc_id", "pos"))
   }
 
   val d10Oracle: String =
@@ -736,6 +757,80 @@ object DedupQueries {
       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, CAST(sum(e - s) AS BIGINT) AS dup_tokens
       |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** d11: incremental repeated-span dedup — the production form d10's
+    * Scaladoc promises. The corpus contributes only its PERSISTED
+    * span-frequency index (fp → count, the analog of d9's fingerprint
+    * index); only the crawl increment is exploded into windows. A window
+    * is repeated iff corpus count + within-increment count ≥ 2, i.e.
+    * exactly ExactSubstr over corpus ∪ increment, computed in
+    * O(increment + index-join) instead of re-scanning the corpus text.
+    * Increment mix: re-crawls (whole-doc span), head+tail splices (two
+    * spans), and genuinely novel md5-salad docs (no spans, absent from
+    * the result).
+    */
+  def d11IncrementalSpanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val index = spanWindows(docs).groupBy("fp").agg(count(lit(1)).as("corp_c"))
+    val recrawl = docs.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val fresh = docs.where(col("doc_id") % 10 === 7)
+      .select(col("doc_id"), concat_ws(" ",
+        (0 until 12).map(j =>
+          substring(md5(concat_ws(":", col("doc_id").cast("string"), lit(j.toString))), 1, 8)): _*).as("text"))
+      .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
+    val increment = recrawl.unionByName(spliceDocs(docs, 3, 2000000L)).unionByName(fresh)
+    val iw = spanWindows(increment)
+    val incFreq = iw.groupBy("fp").agg(count(lit(1)).as("inc_c"))
+    val rep = iw.join(incFreq, "fp").join(index, Seq("fp"), "left")
+      .where(coalesce(col("corp_c"), lit(0L)) + col("inc_c") >= 2)
+      .select("doc_id", "pos")
+    mergeSpans(rep)
+  }
+
+  val d11Oracle: String =
+    """WITH base AS (SELECT doc_id, text FROM documents),
+      |cw AS (
+      |  SELECT list_aggregate(list_slice(tk, i, i + 7), 'string_agg', ' ') AS w
+      |  FROM (SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') tk
+      |        FROM base) t, LATERAL unnest(range(1, len(tk) - 6)) AS r(i)
+      |  WHERE len(tk) >= 8),
+      |idx AS (SELECT w, count(*) corp_c FROM cw GROUP BY 1),
+      |inc AS (
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM base WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT a.doc_id + 2000000,
+      |         list_aggregate(list_slice(ta.tk, 1, 20), 'string_agg', ' ')
+      |         || ' ' || md5(a.doc_id::VARCHAR) || ' ' ||
+      |         list_aggregate(list_slice(tb.tk, len(tb.tk) - 19, len(tb.tk)), 'string_agg', ' ')
+      |  FROM base a JOIN base b ON b.doc_id = (a.doc_id + 1) % (SELECT max(doc_id) + 1 FROM base),
+      |  LATERAL (SELECT list_filter(regexp_split_to_array(lower(trim(a.text)), '\s+'), x -> x <> '') tk) ta,
+      |  LATERAL (SELECT list_filter(regexp_split_to_array(lower(trim(b.text)), '\s+'), x -> x <> '') tk) tb
+      |  WHERE a.doc_id % 11 = 3 AND len(ta.tk) >= 20 AND len(tb.tk) >= 20
+      |  UNION ALL
+      |  SELECT doc_id + 3000000,
+      |         list_aggregate([substr(md5(doc_id::VARCHAR || ':' || j), 1, 8) for j in range(0, 12)],
+      |                        'string_agg', ' ')
+      |  FROM base WHERE doc_id % 10 = 7),
+      |iw AS (
+      |  SELECT doc_id, i - 1 AS pos, list_aggregate(list_slice(tk, i, i + 7), 'string_agg', ' ') AS w
+      |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') tk
+      |        FROM inc) t, LATERAL unnest(range(1, len(tk) - 6)) AS r(i)
+      |  WHERE len(tk) >= 8),
+      |incf AS (SELECT w, count(*) inc_c FROM iw GROUP BY 1),
+      |rep AS (
+      |  SELECT iw.doc_id, iw.pos
+      |  FROM iw JOIN incf USING (w) LEFT JOIN idx USING (w)
+      |  WHERE coalesce(corp_c, 0) + inc_c >= 2),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |         CASE WHEN pos > coalesce(max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS ni
+      |  FROM rep),
+      |grp AS (SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
+      |spans AS (SELECT doc_id, island, min(pos) s, max(pos) + 8 e FROM grp GROUP BY 1, 2)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, CAST(sum(e - s) AS BIGINT) AS dup_tokens
+      |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d9_incremental_dedup" -> (d9IncrementalDedup _),
     "d1_exact_dedup" -> (d1ExactDedup _),
@@ -746,7 +841,8 @@ object DedupQueries {
     "d6_embedding_neardup" -> (d6EmbeddingNearDup _),
     "d7_dup_clusters" -> (d7DupClusters _),
     "d8_triangles" -> (d8Triangles _),
-    "d10_span_dedup" -> (d10SpanDedup _))
+    "d10_span_dedup" -> (d10SpanDedup _),
+    "d11_incremental_span_dedup" -> (d11IncrementalSpanDedup _))
 
   val oracles: Map[String, String] = Map(
     "d9_incremental_dedup" -> d9Oracle,
@@ -758,5 +854,6 @@ object DedupQueries {
     "d6_embedding_neardup" -> d6Oracle,
     "d7_dup_clusters" -> d7Oracle,
     "d8_triangles" -> d8Oracle,
-    "d10_span_dedup" -> d10Oracle)
+    "d10_span_dedup" -> d10Oracle,
+    "d11_incremental_span_dedup" -> d11Oracle)
 }
