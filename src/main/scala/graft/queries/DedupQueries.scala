@@ -666,7 +666,7 @@ object DedupQueries {
   /** (doc_id, pos, fp) — every k-token window of every doc, md5Long-keyed
     * (same hashed-shuffle discipline as [[shinglesDf]]).
     */
-  private def spanWindows(docs: DataFrame): DataFrame = docs
+  private[graft] def spanWindows(docs: DataFrame): DataFrame = docs
     .select(col("doc_id"), Text.tokens(col("text")).as("tk")) // tokens before the HOF lambda
     .where(size(col("tk")) >= SpanK)
     .select(col("doc_id"), posexplode(transform(
@@ -678,7 +678,7 @@ object DedupQueries {
     * a position opens a new island iff it clears the running max span
     * end), then per-doc (n_spans, dup_tokens). One doc_id exchange.
     */
-  private def mergeSpans(rep: DataFrame): DataFrame = {
+  private[graft] def mergeSpans(rep: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wOrd = Window.partitionBy("doc_id").orderBy("pos")
     val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)

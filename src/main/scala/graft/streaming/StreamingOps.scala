@@ -228,6 +228,40 @@ object StreamingOps extends Serializable {
         col("corp_id").as("dup_of"),
         col("corp_id").isNotNull.as("is_dup"))
 
+  /** Stream-static span dedup — the streaming twin of the batch d11
+    * operator (cites the same ExactSubstr method): each micro-batch of
+    * crawl docs `(doc_id, text)` is windowed into k-token spans and
+    * joined against the PERSISTED span-frequency index; positions whose
+    * span the corpus already contains merge into maximal per-doc
+    * intervals. Output `(doc_id, n_spans, dup_tokens)` — the d10/d11
+    * schema.
+    *
+    * The interval merge cannot be a window function on a stream, so it
+    * is an aggregation: positions collect per doc and a single
+    * `aggregate` HOF folds the SORTED array with (islands, covered,
+    * max_end) state — exactly the gaps-and-islands recurrence, O(doc
+    * length) per doc, no second shuffle. The streaming aggregation runs
+    * in update/complete mode (doc_id is not time-bounded); production
+    * pipelines bound state by routing through `foreachBatch` (the
+    * [[idempotentPartitionedSink]] pattern) or adding an event-time key.
+    */
+  def streamStaticSpanDedup(increment: DataFrame, spanIndex: DataFrame): DataFrame = {
+    val k = 8 // DedupQueries.SpanK
+    val rep = graft.queries.DedupQueries.spanWindows(increment)
+      .join(spanIndex.where(col("corp_c") >= 1).select("fp"), "fp")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+    rep.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+      .select(col("doc_id"), aggregate(
+        col("ps"),
+        struct(lit(0L).as("n"), lit(0L).as("cov"), lit(-1L).as("mx")),
+        (acc, p) => struct(
+          when(p > acc("mx"), acc("n") + 1L).otherwise(acc("n")).as("n"),
+          when(p > acc("mx"), acc("cov") + k).otherwise(acc("cov") + p + k - acc("mx")).as("cov"),
+          (p + k).as("mx"))).as("r"))
+      .select(col("doc_id"), col("r.n").as("n_spans"), col("r.cov").as("dup_tokens"))
+  }
+
   /** Stream-stream interval join: purchases ⋈ clicks of the same user with
     * `c_ts ∈ [p_ts − 1h, p_ts)`. Watermarks on BOTH sides let Spark evict
     * join state: a click can only match purchases up to 1 h later, so click

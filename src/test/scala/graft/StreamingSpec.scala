@@ -267,6 +267,60 @@ class StreamingSpec extends AnyFunSuite {
     index.unpersist()
   }
 
+  test("stream-static span dedup == batch span merge across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+
+    val docs = graft.sources.Tables.documents(spark, sfDir).select("doc_id", "text")
+    val index = graft.queries.DedupQueries.spanWindows(docs)
+      .groupBy("fp").agg(count(lit(1)).as("corp_c"))
+    index.cache()
+
+    // increment: two re-crawls (whole-doc span), one head-quote (partial
+    // span: 20 corpus tokens then 13 novel ones), one fully novel doc
+    // (enough tokens to window, zero index hits — absent from output)
+    val base = docs.orderBy("doc_id").limit(3).collect().map(r => (r.getLong(0), r.getString(1)))
+    val recrawls = base.take(2).map { case (id, text) => (id + 1000000L, text) }
+    val headQuote = {
+      val toks = base(2)._2.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      (3000001L, (toks.take(20) ++ (1 to 13).map(j => s"nvq$j")).mkString(" "))
+    }
+    val fresh = (3000002L, (1 to 12).map(j => s"nvl$j").mkString(" "))
+
+    val mem = MemoryStream[(Long, String)]
+    val inc = mem.toDF().toDF("doc_id", "text")
+    val q = StreamingOps.streamStaticSpanDedup(inc, index)
+      .writeStream.format("memory").queryName("ssp").outputMode("complete").start()
+    try {
+      mem.addData(recrawls.toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(headQuote, fresh)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ssp").orderBy("doc_id")
+      .select("doc_id", "n_spans", "dup_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+    // the batch path over the SAME increment: window-function island merge
+    // must agree with the streaming HOF fold
+    val incBatch = spark.createDataFrame(recrawls.toSeq :+ headQuote :+ fresh)
+      .toDF("doc_id", "text")
+    val repB = graft.queries.DedupQueries.spanWindows(incBatch)
+      .join(index.where(col("corp_c") >= 1).select("fp"), "fp")
+      .select("doc_id", "pos")
+    val expect = graft.queries.DedupQueries.mergeSpans(repB)
+      .select(col("doc_id"), col("n_spans"), col("dup_tokens")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+    assert(got == expect)
+    assert(got.map(_._1).toSet == (recrawls.map(_._1) :+ headQuote._1).toSet,
+      "recrawls and the head-quote marked; the novel doc absent")
+    val quote = got.find(_._1 == headQuote._1).get
+    assert(quote._2 == 1L && quote._3 == 20L, "head quote = one 20-token span")
+    index.unpersist()
+  }
+
   test("batch sessionization totals are exact decimal sums (order-independent)") {
     val df = EventQueries.e3Sessions(spark, sfDir)
     val total = df.agg(sum(col("total_value").cast("decimal(18,2)")).cast("double")).head.getDouble(0)
