@@ -41,6 +41,16 @@ object ScaleProbe {
   private val Families: Set[Char] =
     sys.env.getOrElse("SPARK_GRAFT_PROBE_FAMILIES", "dsv").toSet
 
+  /** Comma-separated query names to exclude (`SPARK_GRAFT_PROBE_SKIP`) —
+    * for densities where a query's OUTPUT contract (e.g. the quadratic
+    * pair materializations d5/d6) would exceed the probe host's disk, not
+    * its runtime. Skips are a per-run measurement choice, never a default.
+    */
+  private val Skip: Set[String] =
+    sys.env.get("SPARK_GRAFT_PROBE_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+
   def synthesize(spark: SparkSession, baseDir: String, outDir: String, factor: Int): Unit = {
     val out = Paths.get(outDir)
     val marker = out.resolve("_PROBE_OK")
@@ -205,7 +215,7 @@ object ScaleProbe {
     synthesize(spark, baseDir, outDir, factor)
 
     val probed = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => Families.contains(name.head) }
+      .filter { case (name, _) => Families.contains(name.head) && !Skip(name) }
 
     // JIT/codegen warmup at the smallest SF so base timings are steady-state
     probed.foreach { case (_, fn) =>
