@@ -74,11 +74,17 @@ object IvfIndex {
       .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
       .withColumn("n2", Vectors.norm2D(col("v")))
 
-    // deterministic uniform seeding: bottom-`cells` by key hash (the n6 rule)
+    // deterministic uniform seeding: bottom-`cells` by key hash (the n6 rule).
+    // The numbering window runs over the ≤`cells` surviving rows only — it
+    // IS single-partition by construction and tiny. The partition key is a
+    // constant-VALUED but non-foldable expression (empty slice of h): a
+    // literal would be stripped by EliminateWindowPartitions and WindowExec
+    // would then warn about a global window on every build.
     var cents = e
       .withColumn("h", md5(concat(lit("ivf:"), col("vec_id").cast("string"))))
       .orderBy("h").limit(cells)
-      .withColumn("cid", (row_number().over(Window.orderBy("h")) - 1).cast("int"))
+      .withColumn("cid", (row_number().over(
+        Window.partitionBy(substring(col("h"), 1, 0)).orderBy("h")) - 1).cast("int"))
       .select(col("cid"), col("v").as("cv"), col("n2").as("cn2"))
       .localCheckpoint()
 

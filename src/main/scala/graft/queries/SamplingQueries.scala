@@ -160,8 +160,86 @@ object SamplingQueries {
     """SELECT o_orderkey, md5('n6:' || CAST(o_orderkey AS VARCHAR)) AS h
       |FROM orders ORDER BY h LIMIT 500""".stripMargin
 
+  /** n7: deterministic training-shard shuffle — the "globally shuffle the
+    * corpus into N training shards" step every pretraining run needs. A
+    * global ORDER BY random() is a total sort (and not reproducible); the
+    * scalable reproducible form is hash-shard + shard-local sort: shard =
+    * md5(salt_s, id) mod N routes each doc (one hash shuffle, N reducers),
+    * pos = rank of md5(salt_o, id) within the shard (shard-LOCAL sort, no
+    * global ordering pass). Independent salts make shard routing and
+    * within-shard order independent uniform draws; a training reader
+    * streaming shard files in pos order sees a reproducible pseudorandom
+    * permutation. At 100 TB: raise N so each shard sorts in memory; the
+    * plan shape (scan → hash shuffle → per-partition sort) is unchanged.
+    */
+  def n7ShardShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val nShards = 8L
+    val w = Window.partitionBy("shard").orderBy(col("oh"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        pmod(Text.md5Long(concat(lit("n7s:"), col("doc_id").cast("string"))), lit(nShards))
+          .cast("int").as("shard"),
+        Text.md5Long(concat(lit("n7o:"), col("doc_id").cast("string"))).as("oh"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("shard", "pos")
+  }
+
+  val n7Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CAST(('0x' || substr(md5('n7s:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS INT) AS shard,
+      |         ('0x' || substr(md5('n7o:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS oh
+      |  FROM documents)
+      |SELECT doc_id, shard, CAST(row_number() OVER (PARTITION BY shard ORDER BY oh, doc_id) AS BIGINT) AS pos
+      |FROM t ORDER BY shard, pos""".stripMargin
+
+  /** n8: temperature-flattened source mixing (α = 0.5) — the multilingual /
+    * source-balance staple: sample source s at rate ∝ tokens_s^(α−1), so
+    * kept tokens ∝ sqrt(tokens_s) — big sources are damped, small ones
+    * surface. Rates are materialized as integer parts-per-million computed
+    * with ONLY correctly-rounded IEEE double ops (long/long division, sqrt,
+    * ×1e6, floor) — bit-identical on any engine, so the md5-ppm membership
+    * test is reproducible like n1/n5. One token-count aggregation (tiny,
+    * broadcast back) + one shuffle-free filtered scan: the 100 TB cost is
+    * one pass.
+    */
+  def n8TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+    val bySrc = tok.groupBy("source").agg(sum("n_tokens").as("src_tokens"))
+    val tmin = bySrc.agg(min("src_tokens").as("min_tokens"))
+    val rates = bySrc.crossJoin(broadcast(tmin)) // 1-row scalar, benign
+      .select(col("source"),
+        floor(lit(1000000.0) * sqrt(col("min_tokens") / col("src_tokens")))
+          .cast("long").as("rate_ppm"))
+    tok.join(broadcast(rates), Seq("source"))
+      .where(pmod(Text.md5Long(concat(lit("n8:"), col("doc_id").cast("string"))),
+        lit(1000000L)) < col("rate_ppm"))
+      .groupBy("source", "rate_ppm")
+      .agg(count(lit(1)).as("docs_kept"), sum("n_tokens").as("tokens_kept"))
+      .orderBy("source")
+  }
+
+  val n8Oracle: String =
+    """WITH t AS (
+      |  SELECT source, doc_id,
+      |         CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |s AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens FROM t GROUP BY 1),
+      |r AS (SELECT source,
+      |             CAST(floor(1000000.0 * sqrt((SELECT min(src_tokens) FROM s) / src_tokens)) AS BIGINT) AS rate_ppm
+      |      FROM s)
+      |SELECT t.source, r.rate_ppm, count(1) AS docs_kept, CAST(sum(t.n_tokens) AS BIGINT) AS tokens_kept
+      |FROM t JOIN r ON t.source = r.source
+      |WHERE ('0x' || substr(md5('n8:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 < r.rate_ppm
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n6_bottomk_sample" -> (n6BottomKSample _),
+    "n7_shard_shuffle" -> (n7ShardShuffle _),
+    "n8_temperature_mix" -> (n8TemperatureMix _),
     "n1_hash_sample" -> (n1HashSample _),
     "n2_stratified_sample" -> (n2StratifiedSample _),
     "n3_latest_per_key" -> (n3LatestPerKey _),
@@ -170,6 +248,8 @@ object SamplingQueries {
 
   val oracles: Map[String, String] = Map(
     "n6_bottomk_sample" -> n6Oracle,
+    "n7_shard_shuffle" -> n7Oracle,
+    "n8_temperature_mix" -> n8Oracle,
     "n1_hash_sample" -> n1Oracle,
     "n2_stratified_sample" -> n2Oracle,
     "n3_latest_per_key" -> n3Oracle,
