@@ -90,10 +90,10 @@ object ScaleProbe {
 
     // events ×factor: replicated USERS (new user_id/event_id keyspace,
     // same per-user activity shape) — horizontal growth, which is how an
-    // event stream actually scales. The file is physically
-    // TIMESTAMP(NANOS); `Tables.events` reads it as raw nanos under the
-    // legacy flag, so the scaled copy keeps ts as the raw long — the
-    // reader path is then byte-identical to the driver corpus.
+    // event stream actually scales. `ts` passes through untouched in
+    // whatever physical type this corpus generation used (nanos-as-long
+    // under the legacy flag, or plain micros) — the scaled copy's reader
+    // path is then identical to the driver corpus's.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val evLink = out.resolve("events.parquet")
     if (Files.isSymbolicLink(evLink)) Files.delete(evLink) // v1 layout linked it

@@ -43,20 +43,22 @@ object StreamProbe {
   private val RunTimeoutMs: Long =
     sys.env.getOrElse("SPARK_GRAFT_PROBE_TIMEOUT_SEC", "600").toLong * 1000L
 
-  /** Split the on-disk events file (raw TIMESTAMP(NANOS) read as long) into
-    * `Chunks` chronological single-file chunks under `srcRoot`. Returns the
-    * chunk paths in timeline order. Quantile cuts keep chunks equal-sized
-    * even though the raw file is written unsorted.
+  /** Split the on-disk events file into `Chunks` chronological single-file
+    * chunks under `srcRoot`. Returns the chunk paths in timeline order.
+    * The source is read through [[graft.sources.Tables.events]] so `ts` is
+    * normalized to session-zoned TIMESTAMP whatever physical type the
+    * corpus generation used; chunk cuts are epoch-micros quantiles, which
+    * keep chunks equal-sized even though the raw file is written unsorted.
     */
   def chunkEvents(spark: SparkSession, dir: String, srcRoot: String): Seq[String] = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    val cuts = raw.stat.approxQuantile("ts", (1 until Chunks).map(_.toDouble / Chunks).toArray, 0.001)
+    val raw = graft.sources.Tables.events(spark, dir)
+      .withColumn("_tsk", unix_micros(col("ts")))
+    val cuts = raw.stat.approxQuantile("_tsk", (1 until Chunks).map(_.toDouble / Chunks).toArray, 0.001)
     Files.createDirectories(Paths.get(srcRoot))
     val bounds = (Array(Long.MinValue) ++ cuts.map(_.toLong)) :+ Long.MaxValue
     (0 until Chunks).map { i =>
       val tmp = s"$srcRoot/_tmp_chunk"
-      raw.where(col("ts") > bounds(i) && col("ts") <= bounds(i + 1))
+      raw.where(col("_tsk") > bounds(i) && col("_tsk") <= bounds(i + 1)).drop("_tsk")
         .coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = Files.list(Paths.get(tmp)).filter(_.getFileName.toString.endsWith(".parquet"))
         .findFirst.orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
@@ -75,7 +77,7 @@ object StreamProbe {
   private[graft] def runOnce(spark: SparkSession, name: String, srcDir: String, outDir: String,
                              ck: String, build: DataFrame => DataFrame): RunStats = {
     val stream = graft.sources.Tables.normalizeEventTs(
-      spark.readStream.schema(StreamingOps.rawEventSchema)
+      spark.readStream.schema(StreamingOps.rawEventSchema(spark, srcDir))
         .option("maxFilesPerTrigger", "1").parquet(srcDir))
     val t0 = System.nanoTime()
     val q: StreamingQuery = build(stream)

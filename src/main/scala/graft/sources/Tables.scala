@@ -16,13 +16,22 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is physically TIMESTAMP(NANOS) parquet, which Spark's
-    * vectorized reader rejects; read it as raw nanos (legacy flag) and
-    * truncate to microseconds — the same truncation DuckDB applies, so
-    * oracle comparisons agree.
+  /** Normalize `events.ts` to session-zoned TIMESTAMP whatever the driver
+    * wrote this round: TIMESTAMP(NANOS) parquet arrives as raw nanos longs
+    * (via the `nanosAsLong` legacy flag — Spark's vectorized reader rejects
+    * nanos) and is truncated to micros, exactly the truncation DuckDB
+    * applies; TIMESTAMP(MICROS) without a zone arrives as TIMESTAMP_NTZ and
+    * is re-tagged (a no-op on the stored micros under the pinned UTC session
+    * zone, which is also how DuckDB reads it).
     */
   def normalizeEventTs(df: DataFrame): DataFrame =
-    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 
   def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")

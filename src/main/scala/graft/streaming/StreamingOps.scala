@@ -34,12 +34,17 @@ object StreamingOps extends Serializable {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** On-disk schema: `ts` is TIMESTAMP(NANOS) parquet, readable only as raw
-    * nanos (`spark.sql.legacy.parquet.nanosAsLong`); pipe the source through
-    * [[graft.sources.Tables.normalizeEventTs]] to get [[eventSchema]].
+  /** Declared schema for a streaming read of an events parquet source.
+    * The physical type of `ts` is not stable across corpus generations —
+    * it has been TIMESTAMP(NANOS) (readable only as raw nanos long under
+    * `spark.sql.legacy.parquet.nanosAsLong`) and plain timestamp-micros
+    * (arriving as TIMESTAMP_NTZ) — so the schema is taken from the footer
+    * of whatever is actually on disk rather than hard-coded. Pipe the
+    * source through [[graft.sources.Tables.normalizeEventTs]] to get
+    * [[eventSchema]] regardless of which variant was found.
     */
-  val rawEventSchema: StructType = StructType(
-    eventSchema.fields.map(f => if (f.name == "ts") f.copy(dataType = LongType) else f))
+  def rawEventSchema(spark: SparkSession, path: String): StructType =
+    spark.read.parquet(path).schema
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
 

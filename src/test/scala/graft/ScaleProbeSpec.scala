@@ -71,13 +71,13 @@ class ScaleProbeSpec extends AnyFunSuite {
     assert(orphans == 0, s"$orphans lineitems lost their order under the rekey")
   }
 
-  test("events scale by factor through the raw-nanos reader path") {
+  test("events scale by factor through the pass-through ts reader path") {
     val e0 = Tables.events(spark, base)
     val e = Tables.events(spark, out)
     assert(e.count() == e0.count() * factor)
     assert(e.select("user_id").distinct().count() ==
       e0.select("user_id").distinct().count() * factor)
-    // ts survived the raw-long round-trip: same min/max per replica set
+    // ts survived the pass-through round-trip: same min/max per replica set
     assert(e.agg(min("ts"), max("ts")).head() == e0.agg(min("ts"), max("ts")).head())
   }
 

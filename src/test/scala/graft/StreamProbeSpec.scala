@@ -26,9 +26,10 @@ class StreamProbeSpec extends AnyFunSuite {
       spark.read.parquet(s"$sfDir/events.parquet").select("event_id").distinct().count())
     // chronological: chunk i's max ts <= chunk i+1's min ts
     val ranges = chunks.map { p =>
+      import org.apache.spark.sql.functions.{col, min, max, unix_micros}
       val r = spark.read.parquet(p).agg(
-        org.apache.spark.sql.functions.min("ts"),
-        org.apache.spark.sql.functions.max("ts")).head
+        min(unix_micros(col("ts"))),
+        max(unix_micros(col("ts")))).head
       (r.getLong(0), r.getLong(1))
     }
     ranges.sliding(2).foreach { case Seq((_, hi), (lo, _)) => assert(hi <= lo) }

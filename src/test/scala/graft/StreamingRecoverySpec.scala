@@ -31,11 +31,11 @@ class StreamingRecoverySpec extends AnyFunSuite {
 
     val events = Tables.events(spark, sfDir)
       .select("event_id", "ts", "user_id", "event_type", "value")
-    val cut = events.agg(expr("percentile_approx(cast(ts as long), 0.5)")).head.getLong(0)
+    val cutMicros = events.agg(expr("percentile_approx(unix_micros(ts), 0.5)")).head.getLong(0)
 
     def run(): Unit = {
       val stream = graft.sources.Tables.normalizeEventTs(
-          spark.readStream.schema(StreamingOps.rawEventSchema).parquet(srcDir))
+          spark.readStream.schema(StreamingOps.rawEventSchema(spark, srcDir)).parquet(srcDir))
         .select("event_id", "ts", "user_id", "event_type", "value").as[StreamingOps.Event]
       val q = StreamingOps.sessionize(spark, stream).toDF()
         .writeStream.format("parquet")
@@ -46,13 +46,11 @@ class StreamingRecoverySpec extends AnyFunSuite {
       q.awaitTermination(120000)
     }
 
-    // first half arrives (raw nanos schema, as on disk), stream runs, stops
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    val cutMicros = cut * 1000000L
-    raw.where(expr(s"ts div 1000 <= ${cutMicros}L")).write.mode("append").parquet(srcDir)
+    // first half arrives (normalized timestamps), stream runs, stops
+    events.where(expr(s"unix_micros(ts) <= ${cutMicros}L")).write.mode("append").parquet(srcDir)
     run()
     // second half arrives; a NEW query recovers state from the checkpoint
-    raw.where(expr(s"ts div 1000 > ${cutMicros}L")).write.mode("append").parquet(srcDir)
+    events.where(expr(s"unix_micros(ts) > ${cutMicros}L")).write.mode("append").parquet(srcDir)
     run()
 
     val got = spark.read.parquet(outDir)
@@ -77,7 +75,7 @@ class StreamingRecoverySpec extends AnyFunSuite {
 
     def run(): Unit = {
       val stream = graft.sources.Tables.normalizeEventTs(
-        spark.readStream.schema(StreamingOps.rawEventSchema).parquet(srcDir))
+        spark.readStream.schema(StreamingOps.rawEventSchema(spark, srcDir)).parquet(srcDir))
       val q = StreamingOps.dedupEvents(stream, "60 days")
         .writeStream.format("parquet")
         .option("path", outDir).option("checkpointLocation", ck)

@@ -43,7 +43,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming tumbling-window counts == batch result") {
     val stream = graft.sources.Tables.normalizeEventTs(
-      spark.readStream.schema(StreamingOps.rawEventSchema).parquet(streamDir))
+      spark.readStream.schema(StreamingOps.rawEventSchema(spark, streamDir)).parquet(streamDir))
     val got = runStream(StreamingOps.windowedCounts(stream), "complete", "wc")
       .orderBy("wstart", "event_type").collect()
     val want = EventQueries.e1WindowedCounts(spark, sfDir).collect()
@@ -53,7 +53,7 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming sessionization (flatMapGroupsWithState) == batch closed sessions") {
     import spark.implicits._
     val stream = graft.sources.Tables.normalizeEventTs(
-        spark.readStream.schema(StreamingOps.rawEventSchema).parquet(streamDir))
+        spark.readStream.schema(StreamingOps.rawEventSchema(spark, streamDir)).parquet(streamDir))
       .select("event_id", "ts", "user_id", "event_type", "value").as[StreamingOps.Event]
     val got = runStream(StreamingOps.sessionize(spark, stream).toDF(), "append", "sess")
       .select("user_id", "session_start", "session_end", "n_events")
@@ -132,7 +132,7 @@ class StreamingSpec extends AnyFunSuite {
     Files.copy(Paths.get(s"$sfDir/events.parquet"), Paths.get(s"$d/a.parquet"))
     Files.copy(Paths.get(s"$sfDir/events.parquet"), Paths.get(s"$d/b.parquet"))
     val stream = graft.sources.Tables.normalizeEventTs(
-      spark.readStream.schema(StreamingOps.rawEventSchema)
+      spark.readStream.schema(StreamingOps.rawEventSchema(spark, d))
         .option("maxFilesPerTrigger", "1").parquet(d))
     // delay wider than the data span: nothing is late, so every batch-2 row
     // is dropped by dedup STATE, not by the lateness filter
@@ -151,7 +151,7 @@ class StreamingSpec extends AnyFunSuite {
       .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
 
     val stream = graft.sources.Tables.normalizeEventTs(
-      spark.readStream.schema(StreamingOps.rawEventSchema).parquet(streamDir))
+      spark.readStream.schema(StreamingOps.rawEventSchema(spark, streamDir)).parquet(streamDir))
     val got = runStream(
         StreamingOps.attributionJoin(purchases(stream), clicks(stream), "40 days")
           .select("p_id", "c_id"), "append", "attr")
@@ -179,7 +179,7 @@ class StreamingSpec extends AnyFunSuite {
         .groupBy("tier").agg(count(lit(1)).as("cnt"))
 
     val stream = graft.sources.Tables.normalizeEventTs(
-      spark.readStream.schema(StreamingOps.rawEventSchema).parquet(streamDir))
+      spark.readStream.schema(StreamingOps.rawEventSchema(spark, streamDir)).parquet(streamDir))
     val got = runStream(enrich(stream), "complete", "enriched")
       .orderBy("tier").collect()
     val want = enrich(graft.sources.Tables.events(spark, sfDir))
@@ -195,7 +195,7 @@ class StreamingSpec extends AnyFunSuite {
 
     def runOnce(checkpoint: String): Unit = {
       val stream = graft.sources.Tables.normalizeEventTs(
-        spark.readStream.schema(StreamingOps.rawEventSchema)
+        spark.readStream.schema(StreamingOps.rawEventSchema(spark, d))
           .option("maxFilesPerTrigger", "1").parquet(d))
       val q = StreamingOps.idempotentPartitionedSink(stream, s"$root/out", checkpoint)
       q.awaitTermination(120000)
