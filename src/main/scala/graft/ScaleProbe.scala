@@ -54,7 +54,15 @@ object ScaleProbe {
   def synthesize(spark: SparkSession, baseDir: String, outDir: String, factor: Int): Unit = {
     val out = Paths.get(outDir)
     val marker = out.resolve("_PROBE_OK")
-    val stamp = s"v3 factor=$factor base=$baseDir" // v3: facts scaled too
+    // the stamp fingerprints the SOURCE tables (mtime+size) so a probe dir
+    // synthesized from a previous corpus generation is rebuilt, not reused —
+    // the driver regenerates /root/testdata between rounds
+    val srcStamp = Seq("documents", "embeddings", "events", "orders", "lineitem")
+      .map { t =>
+        val p = Paths.get(baseDir, s"$t.parquet")
+        s"$t:${Files.getLastModifiedTime(p).toMillis}:${Files.size(p)}"
+      }.mkString(",")
+    val stamp = s"v4 factor=$factor base=$baseDir src=$srcStamp"
     if (Files.exists(marker) && new String(Files.readAllBytes(marker)) == stamp) return
     Files.createDirectories(out)
 
