@@ -220,6 +220,36 @@ object YqlTextQueries {
       |                                      s -> CAST(s AS VARCHAR)), ',') AS small_sizes
       |FROM by_lang ORDER BY lang""".stripMargin
 
+  /** y8: breadth notch 5 — window functions through YQL text: a NAMED
+    * `WINDOW w AS (…)` clause shared by `ROW_NUMBER` and `LAG`, plus an
+    * inline windowed `COUNT`. The partition order key (`o_orderkey`) is
+    * unique, so every window result is deterministic cross-engine.
+    */
+  def y8YqlWindow(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    YqlFrontend.run(spark,
+      """
+      $o = (select o_orderkey, o_custkey, o_totalprice from orders where o_orderkey % 3 = 0);
+      select o_custkey as acc, cast(row_number() over w as Int64) as rn,
+             o_orderkey as okey,
+             coalesce(lag(o_orderkey) over w, 0) as prev_okey,
+             cast(count(1) over (partition by o_custkey) as Int64) as n_orders
+        from $o
+      window w as (partition by o_custkey order by o_orderkey)
+      order by acc, rn limit 200;
+      """).get
+  }
+
+  val y8Oracle: String =
+    """SELECT o_custkey AS acc,
+      |       row_number() OVER w AS rn,
+      |       o_orderkey AS okey,
+      |       coalesce(lag(o_orderkey) OVER w, 0) AS prev_okey,
+      |       count(1) OVER (PARTITION BY o_custkey) AS n_orders
+      |FROM orders WHERE o_orderkey % 3 = 0
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+      |ORDER BY acc, rn LIMIT 200""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "y1_yql_project" -> (y1YqlProject _),
     "y2_yql_exclusion" -> (y2YqlExclusion _),
@@ -227,7 +257,8 @@ object YqlTextQueries {
     "y4_yql_only_limit" -> (y4YqlOnlyLimit _),
     "y5_yql_without" -> (y5YqlWithout _),
     "y6_yql_having" -> (y6YqlHaving _),
-    "y7_yql_lambdas" -> (y7YqlLambdas _))
+    "y7_yql_lambdas" -> (y7YqlLambdas _),
+    "y8_yql_window" -> (y8YqlWindow _))
 
   val oracles: Map[String, String] = Map(
     "y1_yql_project" -> y1Oracle,
@@ -236,5 +267,6 @@ object YqlTextQueries {
     "y4_yql_only_limit" -> y4Oracle,
     "y5_yql_without" -> y5Oracle,
     "y6_yql_having" -> y6Oracle,
-    "y7_yql_lambdas" -> y7Oracle)
+    "y7_yql_lambdas" -> y7Oracle,
+    "y8_yql_window" -> y8Oracle)
 }
