@@ -401,7 +401,63 @@ object StatQueries {
       |       CAST(max(abs(cuma * nb - cumb * na)) AS DOUBLE) / (CAST(max(na) AS DOUBLE) * max(nb)) AS ks_distance
       |FROM c, t""".stripMargin
 
+  /** x12: Population Stability Index between the x9 cohorts — the third
+    * standard drift metric next to TV (x9) and KS (x11):
+    * `PSI = Σ_bins (p_a − p_b) · ln(p_a / p_b)` with add-one smoothing so
+    * an empty bin never reaches `ln(0)`. Cross-engine determinism: counts
+    * stay exact integers; each bin contributes ONE double term (two IEEE
+    * divisions, one `ln`, one multiply) that is rounded to 9 dp — far
+    * below any metrical meaning, far above cross-libm ulp noise — and
+    * summed as DECIMAL, which is order-independent, so the shuffle-order-
+    * dependent double sum never reaches the hash compare. Scale shape:
+    * one groupBy(bin) shuffle on a ~30-key space plus a 1-row scalar
+    * broadcast (K4 pattern) — the same plan as x9 at any corpus size.
+    */
+  def x12PsiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val binned = Tables.orders(spark, dir).select(
+      expr("CAST(round(o_totalprice * 100) AS BIGINT) div 5000000").as("bin"),
+      (col("o_orderkey") % 2).as("side"))
+    val perBin = binned.groupBy("bin").agg(
+      sum(when(col("side") === 0, 1L).otherwise(0L)).as("ca"),
+      sum(when(col("side") === 1, 1L).otherwise(0L)).as("cb"))
+    val tot = binned.agg(
+      sum(when(col("side") === 0, 1L).otherwise(0L)).as("na"),
+      sum(when(col("side") === 1, 1L).otherwise(0L)).as("nb"),
+      countDistinct("bin").as("k"))
+    perBin.crossJoin(tot) // 1-row totals, K4-style scalar broadcast
+      .select(col("k"),
+        ((col("ca") + 1).cast("double") / (col("na") + col("k"))).as("pa"),
+        ((col("cb") + 1).cast("double") / (col("nb") + col("k"))).as("pb"))
+      .select(col("k"),
+        round((col("pa") - col("pb")) * log(col("pa") / col("pb")), 9)
+          .cast("decimal(18,10)").as("term"))
+      .agg(max("k").as("n_bins"), sum("term").cast("double").as("psi"))
+  }
+
+  val x12Oracle: String =
+    """WITH b AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 5000000 AS bin,
+      |         o_orderkey % 2 AS side
+      |  FROM orders),
+      |p AS (SELECT bin,
+      |             sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) ca,
+      |             sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) cb
+      |      FROM b GROUP BY 1),
+      |t AS (SELECT sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) na,
+      |             sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) nb,
+      |             count(DISTINCT bin) k
+      |      FROM b),
+      |terms AS (
+      |  SELECT k,
+      |         CAST(round((CAST(ca + 1 AS DOUBLE) / (na + k) - CAST(cb + 1 AS DOUBLE) / (nb + k))
+      |              * ln((CAST(ca + 1 AS DOUBLE) / (na + k)) / (CAST(cb + 1 AS DOUBLE) / (nb + k))), 9)
+      |              AS DECIMAL(18,10)) AS term
+      |  FROM p, t)
+      |SELECT CAST(max(k) AS BIGINT) AS n_bins, CAST(sum(term) AS DOUBLE) AS psi
+      |FROM terms""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x12_psi_drift" -> (x12PsiDrift _),
     "x11_ks_drift" -> (x11KsDrift _),
     "x10_dq_audit" -> (x10DqAudit _),
     "x9_tv_drift" -> (x9TvDrift _),
@@ -415,6 +471,7 @@ object StatQueries {
     "x8_snapshot_diff" -> (x8SnapshotDiff _))
 
   val oracles: Map[String, String] = Map(
+    "x12_psi_drift" -> x12Oracle,
     "x11_ks_drift" -> x11Oracle,
     "x10_dq_audit" -> x10Oracle,
     "x9_tv_drift" -> x9Oracle,
