@@ -11,7 +11,7 @@ import graft.queries.{AnalyticsQueries, CorpusQueries, DedupQueries, EventQuerie
   */
 object SparkEntry {
 
-  private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+  private[graft] def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (RefQ.queries, RefQ.oracles),
       (JoinQueries.queries, JoinQueries.oracles),
