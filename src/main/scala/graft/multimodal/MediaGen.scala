@@ -1,16 +1,16 @@
 package graft.multimodal
 
 import java.awt.image.BufferedImage
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataOutputStream}
+import java.io.{ByteArrayOutputStream, DataOutputStream}
 
 import javax.imageio.ImageIO
-import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 /** Deterministic synthetic-media fixture (builder brief: multimodal columns).
   *
   * The corpus ships no binary media, so each document's payload is generated
   * executor-side as REAL encoded bytes — a true PNG (via `javax.imageio`), a
-  * true RIFF/WAVE file (via `javax.sound.sampled`), or a length-prefixed
+  * true RIFF/WAVE file (canonical header, `javax.sound`-readable — pinned in
+  * `MultimodalSpec`), or a length-prefixed
   * container of PNG frames standing in for a video. Pixel/sample values are
   * closed-form functions of the seed, so the DuckDB oracle can compute the
   * expected decoded features *without* decoding anything: if Spark's
@@ -32,15 +32,33 @@ object MediaGen {
     imageBytes(seed, w, h, "png")
 
   /** A real RIFF/WAVE file: 8 kHz mono 8-bit unsigned PCM, samples from
-    * [[pcmSample]]. Written through `AudioSystem` so the header is genuine.
+    * [[pcmSample]]. The canonical 44-byte header is written directly —
+    * `AudioSystem.write` serializes on the same global provider-registry
+    * lock as the read side (see `MediaCodec.decodeWav`), which kept m5's
+    * per-row cost lock-bound at scale. `MultimodalSpec` pins that
+    * `javax.sound` can still decode these bytes sample-exactly, so the
+    * payload stays a genuine WAVE file, not a formula shortcut.
     */
   def wavBytes(seed: Long, nSamples: Int): Array[Byte] = {
-    val pcm = Array.tabulate[Byte](nSamples)(i => pcmSample(seed, i).toByte)
-    val fmt = new AudioFormat(8000f, 8, 1, /*signed=*/ false, /*bigEndian=*/ false)
-    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, nSamples.toLong)
-    val baos = new ByteArrayOutputStream()
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
-    baos.toByteArray
+    val out = new Array[Byte](44 + nSamples)
+    def ascii(o: Int, s: String): Unit = { var i = 0; while (i < s.length) { out(o + i) = s.charAt(i).toByte; i += 1 } }
+    def le16(o: Int, v: Int): Unit = { out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte }
+    def le32(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+      out(o + 2) = ((v >> 16) & 0xff).toByte; out(o + 3) = ((v >> 24) & 0xff).toByte
+    }
+    ascii(0, "RIFF"); le32(4, 36 + nSamples); ascii(8, "WAVE")
+    ascii(12, "fmt "); le32(16, 16)
+    le16(20, 1) // PCM
+    le16(22, 1) // mono
+    le32(24, 8000) // sample rate
+    le32(28, 8000) // byte rate (8-bit mono)
+    le16(32, 1) // block align
+    le16(34, 8) // bits per sample
+    ascii(36, "data"); le32(40, nSamples)
+    var i = 0
+    while (i < nSamples) { out(44 + i) = pcmSample(seed, i).toByte; i += 1 }
+    out
   }
 
   /** The same grayscale image in any other ImageIO-writable format
