@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forward forked-process output raw instead of through sbt's logger: the
+// logger prefixes every stdout line with "[info] ", which breaks the
+// driver's JSON parse of graft.Bench's one-line summary (BENCH_r0N.json
+// "parsed": null since round 1).
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

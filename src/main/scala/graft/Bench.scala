@@ -59,14 +59,29 @@ object Bench {
     val total = ok.map(_._2).sum
     val line = s"""{"metric":"total","value":${s4(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
-    // sbt decorates stdout with [info] prefixes (round-1 driver record
-    // shows parsed:null); the undecorated line is also left on disk —
-    // target/ for tooling, repo root so the round commit preserves the
-    // full per-query map even if the driver's stdout capture truncates
+    // The full-name line above is ~3.4 KB, but the driver archives only a
+    // 2 KB stdout TAIL (BENCH_r07.json: parsed null, 76/113 timings
+    // visible). So the LAST stdout line is a compact twin that fits the
+    // window whole: keys are the SURVEY.md §2 ids (prefix before the first
+    // '_'; colliding ids keep their full name), values identical. Any
+    // tail-window parse now sees one complete JSON object; the full-name
+    // map stays one line up and in BENCH_last.json.
+    val shortKeys = ok.groupBy { case (k, _) => k.takeWhile(_ != '_') }
+      .toSeq.flatMap { case (short, grp) =>
+        if (grp.size == 1) grp.map { case (_, v) => short -> v } else grp
+      }.sortBy(_._1)
+    val qsShort = shortKeys.map { case (k, v) => s""""$k":${s4(v)}""" }.mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${s4(total)},"unit":"sec","queries":$qsShort,"failed":$failedJson,"sf":"$sfDir","keys":"survey-ids"}"""
+    println(compact)
+    // the undecorated lines are also left on disk — target/ for tooling,
+    // repo root so the round commit preserves the full per-query map even
+    // if the driver's stdout capture truncates
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     for (p <- Seq("target/bench.json", "BENCH_last.json"))
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
         line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_compact.json"),
+      compact.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }
