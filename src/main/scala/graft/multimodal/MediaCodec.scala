@@ -71,6 +71,7 @@ final class MediaCodec {
       require(len >= 0 && off + 8 + len <= bytes.length, s"corrupt WAV chunk '$id' (len=$len)")
       if (id == "fmt ") {
         require(le16(off + 8) == 1, "only PCM WAV is supported")
+        require(le16(off + 8 + 2) == 1, "only mono WAV is supported")
         bits = le16(off + 8 + 14)
       } else if (id == "data") { dataOff = off + 8; dataLen = len }
       off += 8 + len + (len & 1) // RIFF chunks are word-aligned

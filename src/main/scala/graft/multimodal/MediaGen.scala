@@ -40,14 +40,17 @@ object MediaGen {
     * payload stays a genuine WAVE file, not a formula shortcut.
     */
   def wavBytes(seed: Long, nSamples: Int): Array[Byte] = {
-    val out = new Array[Byte](44 + nSamples)
+    // RIFF chunks are word-aligned: an odd-length data chunk carries a
+    // trailing zero pad byte, counted in the RIFF size but not the chunk's
+    val pad = nSamples & 1
+    val out = new Array[Byte](44 + nSamples + pad)
     def ascii(o: Int, s: String): Unit = { var i = 0; while (i < s.length) { out(o + i) = s.charAt(i).toByte; i += 1 } }
     def le16(o: Int, v: Int): Unit = { out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte }
     def le32(o: Int, v: Int): Unit = {
       out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
       out(o + 2) = ((v >> 16) & 0xff).toByte; out(o + 3) = ((v >> 24) & 0xff).toByte
     }
-    ascii(0, "RIFF"); le32(4, 36 + nSamples); ascii(8, "WAVE")
+    ascii(0, "RIFF"); le32(4, 36 + nSamples + pad); ascii(8, "WAVE")
     ascii(12, "fmt "); le32(16, 16)
     le16(20, 1) // PCM
     le16(22, 1) // mono

@@ -43,8 +43,14 @@ object StreamingOps extends Serializable {
     * source through [[graft.sources.Tables.normalizeEventTs]] to get
     * [[eventSchema]] regardless of which variant was found.
     */
-  def rawEventSchema(spark: SparkSession, path: String): StructType =
+  def rawEventSchema(spark: SparkSession, path: String): StructType = {
+    // self-contained footer read: on a TIMESTAMP(NANOS) corpus generation
+    // the batch reader throws unless the legacy flag is set, and relying on
+    // a prior Tables.events call to have set it is an ordering hazard in a
+    // shared session
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(path).schema
+  }
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
 

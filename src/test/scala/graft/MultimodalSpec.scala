@@ -96,6 +96,13 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](codec.decodeWav(Array[Byte](1, 2, 3)))
     intercept[IllegalArgumentException](
       codec.decodeWav(MediaGen.wavBytes(7L, 100).dropRight(5)))
+    // a stereo fmt chunk must be rejected, not decoded as interleaved mono
+    val stereo = MediaGen.wavBytes(7L, 100)
+    stereo(22) = 2 // channel count, LE16 at fmt offset +2
+    intercept[IllegalArgumentException](codec.decodeWav(stereo))
+    // odd-length data chunks carry the RIFF word-alignment pad byte
+    assert(MediaGen.wavBytes(7L, 599).length == 44 + 599 + 1)
+    assert(codec.decodeWav(MediaGen.wavBytes(7L, 599)).length == 599)
   }
 
   test("video container splits into frames that decode to the right pixels") {
