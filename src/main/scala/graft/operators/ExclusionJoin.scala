@@ -83,11 +83,13 @@ object ExclusionJoin {
     // Bucketing is on a SUBSET of the reconcile keys (the PK); Spark only
     // accepts subset co-partitioning for a join when this flag is off
     // (default on). Correctness is unaffected either way — the flag only
-    // widens what the planner may treat as co-partitioned.
-    val flag = "spark.sql.requireAllClusterKeysForCoPartition"
-    val saved = spark.conf.get(flag)
-    spark.conf.set(flag, "false")
-    try countFrame(spark.table(leftTable), spark.table(rightTable), keys).head.getLong(0)
-    finally spark.conf.set(flag, saved)
+    // widens what the planner may treat as co-partitioned. The flag is a
+    // session conf, so the gate plans inside a DERIVED session (shared
+    // SparkContext + catalog, isolated SQLConf): a concurrent query in the
+    // caller's session can never observe the relaxed flag, even for the
+    // duration of the gate.
+    val gate = spark.newSession()
+    gate.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    countFrame(gate.table(leftTable), gate.table(rightTable), keys).head.getLong(0)
   }
 }

@@ -63,4 +63,13 @@ class BucketedReconcileSpec extends AnyFunSuite {
     ScaleJoins.writeBucketed(payments, "cold_b4", "id", 4)
     assert(ExclusionJoin.countBucketed(spark, "hot_b8", "cold_b4", keys) == 0L)
   }
+
+  test("countBucketed never relaxes the caller session's co-partition flag") {
+    val flag = "spark.sql.requireAllClusterKeysForCoPartition"
+    assert(spark.conf.get(flag) == "true", "precondition: Spark default in caller session")
+    // the gate plans in a derived session; the caller's conf is untouched
+    // before, during (no shared SQLConf to race on), and after the call
+    assert(ExclusionJoin.countBucketed(spark, "hot_b8", "cold_b4", keys) == 0L)
+    assert(spark.conf.get(flag) == "true")
+  }
 }
