@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -101,11 +101,11 @@ object CorpusQueries {
 
   /** Corpus profiling with approximate distinct (HyperLogLog++): the
     * constant-memory cardinality pass a 100 TB profiler runs where exact
-    * distinct would shuffle the world. No DuckDB oracle — HLL sketches are
-    * engine-specific — so the driver records a rows-only check and
-    * ApproxOpsSpec bounds the estimation error against exact counts.
+    * distinct would shuffle the world. This core form is the scale
+    * operator; the gated [[v4ProfileApprox]] wraps it with its own exact
+    * verification so the DuckDB oracle can hash-check the error contract.
     */
-  def v4ProfileApprox(spark: SparkSession, dir: String): DataFrame =
+  def v4ProfileApproxCore(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("source"), col("lang"), Text.tokens(col("text")).as("tk"))
       .select(col("source"), col("lang"), explode(col("tk")).as("token"))
@@ -116,15 +116,51 @@ object CorpusQueries {
         approx_count_distinct(col("lang")).as("approx_langs"))
       .orderBy("source")
 
+  /** The GATE form of v4: the HLL profile joined against the exact
+    * distinct counts, emitting the exact values plus a boolean per sketch
+    * asserting the estimate is inside the documented error (10% — 5σ at
+    * rsd 0.02 — or ±1, mirroring ApproxOpsSpec). HLL is deterministic for
+    * fixed input, so the booleans are stable and DuckDB predicts them all
+    * true: the sketch's error CONTRACT is hash-gated even though its raw
+    * estimates are engine-specific. The exact-distinct pass is gate-only
+    * cost — production profiling runs [[v4ProfileApproxCore]].
+    */
+  def v4ProfileApprox(spark: SparkSession, dir: String): DataFrame = {
+    def ok(approx: Column, exact: Column) =
+      abs(approx - exact) <= greatest(lit(1L), (exact.cast("double") * 0.1).cast("long"))
+    val exact = Tables.documents(spark, dir)
+      .select(col("source"), col("lang"), explode(Text.tokens(col("text"))).as("token"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("token")).as("exact_vocab"),
+        countDistinct(col("lang")).as("exact_langs"))
+    exact.join(broadcast(v4ProfileApproxCore(spark, dir)
+        .select(col("source"), col("approx_vocab"), col("approx_langs"))), "source")
+      .select(col("source"), col("n_tokens"), col("exact_vocab"), col("exact_langs"),
+        ok(col("approx_vocab"), col("exact_vocab")).as("vocab_ok"),
+        ok(col("approx_langs"), col("exact_langs")).as("langs_ok"))
+      .orderBy("source")
+  }
+
+  val v4Oracle: String =
+    """WITH toks AS (
+      |  SELECT source, lang,
+      |         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS token
+      |  FROM documents)
+      |SELECT source, count(1) AS n_tokens, count(DISTINCT token) AS exact_vocab,
+      |       count(DISTINCT lang) AS exact_langs, true AS vocab_ok, true AS langs_ok
+      |FROM toks GROUP BY source ORDER BY source""".stripMargin
+
   /** v5: Count-Min-Sketch heavy hitters — the constant-memory frequency
     * profile of a 100 TB key stream (the sketch build is one distributed
     * pass; only the fixed-size sketch reaches the driver, K4-style). For
     * the top-10 exact keys, report exact count next to the CMS estimate.
-    * Like v4, no DuckDB oracle (sketch layouts are engine-specific); the
-    * driver records rows-only and ApproxOpsSpec enforces the CMS
-    * guarantee: exact ≤ estimate ≤ exact + ε·N at confidence 1−δ.
+    * Raw form: estimates are engine-specific, so this one is spec-bounded
+    * (ApproxOpsSpec), while the gated [[v5HeavyHitters]] hash-checks the
+    * CMS guarantee itself.
     */
-  def v5HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+  def v5HeavyHittersRaw(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val keys = Tables.lineitem(spark, dir).select(col("l_partkey"))
     val cms = keys.stat.countMinSketch("l_partkey", 0.001, 0.99, 42)
@@ -134,6 +170,29 @@ object CorpusQueries {
     top.map { case (k, exact) => (k, exact, cms.estimateCount(k)) }.toSeq
       .toDF("l_partkey", "exact_cnt", "cms_cnt")
   }
+
+  /** The GATE form of v5: keys and exact counts (DuckDB-matchable) plus
+    * the CMS guarantee — exact ≤ estimate ≤ exact + ε·N (ε = 0.001,
+    * seed-fixed so the estimate is deterministic) — folded into a boolean
+    * the oracle predicts true. A sketch regression flips the boolean and
+    * fails the hash compare.
+    */
+  def v5HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = Tables.lineitem(spark, dir).count()
+    val epsN = math.ceil(0.001 * n).toLong
+    v5HeavyHittersRaw(spark, dir)
+      .collect().map { r =>
+        val (k, exact, est) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        (k, exact, est >= exact && est <= exact + epsN)
+      }.toSeq.toDF("l_partkey", "exact_cnt", "cms_ok")
+  }
+
+  val v5Oracle: String =
+    """SELECT l_partkey, exact_cnt, true AS cms_ok FROM (
+      |  SELECT l_partkey, count(1) AS exact_cnt FROM lineitem
+      |  GROUP BY 1 ORDER BY exact_cnt DESC, l_partkey LIMIT 10)
+      |ORDER BY exact_cnt DESC, l_partkey""".stripMargin
 
   /** v6: sequence packing — the pretraining batch-prep op: documents are
     * concatenated in a deterministic order and chunked into fixed
@@ -347,9 +406,13 @@ object CorpusQueries {
     "v1_vocab" -> v1Oracle,
     "v2_decontaminate" -> v2Oracle,
     "v3_char_trigrams" -> v3Oracle,
+    // v4/v5 gate forms emit exact values + sketch-contract booleans, so
+    // the engine-specific HLL/CMS estimates never reach the hash compare
+    // but their error contracts do; raw estimates stay spec-bounded in
+    // ApproxOpsSpec over the Core/Raw forms
+    "v4_profile_approx" -> v4Oracle,
+    "v5_heavy_hitters" -> v5Oracle,
     "v6_sequence_pack" -> v6Oracle,
     "v7_tfidf_keywords" -> v7Oracle,
     "v8_chunk" -> v8Oracle)
-    // v4_profile_approx, v5_heavy_hitters: intentionally no oracle
-    // (HLL/CMS sketches are engine-specific); ApproxOpsSpec bounds both
 }

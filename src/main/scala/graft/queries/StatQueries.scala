@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -142,7 +142,7 @@ object StatQueries {
     * engine-specific) — rows-only check; ApproxOpsSpec brackets each
     * estimate between exact neighbor percentiles.
     */
-  def x5ApproxPercentiles(spark: SparkSession, dir: String): DataFrame = {
+  def x5ApproxPercentilesCore(spark: SparkSession, dir: String): DataFrame = {
     val cents = round(col("o_totalprice") * 100).cast("long")
     Tables.orders(spark, dir)
       .groupBy("o_orderpriority")
@@ -151,6 +151,37 @@ object StatQueries {
         percentile_approx(cents, lit(0.9), lit(1000)).as("p90_approx"))
       .orderBy("o_orderpriority")
   }
+
+  /** The GATE form of x5: the GK-sketch percentiles' RANK-error contract,
+    * hash-checkable. The sketch values themselves are engine-specific, but
+    * GK at accuracy 1000 guarantees rank error ≤ n/1000; we re-rank each
+    * deterministic estimate against the exact data (one broadcast join of
+    * the 5-row sketch output + one aggregation) and emit group size plus a
+    * boolean per percentile at 5× the guarantee (0.5% of n, absorbing
+    * tie/rank-definition off-by-ones). DuckDB predicts n exactly and the
+    * booleans true. Production runs [[x5ApproxPercentilesCore]] — the
+    * verification join is gate-only.
+    */
+  def x5ApproxPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val base = Tables.orders(spark, dir).select(col("o_orderpriority"), cents.as("c"))
+    def rankOk(rank: Column, p: Double, n: Column) =
+      abs(rank - lit(p) * n) <= ceil(n * lit(0.005)) + lit(1)
+    base.join(broadcast(x5ApproxPercentilesCore(spark, dir)), "o_orderpriority")
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("c") <= col("p50_approx"), 1L).otherwise(0L)).as("_r50"),
+        sum(when(col("c") <= col("p90_approx"), 1L).otherwise(0L)).as("_r90"))
+      .select(col("o_orderpriority"), col("n"),
+        rankOk(col("_r50"), 0.5, col("n")).as("p50_rank_ok"),
+        rankOk(col("_r90"), 0.9, col("n")).as("p90_rank_ok"))
+      .orderBy("o_orderpriority")
+  }
+
+  val x5Oracle: String =
+    """SELECT o_orderpriority, count(1) AS n, true AS p50_rank_ok, true AS p90_rank_ok
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** x6: one-pass data-quality profile — row count, null counts (on
     * deterministically planted dirt: every 97th status nulled, mimicking a
@@ -479,9 +510,11 @@ object StatQueries {
     "x2_scd2" -> x2Oracle,
     "x3_percentiles" -> x3Oracle,
     "x4_histogram" -> x4Oracle,
+    // x5's gate form hash-checks the GK rank-error contract (the raw
+    // engine-specific sketch values stay spec-bracketed in ApproxOpsSpec
+    // over the Core form)
+    "x5_approx_percentiles" -> x5Oracle,
     "x6_quality_profile" -> x6Oracle,
     "x7_outliers" -> x7Oracle,
     "x8_snapshot_diff" -> x8Oracle)
-    // x5_approx_percentiles: intentionally no oracle (GK sketch is
-    // engine-specific); ApproxOpsSpec brackets it against exact ranks
 }

@@ -37,7 +37,7 @@ class ApproxOpsSpec extends AnyFunSuite {
 
   test("approx_count_distinct profile stays within the configured error of exact") {
     import org.apache.spark.sql.functions._
-    val approx = graft.queries.CorpusQueries.v4ProfileApprox(spark, dir).collect()
+    val approx = graft.queries.CorpusQueries.v4ProfileApproxCore(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(2))).toMap
     val exact = graft.sources.Tables.documents(spark, dir)
       .select(col("source"), explode(graft.functions.Text.tokens(col("text"))).as("token"))
@@ -65,7 +65,7 @@ class ApproxOpsSpec extends AnyFunSuite {
 
   test("approx percentiles land between exact neighbor percentiles") {
     import org.apache.spark.sql.functions._
-    val approx = graft.queries.StatQueries.x5ApproxPercentiles(spark, dir).collect()
+    val approx = graft.queries.StatQueries.x5ApproxPercentilesCore(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val cents = graft.sources.Tables.orders(spark, dir)
       .select(col("o_orderpriority"), round(col("o_totalprice") * 100).cast("long").as("c"))
@@ -81,7 +81,7 @@ class ApproxOpsSpec extends AnyFunSuite {
   }
 
   test("count-min heavy hitters honor the CMS one-sided error bound") {
-    val rows = graft.queries.CorpusQueries.v5HeavyHitters(spark, dir).collect()
+    val rows = graft.queries.CorpusQueries.v5HeavyHittersRaw(spark, dir).collect()
     assert(rows.length == 10)
     val n = graft.sources.Tables.lineitem(spark, dir).count()
     val epsN = math.ceil(0.001 * n).toLong
