@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Text, Vectors}
@@ -335,6 +336,42 @@ object DedupQueries {
     s"""WITH $simhashPairsSqlBase
        |SELECT da, db, hamming FROM pairs
        |ORDER BY da, db""".stripMargin
+
+  private val TopPairsK = 3
+
+  /** d5b: the BUDGETED serve form of d5 — each doc's [[TopPairsK]] closest
+    * near-duplicates by (hamming asc, partner asc), via window-limit over
+    * the banded candidate pairs. Full pair materialization (d5) is
+    * contractually quadratic inside a duplicate cluster (208M pairs at the
+    * 1000×-density probe); this form's OUTPUT is ≤ k rows per doc — linear
+    * in corpus size whatever the cluster structure — and the window
+    * shuffle keys on doc_id, so the rank-and-truncate runs as one
+    * partitioned pass with no global sort. This is the operator a user
+    * actually calls at 100 TB; d5 remains the exhaustive-audit form.
+    */
+  def d5bTopPairsPerDoc(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = d5SimhashPairs(spark, dir) // shared persisted pair set
+    val sym = pairs.select(col("da").as("doc_id"), col("db").as("partner"), col("hamming"))
+      .unionAll(pairs.select(col("db").as("doc_id"), col("da").as("partner"), col("hamming")))
+    val w = Window.partitionBy("doc_id").orderBy(col("hamming"), col("partner"))
+    sym.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= TopPairsK)
+      .select("doc_id", "rk", "partner", "hamming")
+      .orderBy("doc_id", "rk")
+  }
+
+  val d5bOracle: String =
+    s"""WITH $simhashPairsSqlBase,
+       |sym AS (
+       |  SELECT da AS doc_id, db AS partner, hamming FROM pairs
+       |  UNION ALL
+       |  SELECT db AS doc_id, da AS partner, hamming FROM pairs),
+       |ranked AS (
+       |  SELECT doc_id, partner, hamming,
+       |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY hamming, partner) AS INTEGER) AS rk
+       |  FROM sym)
+       |SELECT doc_id, rk, partner, hamming FROM ranked WHERE rk <= $TopPairsK
+       |ORDER BY doc_id, rk""".stripMargin
 
   private val EmbDim = 64
   private val EmbBands = 4      // 4 bands × (adaptive ≥ 4) hyperplanes
@@ -838,6 +875,7 @@ object DedupQueries {
     "d3_minhash_lsh" -> (d3MinhashLsh _),
     "d4_simhash" -> (d4Simhash _),
     "d5_simhash_pairs" -> (d5SimhashPairs _),
+    "d5b_top_pairs" -> (d5bTopPairsPerDoc _),
     "d6_embedding_neardup" -> (d6EmbeddingNearDup _),
     "d7_dup_clusters" -> (d7DupClusters _),
     "d8_triangles" -> (d8Triangles _),
@@ -851,6 +889,7 @@ object DedupQueries {
     "d3_minhash_lsh" -> d3Oracle,
     "d4_simhash" -> d4Oracle,
     "d5_simhash_pairs" -> d5Oracle,
+    "d5b_top_pairs" -> d5bOracle,
     "d6_embedding_neardup" -> d6Oracle,
     "d7_dup_clusters" -> d7Oracle,
     "d8_triangles" -> d8Oracle,
