@@ -10,11 +10,14 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class InventorySpec extends AnyFunSuite {
 
-  /** Queries without a DuckDB oracle BY DESIGN (engine-specific sketches;
-    * error-bounded in `ApproxOpsSpec` instead). Adding a name here must be
-    * a deliberate act, not a side effect of a typo.
+  /** Queries without a DuckDB oracle BY DESIGN. Empty since the sketch
+    * queries (v4/v5/x5) gained hash-gated error-contract oracles — the
+    * oracle computes the exact value in SQL and the Spark side emits the
+    * sketch estimate CHECKED against its published bound, so the hash
+    * compares the contract, not the engine-specific sketch internals.
+    * Adding a name here must be a deliberate act, not a typo's side effect.
     */
-  private val RowsOnlyByDesign = Set("v4_profile_approx", "v5_heavy_hitters", "x5_approx_percentiles")
+  private val RowsOnlyByDesign = Set.empty[String]
 
   test("no query name collides across modules (a collision would shadow a gate entry)") {
     val all = SparkEntry.modules.flatMap(_._1.keys)
