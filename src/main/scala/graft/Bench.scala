@@ -14,10 +14,19 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // SPARK_GRAFT_BENCH_ONLY=d7_dup_clusters,d3_minhash_lsh — iterate on one
+    // query's timing without paying the full 113-query battery. Unset (the
+    // driver's invocation) runs everything.
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
+      case None        => SparkEntry.queries
+    }
     val spark = GraftSession.prepare(GraftSession.local("graft-bench"))
 
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
     // drop warmup-scale cached intermediates before measuring: they'd
@@ -29,7 +38,7 @@ object Bench {
     // of steady-state engine cost under external noise. A query that throws
     // is reported in "failed" rather than recorded as a near-zero timing
     // (ADVICE r1: silent catch made breakage look like a speedup).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch {
@@ -77,11 +86,15 @@ object Bench {
     // repo root so the round commit preserves the full per-query map even
     // if the driver's stdout capture truncates
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
-    for (p <- Seq("target/bench.json", "BENCH_last.json"))
+    // a filtered run must not clobber the full-battery artifacts
+    val paths = if (only.isEmpty) Seq("target/bench.json", "BENCH_last.json")
+                else Seq("target/bench_only.json")
+    for (p <- paths)
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
         line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_compact.json"),
-      compact.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (only.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_compact.json"),
+        compact.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }
