@@ -65,6 +65,64 @@ object ConnectedComponents {
     labels
   }
 
+  /** Per-partition union-find contraction: replaces each partition's edge
+    * list by the star forest of its LOCAL components (root = min node of
+    * the local tree). Replacing any edge subset by a spanning star forest
+    * of that subset preserves global connectivity, so the union over
+    * partitions is an equivalent input for the iterative phase — with two
+    * effects that matter at opposite scales:
+    *
+    *  - at 100 TB, each partition's output is bounded by its distinct
+    *    NODE count (never its edge count), so dup-dense partitions
+    *    collapse before the first shuffle of the iterative phase;
+    *  - at gate scale, AQE has usually coalesced the tiny normalized edge
+    *    shuffle to ONE partition, so the contraction alone solves the
+    *    whole graph and the loop exits on its pre-check without running a
+    *    single round — iteration-count × job-overhead was d7's entire
+    *    gate-scale cost.
+    *
+    * Memory is the per-partition distinct-node map — the same bound a
+    * groupBy on this partitioning would need.
+    */
+  private def contractPartitions(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    e.select(col("a").cast("long"), col("b").cast("long")).as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        parent.keysIterator.toArray.iterator
+          .map(n => (find(n), n)).filter { case (r, n) => r != n }
+      }.toDF("a", "b")
+  }
+
+  /** One-job terminal test: the edge set is a star forest — every child
+    * `b` points at exactly one root, and no node is both a root and a
+    * child. Both star transformations leave a star forest unchanged and
+    * preserve components, so reaching this form IS convergence — no need
+    * to run one more identical round to observe set-equality, and no need
+    * for the two actions (count + exceptAll) that equality took.
+    */
+  private def isStarForest(e: DataFrame): Boolean =
+    e.select(col("a").as("n"), lit(1).as("as_a"), lit(0).as("as_b"), lit(null).cast("long").as("root"))
+      .union(e.select(col("b").as("n"), lit(0), lit(1), col("a")))
+      .groupBy("n")
+      .agg(max(col("as_a")).as("r"), max(col("as_b")).as("c"),
+        countDistinct(col("root")).as("roots"))
+      .where((col("r") === 1 && col("c") === 1) || col("roots") > 1)
+      .isEmpty
+
   /** Alternating large-star/small-star (Kiveris et al., "Connected
     * Components in MapReduce and Beyond") — O(log n) rounds on ANY graph,
     * including the long-chain topologies where plain min-propagation needs
@@ -76,22 +134,29 @@ object ConnectedComponents {
     * minimum (including itself); small-star: each node connects its
     * smaller-or-equal neighbors to their collective minimum. The edge list
     * converges to a star forest: each node points at its component's
-    * minimum.
+    * minimum. A union-find contraction inside each input partition runs
+    * first ([[contractPartitions]]), and the loop stops the moment the
+    * edge set IS a star forest ([[isStarForest]]) — checked before the
+    * first round too, so a graph the contraction already solved never
+    * pays a single iteration.
     */
   def alternatingStars(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val nodes = edges.toDF("a", "b")
       .select(explode(array(col("a"), col("b"))).as("id")).distinct()
       .localCheckpoint(true)
     // normalized edge list; self-loops dropped (their nodes are restored
-    // as singleton components at the end)
-    var e = edges.toDF("a", "b")
-      .where(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
-      .distinct()
+    // as singleton components at the end). The distinct shuffle is AQE-
+    // coalesced, so the contraction that follows sees few, dense
+    // partitions at gate scale.
+    var e = contractPartitions(
+      edges.toDF("a", "b")
+        .where(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+        .distinct())
       .localCheckpoint(true)
 
     var iter = 0
-    var converged = e.isEmpty
+    var converged = isStarForest(e)
     while (!converged && iter < maxIter) {
       // large-star: group by u over BOTH directions; m = min(u, neighbors);
       // emit (m, w) for every neighbor w > u
@@ -117,10 +182,8 @@ object ConnectedComponents {
         .distinct()
         .localCheckpoint(true)
 
-      // exact set-equality fixpoint test: both sides are distinct sets, so
-      // equal counts + empty difference ⇒ equal sets
-      converged = small.count() == e.count() && small.exceptAll(e).isEmpty
       e = small
+      converged = isStarForest(e)
       iter += 1
     }
     require(converged, s"alternating stars did not converge in $maxIter rounds")
