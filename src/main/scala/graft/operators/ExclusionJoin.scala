@@ -88,8 +88,36 @@ object ExclusionJoin {
     // SparkContext + catalog, isolated SQLConf): a concurrent query in the
     // caller's session can never observe the relaxed flag, even for the
     // duration of the gate.
-    val gate = spark.newSession()
-    gate.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    val gate = gateSession(spark)
+    // the base session drops/recreates year tables (export is replace-
+    // whole); the derived session's relation cache would otherwise serve
+    // the PREVIOUS export's file listing. Refresh costs one re-list of
+    // each table — nothing next to rebuilding a session per call.
+    gate.catalog.refreshTable(leftTable)
+    gate.catalog.refreshTable(rightTable)
     countFrame(gate.table(leftTable), gate.table(rightTable), keys).head.getLong(0)
   }
+
+  /** The derived gate session, ONE per base session: a fresh
+    * `newSession()` per call costs ~1.3 s re-listing files and rebuilding
+    * the per-session relation cache — more than the 527k-row gate itself
+    * (0.4 s warm) — which silently inverted the bucketed-vs-shuffle
+    * comparison at reference scale. Weak keys let a stopped base session
+    * (and its derived twin) be collected.
+    */
+  private val gateSessions =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, org.apache.spark.sql.SparkSession]())
+
+  private def gateSession(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
+    gateSessions.synchronized {
+      val got = gateSessions.get(spark)
+      if (got != null) got
+      else {
+        val gate = spark.newSession()
+        gate.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+        gateSessions.put(spark, gate)
+        gate
+      }
+    }
 }

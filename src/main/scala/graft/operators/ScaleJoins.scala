@@ -32,7 +32,16 @@ object ScaleJoins {
       else None
     spark.sql(s"DROP TABLE IF EXISTS $table")
     loc.foreach(graft.sources.FsUtil.delete(spark, _))
-    df.write
+    // one file per bucket: repartition on the key with numBuckets
+    // partitions uses the same pmod(murmur3, n) routing as the bucket-id
+    // assignment, so each write task holds exactly one bucket's rows.
+    // Without this the writer fans out to (input partitions × buckets)
+    // files — the 61-month corpus at 32 buckets produced hundreds of tiny
+    // files per year table, and the "zero-Exchange" reconcile lost its
+    // win to open/footer overhead on the scan side. This shuffle IS the
+    // pay-once-at-write-time exchange the layout advertises.
+    df.repartition(numBuckets, col(key))
+      .write
       .mode("overwrite")
       .bucketBy(numBuckets, key)
       .sortBy(key)
