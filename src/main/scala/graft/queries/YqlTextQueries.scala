@@ -250,6 +250,35 @@ object YqlTextQueries {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
       |ORDER BY acc, rn LIMIT 200""".stripMargin
 
+  /** y9: breadth notch 6 — ANSI join texts through the YQL frontend: a
+    * LEFT JOIN against a named binding, an IN subquery, and a
+    * reserved-word table alias that must stay backquoted through the
+    * table rewriter (the `` `alias`.column `` form in ON/SELECT used to
+    * be mistaken for a connection.table reference).
+    */
+  def y9YqlJoins(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    YqlFrontend.run(spark,
+      """
+      $rich = (select c_custkey, c_nationkey from customer where c_acctbal > 8000.0);
+      select `order`.n_name as nation, count(r.c_custkey) as n_rich
+        from nation `order`
+        left join $rich r on r.c_nationkey = `order`.n_nationkey
+       where `order`.n_regionkey in (select r_regionkey from region where r_name <> 'EUROPE')
+       group by `order`.n_name
+       order by nation;
+      """).get
+  }
+
+  val y9Oracle: String =
+    """SELECT n.n_name AS nation, count(r.c_custkey) AS n_rich
+      |FROM nation n
+      |LEFT JOIN (SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal > 8000.0) r
+      |  ON r.c_nationkey = n.n_nationkey
+      |WHERE n.n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name <> 'EUROPE')
+      |GROUP BY n.n_name
+      |ORDER BY nation""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "y1_yql_project" -> (y1YqlProject _),
     "y2_yql_exclusion" -> (y2YqlExclusion _),
@@ -258,7 +287,8 @@ object YqlTextQueries {
     "y5_yql_without" -> (y5YqlWithout _),
     "y6_yql_having" -> (y6YqlHaving _),
     "y7_yql_lambdas" -> (y7YqlLambdas _),
-    "y8_yql_window" -> (y8YqlWindow _))
+    "y8_yql_window" -> (y8YqlWindow _),
+    "y9_yql_joins" -> (y9YqlJoins _))
 
   val oracles: Map[String, String] = Map(
     "y1_yql_project" -> y1Oracle,
@@ -268,5 +298,6 @@ object YqlTextQueries {
     "y5_yql_without" -> y5Oracle,
     "y6_yql_having" -> y6Oracle,
     "y7_yql_lambdas" -> y7Oracle,
-    "y8_yql_window" -> y8Oracle)
+    "y8_yql_window" -> y8Oracle,
+    "y9_yql_joins" -> y9Oracle)
 }

@@ -225,43 +225,74 @@ object YqlFrontend {
     */
   private val FromArgFns = Set("extract", "substring", "trim", "overlay", "position")
 
-  /** `` `conn`.table `` → resolver lookup; bare backtick idents lose their
-    * quotes (YQL quoting ≠ Spark quoting); bare relation names directly
-    * after a CLAUSE-LEVEL FROM/JOIN also go through the resolver (identity
-    * by default), so `from etl_object_storage` maps wherever the binding
-    * points. FROM inside `extract(...)`-style function calls passes through
-    * untouched — a paren stack tracks whether the innermost open group is a
-    * [[FromArgFns]] argument list.
+  /** Keywords that END a FROM clause's relation list at the same paren
+    * depth — after one of these, a comma no longer introduces a relation
+    * and a `` `x`.y `` pair is an alias.column reference, not a
+    * connection.table one.
+    */
+  private val FromListEnders = Set(
+    "where", "group", "having", "order", "window", "limit",
+    "union", "intersect", "except", "select", "on", "using")
+
+  /** `` `conn`.table `` → resolver lookup — but ONLY in relation position
+    * (directly after a clause-level FROM/JOIN, or after a comma inside a
+    * FROM list): everywhere else `` `x`.y `` is an ALIAS.column reference
+    * (a reserved-word alias like `` `order`.id `` in an ON condition), and
+    * resolving it used to swallow the qualifier. A per-paren-depth flag
+    * tracks whether the innermost group is still inside a FROM relation
+    * list (comma-separated relations resolve; a WHERE/ON/GROUP/… ends the
+    * list). Bare backtick idents keep their quotes (Spark accepts them);
+    * bare relation names in relation position go through the resolver
+    * (identity by default), so `from etl_object_storage` maps wherever
+    * the binding points. FROM inside `extract(...)`-style function calls
+    * passes through untouched — the same paren stack tracks whether the
+    * innermost open group is a [[FromArgFns]] argument list.
     */
   private def rewriteTables(ts: Vector[String], resolver: YqlResolver): Vector[String] = {
     def strip(t: String) = if (t.startsWith("`")) t.substring(1, t.length - 1) else t
     val out = Vector.newBuilder[String]
-    var fnArgDepth = List.empty[Boolean] // per open paren: is it a FROM-arg function call?
+    // per open paren: (is a FROM-arg function call, in a FROM relation list);
+    // a sentinel carries the statement-level flags
+    var stack = List((false, false))
+    def fnArg = stack.head._1
+    def inFrom = stack.head._2
+    def setInFrom(v: Boolean): Unit = stack = (stack.head._1, v) :: stack.tail
     var i = 0
     while (i < ts.length) {
-      if (ts(i) == "(") {
-        fnArgDepth ::= (i > 0 && FromArgFns.contains(ts(i - 1).toLowerCase))
-        out += ts(i); i += 1
-      } else if (ts(i) == ")") {
-        if (fnArgDepth.nonEmpty) fnArgDepth = fnArgDepth.tail
-        out += ts(i); i += 1
-      } else if (ts(i).startsWith("`")) {
-        if (i + 2 < ts.length && ts(i + 1) == "." && (isIdent(ts(i + 2)) || ts(i + 2).startsWith("`"))) {
-          out += resolver.table(Some(strip(ts(i))), strip(ts(i + 2)))
+      val t = ts(i)
+      // is this token a spot where a relation reference may start?
+      def relationPos: Boolean = i > 0 && {
+        val p = ts(i - 1)
+        ((p.equalsIgnoreCase("from") && !fnArg) || p.equalsIgnoreCase("join") ||
+          (p == "," && inFrom))
+      }
+      if (t == "(") {
+        stack ::= ((i > 0 && FromArgFns.contains(ts(i - 1).toLowerCase), false))
+        out += t; i += 1
+      } else if (t == ")") {
+        if (stack.length > 1) stack = stack.tail
+        out += t; i += 1
+      } else if (t.startsWith("`")) {
+        if (relationPos && i + 2 < ts.length && ts(i + 1) == "." &&
+            (isIdent(ts(i + 2)) || ts(i + 2).startsWith("`"))) {
+          out += resolver.table(Some(strip(t)), strip(ts(i + 2)))
           i += 3
         } else {
-          // bare backquoted identifier (e.g. a reserved-word column like
-          // `order`): keep the user's quoting — Spark's parser accepts
-          // backquoted names everywhere, and stripping breaks them
-          out += ts(i); i += 1
+          // backquoted identifier in expression position (e.g. a
+          // reserved-word alias or column like `order`): keep the user's
+          // quoting — Spark's parser accepts backquoted names everywhere,
+          // and stripping or resolving breaks them
+          out += t; i += 1
         }
-      } else if ((ts(i).equalsIgnoreCase("from") || ts(i).equalsIgnoreCase("join")) &&
-          !fnArgDepth.headOption.getOrElse(false) &&
-          i + 1 < ts.length && isIdent(ts(i + 1)) && !ts(i + 1).startsWith("$") &&
-          (i + 2 >= ts.length || ts(i + 2) != ".")) {
-        out += ts(i) += resolver.table(None, ts(i + 1))
-        i += 2
-      } else { out += ts(i); i += 1 }
+      } else {
+        if (t.equalsIgnoreCase("from") && !fnArg) setInFrom(true)
+        else if (FromListEnders.contains(t.toLowerCase)) setInFrom(false)
+        if (relationPos && isIdent(t) && !t.startsWith("$") &&
+            (i + 1 >= ts.length || ts(i + 1) != ".")) {
+          out += resolver.table(None, t)
+        } else out += t
+        i += 1
+      }
     }
     out.result()
   }

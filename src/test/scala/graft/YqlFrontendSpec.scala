@@ -287,6 +287,36 @@ class YqlFrontendSpec extends AnyFunSuite {
       Seq((1, "mid"), (2, "mid"), (3, "edge")))
   }
 
+  test("ANSI join texts: LEFT/RIGHT/FULL/CROSS pass through; backticked alias in ON survives") {
+    spark.sql("SELECT * FROM VALUES (1, 'a'), (2, 'b'), (3, 'c') AS t(k, s)")
+      .createOrReplaceTempView("yql_jl")
+    spark.sql("SELECT * FROM VALUES (2, 'x'), (3, 'y'), (4, 'z') AS t(k, v)")
+      .createOrReplaceTempView("yql_jr")
+    def rows(q: String) = YqlFrontend.run(spark, q).get.collect()
+    val lj = rows("select l.k as k, r.v as v from yql_jl l left join yql_jr r on l.k = r.k order by k;")
+    assert(lj.map(r => (r.getInt(0), Option(r.getString(1)))).toSeq ==
+      Seq((1, None), (2, Some("x")), (3, Some("y"))))
+    val rj = rows("select r.k as k, l.s as s from yql_jl l right join yql_jr r on l.k = r.k order by k;")
+    assert(rj.map(r => (r.getInt(0), Option(r.getString(1)))).toSeq ==
+      Seq((2, Some("b")), (3, Some("c")), (4, None)))
+    val fj = rows("select coalesce(l.k, r.k) as k from yql_jl l full join yql_jr r on l.k = r.k order by k;")
+    assert(fj.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
+    val cj = rows("select count(1) as n from yql_jl cross join yql_jr;")
+    assert(cj.head.getLong(0) == 9L)
+    // a reserved-word alias must stay backquoted — `order`.k in the ON
+    // condition and the select list is an ALIAS.column reference, which
+    // the table rewriter used to mistake for a connection.table ref and
+    // swallow the qualifier
+    val ba = rows("select `order`.k as k, r.v as v from yql_jl `order` join yql_jr r on `order`.k = r.k order by k;")
+    assert(ba.map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((2, "x"), (3, "y")))
+    // comma-separated FROM lists still resolve EVERY relation through the
+    // resolver, not just the first
+    val resolver = YqlResolver(tables = Map("pgA.t1" -> "yql_jl", "s3B.t2" -> "yql_jr"))
+    val cf = YqlFrontend.run(spark,
+      "select count(1) as n from `pgA`.t1 a, `s3B`.t2 b where a.k = b.k;", resolver).get
+    assert(cf.head.getLong(0) == 2L)
+  }
+
   test("HAVING resolves a GROUP BY alias (inlined) next to an aggregate; DISTINCT passes through") {
     spark.sql("SELECT * FROM VALUES (1, 10), (1, 10), (2, 20), (3, 30), (4, 41), (5, 52) AS t(k, v)")
       .createOrReplaceTempView("yql_hav")
