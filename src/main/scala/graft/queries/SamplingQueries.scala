@@ -236,10 +236,77 @@ object SamplingQueries {
       |WHERE ('0x' || substr(md5('n8:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 < r.rate_ppm
       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
+  /** n9: sequence packing — the pretraining step that concatenates short
+    * documents into fixed token-budget training sequences (bins) so
+    * context windows aren't mostly padding. Greedy next-fit packing is
+    * inherently SEQUENTIAL (each bin decision depends on the running
+    * fill), so the scalable form is shard-parallel: route each doc to a
+    * packer shard by hash (one shuffle, the only one), then fold the
+    * shard's (doc_id, n_tokens) list in deterministic doc_id order with
+    * one `aggregate` HOF — open a new bin when the budget would overflow;
+    * an oversized doc gets a bin alone. Parallelism is the shard count:
+    * at 100 TB raise S until a shard's doc METADATA (16 bytes/doc — the
+    * texts never move through the fold) fits an executor; the packed
+    * output joins back to texts by doc_id if the trainer needs bytes
+    * co-located. The oracle replays the same greedy fold as a recursive
+    * CTE over the same order.
+    */
+  def n9SequencePack(spark: SparkSession, dir: String): DataFrame = {
+    val W = 256L // token budget per packed sequence
+    val S = 8L
+    val docs = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      pmod(Text.md5Long(concat(lit("n9s:"), col("doc_id").cast("string"))), lit(S))
+        .cast("int").as("shard"),
+      size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+    docs
+      .groupBy("shard")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_tokens")))).as("ds"))
+      .select(col("shard"), explode(expr(
+        s"""aggregate(
+           |  ds,
+           |  named_struct(
+           |    'out', cast(array() as array<struct<doc_id:bigint,bin:bigint,n_tokens:bigint>>),
+           |    'bin', cast(0 as bigint), 'used', cast(${W + 1} as bigint)),
+           |  (acc, d) -> IF(acc.used + d.n_tokens <= $W,
+           |    named_struct(
+           |      'out', concat(acc.out, array(named_struct('doc_id', d.doc_id, 'bin', acc.bin, 'n_tokens', d.n_tokens))),
+           |      'bin', acc.bin, 'used', acc.used + d.n_tokens),
+           |    named_struct(
+           |      'out', concat(acc.out, array(named_struct('doc_id', d.doc_id, 'bin', acc.bin + cast(1 as bigint), 'n_tokens', d.n_tokens))),
+           |      'bin', acc.bin + cast(1 as bigint), 'used', d.n_tokens)),
+           |  acc -> acc.out)""".stripMargin)).as("p"))
+      .select(col("p.doc_id").as("doc_id"), col("shard"),
+        col("p.bin").as("bin"), col("p.n_tokens").as("n_tokens"))
+      .orderBy("shard", "bin", "doc_id")
+  }
+
+  val n9Oracle: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id,
+      |         CAST(('0x' || substr(md5('n9s:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS INT) AS shard,
+      |         CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+      |         row_number() OVER (PARTITION BY CAST(('0x' || substr(md5('n9s:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS INT)
+      |                            ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |rec AS (
+      |  SELECT shard, rn, doc_id, n_tokens,
+      |         CAST(1 AS BIGINT) AS bin,
+      |         n_tokens AS used
+      |  FROM t WHERE rn = 1
+      |  UNION ALL
+      |  SELECT t.shard, t.rn, t.doc_id, t.n_tokens,
+      |         CASE WHEN r.used + t.n_tokens <= 256 THEN r.bin ELSE r.bin + 1 END,
+      |         CASE WHEN r.used + t.n_tokens <= 256 THEN r.used + t.n_tokens ELSE t.n_tokens END
+      |  FROM rec r JOIN t ON t.shard = r.shard AND t.rn = r.rn + 1)
+      |SELECT doc_id, shard, bin, n_tokens FROM rec
+      |ORDER BY shard, bin, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n6_bottomk_sample" -> (n6BottomKSample _),
     "n7_shard_shuffle" -> (n7ShardShuffle _),
     "n8_temperature_mix" -> (n8TemperatureMix _),
+    "n9_sequence_pack" -> (n9SequencePack _),
     "n1_hash_sample" -> (n1HashSample _),
     "n2_stratified_sample" -> (n2StratifiedSample _),
     "n3_latest_per_key" -> (n3LatestPerKey _),
@@ -250,6 +317,7 @@ object SamplingQueries {
     "n6_bottomk_sample" -> n6Oracle,
     "n7_shard_shuffle" -> n7Oracle,
     "n8_temperature_mix" -> n8Oracle,
+    "n9_sequence_pack" -> n9Oracle,
     "n1_hash_sample" -> n1Oracle,
     "n2_stratified_sample" -> n2Oracle,
     "n3_latest_per_key" -> n3Oracle,

@@ -44,6 +44,36 @@ class ChunkSamplingProps extends AnyFunSuite {
     }
   }
 
+
+  test("n9: packing is exhaustive, budget-respecting, and bins are contiguous") {
+    val W = 256L
+    val packed = SamplingQueries.n9SequencePack(spark, sfDir)
+      .select("doc_id", "shard", "bin", "n_tokens").cache()
+    // every document is packed exactly once
+    val nDocs = graft.sources.Tables.documents(spark, sfDir).count()
+    assert(packed.count() == nDocs)
+    assert(packed.select("doc_id").distinct().count() == nDocs)
+    // no bin exceeds the budget unless it holds a single oversized doc
+    val fills = packed.groupBy("shard", "bin")
+      .agg(sum("n_tokens").as("fill"), count(lit(1)).as("n"), max("n_tokens").as("mx"))
+    assert(fills.where(col("fill") > W && !(col("n") === 1 && col("mx") > W)).isEmpty,
+      "a multi-doc bin exceeded the token budget")
+    // bins are numbered 1..maxBin with no gaps inside a shard
+    val gaps = fills.groupBy("shard")
+      .agg(min("bin").as("lo"), max("bin").as("hi"), count(lit(1)).as("n"))
+      .where(col("lo") =!= 1 || col("hi") =!= col("n"))
+    assert(gaps.isEmpty, "bin ids must be dense from 1 per shard")
+    // greedy means a doc never fits the PREVIOUS bin it skipped: the doc
+    // opening bin b+1 must overflow bin b's fill
+    val openTok = packed.groupBy("shard", "bin")
+      .agg(expr("min_by(n_tokens, doc_id)").as("opener_tok"))
+      .select(col("shard").as("s"), col("bin").as("b"), col("opener_tok"))
+    val viol = fills.join(openTok, fills("shard") === col("s") && (fills("bin") + 1) === col("b"))
+      .where(col("fill") + col("opener_tok") <= W)
+    assert(viol.isEmpty, "a bin was opened although its first doc fit the previous bin")
+    packed.unpersist()
+  }
+
   test("n6: bottom-k sample is exactly k and invariant under repartitioning") {
     val base = SamplingQueries.n6BottomKSample(spark, sfDir).collect()
     assert(base.length == 500)
