@@ -305,9 +305,12 @@ object YqlFrontend {
     *     scoping: the parameter wins inside the body);
     *   - a SINGLE parameter drops its parens — Spark's grammar only accepts
     *     a parenthesized list for 2+ parameters (`x -> e` / `(x, y) -> e`);
-    *   - the `{ RETURN expr; }` block body becomes `( expr )`; multi-statement
-    *     bodies (local bindings before RETURN) have no Spark-expression
-    *     equivalent and fail loudly.
+    *   - the `{ RETURN expr; }` block body becomes `( expr )`;
+    *     multi-statement bodies (`{ $a = e1; RETURN e2; }`) inline their
+    *     local bindings sequentially into the RETURN expression — YQL
+    *     lambda bodies are pure, so textual inlining is semantics-
+    *     preserving (duplicated references duplicate the expression;
+    *     Spark's subexpression elimination may re-merge them).
     * Runs BEFORE [[substitute]] so `$param` references are renamed here and
     * never mistaken for undefined script bindings. Converges because rewritten
     * lambdas have bare (un-`$`ed) parameters and no longer match.
@@ -357,12 +360,42 @@ object YqlFrontend {
           case Some("{") =>
             val close = findClose(ts, i + 1, "{", "}")
             require(close > 0, "YQL: unterminated lambda body")
-            val stmt = ts.slice(i + 2, close)
-            require(stmt.headOption.exists(_.equalsIgnoreCase("return")),
-              "YQL: lambda block body must be a single RETURN expression")
-            val expr = if (stmt.lastOption.contains(";")) stmt.slice(1, stmt.length - 1) else stmt.drop(1)
-            require(!expr.contains(";"),
-              "YQL: multi-statement lambda bodies are not supported — use a single RETURN expression")
+            val block = ts.slice(i + 2, close)
+            // split the block on depth-0 semicolons (nested lambda blocks
+            // and parens keep theirs) into local bindings + the RETURN
+            val stmts = {
+              val out = Vector.newBuilder[Vector[String]]
+              var cur = Vector.newBuilder[String]
+              var depth = 0
+              block.foreach {
+                case t @ ("(" | "{") => depth += 1; cur += t
+                case t @ (")" | "}") => depth -= 1; cur += t
+                case ";" if depth == 0 =>
+                  val s = cur.result(); if (s.nonEmpty) out += s
+                  cur = Vector.newBuilder[String]
+                case t => cur += t
+              }
+              val s = cur.result(); if (s.nonEmpty) out += s
+              out.result()
+            }
+            require(stmts.nonEmpty && stmts.last.headOption.exists(_.equalsIgnoreCase("return")),
+              "YQL: lambda block body must end in a RETURN expression")
+            // local `$name = expr;` bindings inline SEQUENTIALLY — each
+            // sees the ones before it, and all dissolve into the RETURN
+            // expression (YQL lambda bodies are pure, so textual inlining
+            // preserves semantics; repeated references duplicate the
+            // expression, which Spark's CSE is free to merge)
+            def substLocals(body: Vector[String], env: Map[String, Vector[String]]): Vector[String] =
+              body.flatMap(t =>
+                if (t.length > 1 && t.head == '$' && env.contains(t.drop(1))) env(t.drop(1))
+                else Vector(t))
+            var env = Map.empty[String, Vector[String]]
+            stmts.dropRight(1).foreach { s =>
+              require(s.length > 2 && isParam(s(0)) && s(1) == "=",
+                s"YQL: lambda block statement must be a `$$name = expr;` binding, got: ${s.take(4).mkString(" ")} …")
+              env += s(0).drop(1) -> ("(" +: substLocals(s.drop(2), env) :+ ")")
+            }
+            val expr = substLocals(stmts.last.drop(1), env)
             val inner = rename(expr, params)
             ts = ts.take(paramStart) ++ emit(params, inner) ++ ts.drop(close + 1)
             inner

@@ -255,11 +255,22 @@ class YqlFrontendSpec extends AnyFunSuite {
         |  from yql_agg group by g order by g;""".stripMargin).get.collect()
     assert(a(0).getSeq[Int](1) == Seq(1, 1, 2) && a(0).getSeq[Int](2) == Seq(1, 2))
     assert(a(1).getSeq[Int](1) == Seq(3))
-    // multi-statement lambda bodies have no Spark-expression form: loud fail
+    // multi-statement block bodies: local bindings inline sequentially
+    // (each sees the previous), params rename through the inlined exprs
+    val m = YqlFrontend.run(spark,
+      """select ListMap(AsList(1, 2, 3), ($x) -> { $d = $x * 2; $s = $d + $x; RETURN $s + 1; }) as r
+        |  from (select 1);""".stripMargin).get.head()
+    assert(m.getSeq[Int](0) == Seq(4, 7, 10)) // 3x+1
+    // a block not ending in RETURN still fails loudly
     val e = intercept[IllegalArgumentException] {
-      YqlFrontend.translate("select ListMap(l, ($x) -> { $y = 1; RETURN $x; }) from v;")
+      YqlFrontend.translate("select ListMap(l, ($x) -> { $y = 1; }) from v;")
     }
     assert(e.getMessage.toLowerCase.contains("return"))
+    // a non-binding statement before RETURN fails loudly
+    val e2 = intercept[IllegalArgumentException] {
+      YqlFrontend.translate("select ListMap(l, ($x) -> { select 1; RETURN $x; }) from v;")
+    }
+    assert(e2.getMessage.contains("binding"))
   }
 
   test("ANSI constructs pass through untouched: named windows, EXISTS/IN, BETWEEN, CASE") {
