@@ -184,13 +184,49 @@ object YqlFrontend {
     // (rewriteLambdas), and these take (list, lambda) in the same order
     "listmap"     -> "transform",
     "listfilter"  -> "filter",
-    // NOT ListAny/ListAll: YQL's take a Bool list (no predicate), Spark's
-    // exists/forall take (list, lambda) — a semantic gap, so they fail loudly
+    // ListAny/ListAll are NOT name-mapped: YQL's take a Bool list (no
+    // predicate), Spark's exists/forall take (list, lambda) — bridged
+    // with an identity lambda in [[rewriteBoolListFns]] instead
     // aggregate-function names (YQL's list-collecting aggregates); order
     // within the collected list is engine-dependent in BOTH engines, so
     // deterministic queries sort before comparing
     "aggregate_list"          -> "collect_list",
     "aggregate_list_distinct" -> "collect_set")
+
+  /** YQL `ListAny`/`ListAll` take an ALREADY-BOOLEAN list (no predicate
+    * argument); Spark's `exists`/`forall` want (list, lambda). Bridge with
+    * an identity lambda: `ListAny(xs)` → `exists(xs, _yql_b -> _yql_b)`.
+    * One call rewritten per pass (nested calls keep matching until none
+    * remain — the rewritten head is no longer named ListAny, so the loop
+    * converges).
+    */
+  private def rewriteBoolListFns(ts0: Vector[String]): Vector[String] = {
+    var ts = ts0
+    var guard = 0
+    var changed = true
+    while (changed && guard < 256) {
+      changed = false; guard += 1
+      val hit = ts.indices.find { i =>
+        (ts(i).equalsIgnoreCase("listany") || ts(i).equalsIgnoreCase("listall")) &&
+          i + 1 < ts.length && ts(i + 1) == "(" &&
+          (i == 0 || (ts(i - 1) != "." && ts(i - 1) != "::"))
+      }
+      hit.foreach { i =>
+        var depth = 0; var close = -1; var j = i + 1
+        while (j < ts.length && close < 0) {
+          if (ts(j) == "(") depth += 1
+          else if (ts(j) == ")") { depth -= 1; if (depth == 0) close = j }
+          j += 1
+        }
+        require(close > 0, s"YQL: unterminated ${ts(i)} call")
+        val fn = if (ts(i).equalsIgnoreCase("listany")) "exists" else "forall"
+        ts = (ts.take(i) :+ fn :+ "(") ++ ts.slice(i + 2, close) ++
+          Vector(",", "_yql_b", "->", "_yql_b", ")") ++ ts.drop(close + 1)
+        changed = true
+      }
+    }
+    ts
+  }
 
   /** Rename [[BuiltinFns]] calls: a bare identifier directly applied to an
     * argument list, not preceded by `.`/`::` (those are member / module
@@ -799,8 +835,8 @@ object YqlFrontend {
 
     def body(ts: Vector[String]): Vector[String] =
       rewriteExclusionJoins(rewriteFlattenBy(rewriteGroupByAlias(rewriteWithout(rewriteCasts(
-        rewriteBuiltinFns(rewriteModuleFns(
-          rewriteOnlyJoins(substitute(rewriteLambdas(rewriteTables(ts, resolver)))))))))))
+        rewriteBuiltinFns(rewriteBoolListFns(rewriteModuleFns(
+          rewriteOnlyJoins(substitute(rewriteLambdas(rewriteTables(ts, resolver))))))))))))
 
     val isSubqueryBinding: Vector[String] => Boolean =
       s => s.length > 4 && s(0).startsWith("$") && s(1) == "=" && s(2) == "(" &&

@@ -224,6 +224,17 @@ class YqlFrontendSpec extends AnyFunSuite {
     intercept[Exception] {
       YqlFrontend.run(spark, "select ListConcat(AsList('a','b')) from (select 1);").get.collect()
     }
+    // ListAny/ListAll take a BOOL list (no predicate) — bridged to
+    // exists/forall with an identity lambda, including nested calls and
+    // composition with ListMap's real lambda
+    val b = YqlFrontend.run(spark,
+      """select ListAny(AsList(false, true)) as any1, ListAll(AsList(false, true)) as all1,
+        |       ListAll(AsList(true, true)) as all2, ListAny(AsList(false)) as any2,
+        |       ListAny(ListMap(AsList(1, 5), ($x) -> ($x > 4))) as comp,
+        |       ListAll(AsList(ListAny(AsList(true)), true)) as nested
+        |  from (select 1);""".stripMargin).get.head()
+    assert(b.getBoolean(0) && !b.getBoolean(1) && b.getBoolean(2) && !b.getBoolean(3))
+    assert(b.getBoolean(4) && b.getBoolean(5))
   }
 
   test("lambdas: inline, named-binding, block body; AGGREGATE_LIST collects") {
