@@ -302,11 +302,96 @@ object SamplingQueries {
       |SELECT doc_id, shard, bin, n_tokens FROM rec
       |ORDER BY shard, bin, doc_id""".stripMargin
 
+  /** n10: INCREMENTAL sequence packing — the production form of n9. A
+    * crawl increment must not trigger a re-pack of the corpus: per shard,
+    * only the final `(open bin, fill)` state of the base pack is kept
+    * (two longs per shard — the assignments themselves never reload),
+    * and the increment's docs fold on from that state, possibly topping
+    * up the base's last open bin. Base = 90% of docs by membership hash,
+    * increment = the other 10%; output is the increment's assignments
+    * only. The oracle replays ONE greedy fold over base-then-increment
+    * order and emits the increment rows — proving the two-phase fold
+    * equals the from-scratch fold, which is exactly the invariant that
+    * makes the incremental path safe at 100 TB.
+    */
+  def n10IncrementalPack(spark: SparkSession, dir: String): DataFrame = {
+    val W = 256L
+    val S = 8L
+    val all = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      pmod(Text.md5Long(concat(lit("n9s:"), col("doc_id").cast("string"))), lit(S))
+        .cast("int").as("shard"),
+      size(Text.tokens(col("text"))).cast("long").as("n_tokens"),
+      (pmod(Text.md5Long(concat(lit("n10i:"), col("doc_id").cast("string"))), lit(10L)) === 0)
+        .as("is_inc"))
+    // base pack: state-only fold — (open bin, fill) per shard, no
+    // assignment array is materialized or retained
+    val baseState = all.where(!col("is_inc"))
+      .groupBy("shard")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_tokens")))).as("ds"))
+      .select(col("shard"), expr(
+        s"""aggregate(
+           |  ds,
+           |  named_struct('bin', cast(0 as bigint), 'used', cast(${W + 1} as bigint)),
+           |  (acc, d) -> IF(acc.used + d.n_tokens <= $W,
+           |    named_struct('bin', acc.bin, 'used', acc.used + d.n_tokens),
+           |    named_struct('bin', acc.bin + cast(1 as bigint), 'used', d.n_tokens)))""".stripMargin)
+        .as("st"))
+      .select(col("shard"), col("st.bin").as("bin0"), col("st.used").as("used0"))
+    // increment pack: the same fold seeded from the base state (a shard
+    // with no base docs starts fresh)
+    all.where(col("is_inc"))
+      .groupBy("shard")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_tokens")))).as("ds"))
+      .join(baseState, Seq("shard"), "left")
+      .select(col("shard"), explode(expr(
+        s"""aggregate(
+           |  ds,
+           |  named_struct(
+           |    'out', cast(array() as array<struct<doc_id:bigint,bin:bigint,n_tokens:bigint>>),
+           |    'bin', coalesce(bin0, cast(0 as bigint)),
+           |    'used', coalesce(used0, cast(${W + 1} as bigint))),
+           |  (acc, d) -> IF(acc.used + d.n_tokens <= $W,
+           |    named_struct(
+           |      'out', concat(acc.out, array(named_struct('doc_id', d.doc_id, 'bin', acc.bin, 'n_tokens', d.n_tokens))),
+           |      'bin', acc.bin, 'used', acc.used + d.n_tokens),
+           |    named_struct(
+           |      'out', concat(acc.out, array(named_struct('doc_id', d.doc_id, 'bin', acc.bin + cast(1 as bigint), 'n_tokens', d.n_tokens))),
+           |      'bin', acc.bin + cast(1 as bigint), 'used', d.n_tokens)),
+           |  acc -> acc.out)""".stripMargin)).as("p"))
+      .select(col("p.doc_id").as("doc_id"), col("shard"),
+        col("p.bin").as("bin"), col("p.n_tokens").as("n_tokens"))
+      .orderBy("shard", "bin", "doc_id")
+  }
+
+  val n10Oracle: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id,
+      |         CAST(('0x' || substr(md5('n9s:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS INT) AS shard,
+      |         CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+      |         (('0x' || substr(md5('n10i:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 = 0) AS is_inc
+      |  FROM documents),
+      |o AS (
+      |  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY is_inc, doc_id) AS rn
+      |  FROM t),
+      |rec AS (
+      |  SELECT shard, rn, doc_id, n_tokens, is_inc,
+      |         CAST(1 AS BIGINT) AS bin, n_tokens AS used
+      |  FROM o WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.shard, o.rn, o.doc_id, o.n_tokens, o.is_inc,
+      |         CASE WHEN r.used + o.n_tokens <= 256 THEN r.bin ELSE r.bin + 1 END,
+      |         CASE WHEN r.used + o.n_tokens <= 256 THEN r.used + o.n_tokens ELSE o.n_tokens END
+      |  FROM rec r JOIN o ON o.shard = r.shard AND o.rn = r.rn + 1)
+      |SELECT doc_id, shard, bin, n_tokens FROM rec WHERE is_inc
+      |ORDER BY shard, bin, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n6_bottomk_sample" -> (n6BottomKSample _),
     "n7_shard_shuffle" -> (n7ShardShuffle _),
     "n8_temperature_mix" -> (n8TemperatureMix _),
     "n9_sequence_pack" -> (n9SequencePack _),
+    "n10_incremental_pack" -> (n10IncrementalPack _),
     "n1_hash_sample" -> (n1HashSample _),
     "n2_stratified_sample" -> (n2StratifiedSample _),
     "n3_latest_per_key" -> (n3LatestPerKey _),
@@ -318,6 +403,7 @@ object SamplingQueries {
     "n7_shard_shuffle" -> n7Oracle,
     "n8_temperature_mix" -> n8Oracle,
     "n9_sequence_pack" -> n9Oracle,
+    "n10_incremental_pack" -> n10Oracle,
     "n1_hash_sample" -> n1Oracle,
     "n2_stratified_sample" -> n2Oracle,
     "n3_latest_per_key" -> n3Oracle,

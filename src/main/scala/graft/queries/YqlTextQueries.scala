@@ -279,6 +279,38 @@ object YqlTextQueries {
       |GROUP BY n.n_name
       |ORDER BY nation""".stripMargin
 
+  /** y10: the notch-6/7 constructs under the gate — `ListAny`/`ListAll`
+    * over collected boolean lists (the identity-lambda bridge), a
+    * block-bodied lambda with a LOCAL binding inlined ahead of RETURN,
+    * and list shaping joined to strings so output order stays
+    * deterministic cross-engine.
+    */
+  def y10YqlBoolLists(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    YqlFrontend.run(spark,
+      """
+      $cls = ($n) -> { $big = $n >= 1000; RETURN IF($big, 'kb+', 'sub-kb'); };
+      $flags = (select source,
+                       AGGREGATE_LIST(String::Contains(text, 'data')) as has_data,
+                       AGGREGATE_LIST(n_chars > 100) as big,
+                       String::JoinFromList(
+                         ListSort(ListUniq(ListMap(AGGREGATE_LIST(n_chars), $cls))), ',') as classes
+                  from documents group by source);
+      select source, ListAny(has_data) as any_data, ListAll(big) as all_big,
+             cast(ListLength(has_data) as Int64) as n_docs, classes
+        from $flags order by source;
+      """).get
+  }
+
+  val y10Oracle: String =
+    """SELECT source,
+      |       bool_or(contains(text, 'data')) AS any_data,
+      |       bool_and(n_chars > 100) AS all_big,
+      |       count(1) AS n_docs,
+      |       array_to_string(list_sort(list_distinct(
+      |         list(CASE WHEN n_chars >= 1000 THEN 'kb+' ELSE 'sub-kb' END))), ',') AS classes
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "y1_yql_project" -> (y1YqlProject _),
     "y2_yql_exclusion" -> (y2YqlExclusion _),
@@ -288,7 +320,8 @@ object YqlTextQueries {
     "y6_yql_having" -> (y6YqlHaving _),
     "y7_yql_lambdas" -> (y7YqlLambdas _),
     "y8_yql_window" -> (y8YqlWindow _),
-    "y9_yql_joins" -> (y9YqlJoins _))
+    "y9_yql_joins" -> (y9YqlJoins _),
+    "y10_yql_bool_lists" -> (y10YqlBoolLists _))
 
   val oracles: Map[String, String] = Map(
     "y1_yql_project" -> y1Oracle,
@@ -299,5 +332,6 @@ object YqlTextQueries {
     "y6_yql_having" -> y6Oracle,
     "y7_yql_lambdas" -> y7Oracle,
     "y8_yql_window" -> y8Oracle,
-    "y9_yql_joins" -> y9Oracle)
+    "y9_yql_joins" -> y9Oracle,
+    "y10_yql_bool_lists" -> y10Oracle)
 }
