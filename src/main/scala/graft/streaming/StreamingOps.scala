@@ -273,6 +273,41 @@ object StreamingOps extends Serializable {
       .select(col("doc_id"), col("r.n").as("n_spans"), col("r.cov").as("dup_tokens"))
   }
 
+  case class PackDoc(doc_id: Long, shard: Int, n_tokens: Long)
+  case class PackState(bin: Long, used: Long)
+  case class PackAssign(doc_id: Long, shard: Int, bin: Long, n_tokens: Long)
+
+  /** Streaming sequence packing — the streaming twin of the batch
+    * n9/n10 operators: per packer shard, the only state is the open
+    * `(bin, fill)` pair (two longs per shard — state is O(shards), never
+    * O(docs)), and each micro-batch's docs fold on from it, possibly
+    * topping up the bin the previous batch left open. Identical
+    * recurrence to the batch `aggregate` fold, so output ≡ batch n9 on
+    * the same docs PROVIDED doc_ids arrive in nondecreasing order across
+    * batches within a shard — the append-only crawl-output contract the
+    * incremental form (n10) already documents; within a batch the fold
+    * sorts, so intra-batch arrival order never matters.
+    */
+  def packStream(spark: SparkSession, docs: Dataset[PackDoc],
+                 budget: Long = 256L): Dataset[PackAssign] = {
+    import spark.implicits._
+    def fold(shard: Int, it: Iterator[PackDoc],
+             state: GroupState[PackState]): Iterator[PackAssign] = {
+      val sorted = it.toSeq.sortBy(_.doc_id)
+      var st = state.getOption.getOrElse(PackState(0L, budget + 1))
+      val out = Seq.newBuilder[PackAssign]
+      sorted.foreach { d =>
+        st = if (st.used + d.n_tokens <= budget) PackState(st.bin, st.used + d.n_tokens)
+             else PackState(st.bin + 1, d.n_tokens)
+        out += PackAssign(d.doc_id, shard, st.bin, d.n_tokens)
+      }
+      state.update(st)
+      out.result().iterator
+    }
+    docs.groupByKey(_.shard)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fold)
+  }
+
   /** Stream-stream interval join: purchases ⋈ clicks of the same user with
     * `c_ts ∈ [p_ts − 1h, p_ts)`. Watermarks on BOTH sides let Spark evict
     * join state: a click can only match purchases up to 1 h later, so click

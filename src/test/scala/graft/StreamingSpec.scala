@@ -321,6 +321,43 @@ class StreamingSpec extends AnyFunSuite {
     index.unpersist()
   }
 
+  test("streaming sequence packing == batch n9 across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.Text
+    implicit val sqlCtx = spark.sqlContext
+
+    // the same (doc_id, shard, n_tokens) projection n9 packs, delivered
+    // in doc_id order over three arbitrary batch splits (the append-only
+    // crawl contract); state carried between batches is (bin, fill) only
+    val docs = graft.sources.Tables.documents(spark, sfDir).select(
+        col("doc_id"),
+        pmod(Text.md5Long(concat(lit("n9s:"), col("doc_id").cast("string"))), lit(8L))
+          .cast("int").as("shard"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+      .as[StreamingOps.PackDoc].collect().sortBy(_.doc_id)
+    val (b1, rest) = docs.splitAt(docs.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+
+    val mem = MemoryStream[StreamingOps.PackDoc]
+    val q = StreamingOps.packStream(spark, mem.toDS())
+      .writeStream.format("memory").queryName("spack").outputMode("append").start()
+    try {
+      mem.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+      mem.addData(b3.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))
+    val got = spark.table("spack").select("doc_id", "shard", "bin", "n_tokens")
+      .orderBy("shard", "bin", "doc_id").collect().map(key)
+    val want = graft.queries.SamplingQueries.n9SequencePack(spark, sfDir)
+      .collect().map(key)
+    assert(got.length == docs.length)
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("batch sessionization totals are exact decimal sums (order-independent)") {
     val df = EventQueries.e3Sessions(spark, sfDir)
     val total = df.agg(sum(col("total_value").cast("decimal(18,2)")).cast("double")).head.getDouble(0)
