@@ -251,6 +251,41 @@ object SamplingQueries {
     * co-located. The oracle replays the same greedy fold as a recursive
     * CTE over the same order.
     */
+  /** The packing fold as ONE LINEAR pass per shard: hash-route whole
+    * shards to partitions, sort within partitions by (shard, doc_id),
+    * and stream the greedy recurrence over the iterator, resetting (or
+    * seeding, for the incremental form) the state at each shard
+    * boundary. The first n9 form built the assignment array inside an
+    * `aggregate` HOF via `concat(acc.out, array(…))` — each step copies
+    * the whole accumulator, so a 62k-doc shard did ~2e9 element copies
+    * and the 100× probe measured a 492× cliff (151 s). mapPartitions is
+    * the genuinely-sequential-per-shard case the HOF can't express
+    * linearly; the probe re-measured the linear pass at data-ratio
+    * scaling. `seed` carries the incremental form's per-shard
+    * (open bin, fill) start state (joined in as columns).
+    */
+  private def packLinear(docs: DataFrame, w: Long, nShards: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id").cast("long"), col("shard").cast("int"),
+        col("n_tokens").cast("long"), col("bin0").cast("long"), col("used0").cast("long"))
+      .as[(Long, Int, Long, Long, Long)]
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "doc_id")
+      .mapPartitions { it =>
+        var cur = Int.MinValue
+        var bin = 0L
+        var used = 0L
+        it.map { case (id, sh, n, bin0, used0) =>
+          if (sh != cur) { cur = sh; bin = bin0; used = used0 }
+          if (used + n <= w) used += n else { bin += 1; used = n }
+          (id, sh, bin, n)
+        }
+      }
+      .toDF("doc_id", "shard", "bin", "n_tokens")
+  }
+
   def n9SequencePack(spark: SparkSession, dir: String): DataFrame = {
     val W = 256L // token budget per packed sequence
     val S = 8L
@@ -259,25 +294,9 @@ object SamplingQueries {
       pmod(Text.md5Long(concat(lit("n9s:"), col("doc_id").cast("string"))), lit(S))
         .cast("int").as("shard"),
       size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
-    docs
-      .groupBy("shard")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_tokens")))).as("ds"))
-      .select(col("shard"), explode(expr(
-        s"""aggregate(
-           |  ds,
-           |  named_struct(
-           |    'out', cast(array() as array<struct<doc_id:bigint,bin:bigint,n_tokens:bigint>>),
-           |    'bin', cast(0 as bigint), 'used', cast(${W + 1} as bigint)),
-           |  (acc, d) -> IF(acc.used + d.n_tokens <= $W,
-           |    named_struct(
-           |      'out', concat(acc.out, array(named_struct('doc_id', d.doc_id, 'bin', acc.bin, 'n_tokens', d.n_tokens))),
-           |      'bin', acc.bin, 'used', acc.used + d.n_tokens),
-           |    named_struct(
-           |      'out', concat(acc.out, array(named_struct('doc_id', d.doc_id, 'bin', acc.bin + cast(1 as bigint), 'n_tokens', d.n_tokens))),
-           |      'bin', acc.bin + cast(1 as bigint), 'used', d.n_tokens)),
-           |  acc -> acc.out)""".stripMargin)).as("p"))
-      .select(col("p.doc_id").as("doc_id"), col("shard"),
-        col("p.bin").as("bin"), col("p.n_tokens").as("n_tokens"))
+    packLinear(
+      docs.withColumn("bin0", lit(0L)).withColumn("used0", lit(W + 1)),
+      W, S.toInt)
       .orderBy("shard", "bin", "doc_id")
   }
 
@@ -324,43 +343,28 @@ object SamplingQueries {
       size(Text.tokens(col("text"))).cast("long").as("n_tokens"),
       (pmod(Text.md5Long(concat(lit("n10i:"), col("doc_id").cast("string"))), lit(10L)) === 0)
         .as("is_inc"))
-    // base pack: state-only fold — (open bin, fill) per shard, no
-    // assignment array is materialized or retained
-    val baseState = all.where(!col("is_inc"))
-      .groupBy("shard")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_tokens")))).as("ds"))
-      .select(col("shard"), expr(
-        s"""aggregate(
-           |  ds,
-           |  named_struct('bin', cast(0 as bigint), 'used', cast(${W + 1} as bigint)),
-           |  (acc, d) -> IF(acc.used + d.n_tokens <= $W,
-           |    named_struct('bin', acc.bin, 'used', acc.used + d.n_tokens),
-           |    named_struct('bin', acc.bin + cast(1 as bigint), 'used', d.n_tokens)))""".stripMargin)
-        .as("st"))
-      .select(col("shard"), col("st.bin").as("bin0"), col("st.used").as("used0"))
-    // increment pack: the same fold seeded from the base state (a shard
-    // with no base docs starts fresh)
-    all.where(col("is_inc"))
-      .groupBy("shard")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_tokens")))).as("ds"))
-      .join(baseState, Seq("shard"), "left")
-      .select(col("shard"), explode(expr(
-        s"""aggregate(
-           |  ds,
-           |  named_struct(
-           |    'out', cast(array() as array<struct<doc_id:bigint,bin:bigint,n_tokens:bigint>>),
-           |    'bin', coalesce(bin0, cast(0 as bigint)),
-           |    'used', coalesce(used0, cast(${W + 1} as bigint))),
-           |  (acc, d) -> IF(acc.used + d.n_tokens <= $W,
-           |    named_struct(
-           |      'out', concat(acc.out, array(named_struct('doc_id', d.doc_id, 'bin', acc.bin, 'n_tokens', d.n_tokens))),
-           |      'bin', acc.bin, 'used', acc.used + d.n_tokens),
-           |    named_struct(
-           |      'out', concat(acc.out, array(named_struct('doc_id', d.doc_id, 'bin', acc.bin + cast(1 as bigint), 'n_tokens', d.n_tokens))),
-           |      'bin', acc.bin + cast(1 as bigint), 'used', d.n_tokens)),
-           |  acc -> acc.out)""".stripMargin)).as("p"))
-      .select(col("p.doc_id").as("doc_id"), col("shard"),
-        col("p.bin").as("bin"), col("p.n_tokens").as("n_tokens"))
+    // base pack state — (open bin, fill) per shard, recovered from the
+    // linear pack's OUTPUT: the open bin is the max bin id, and its fill
+    // is the token sum of the docs packed into it (the fold's `used` is
+    // exactly that running sum). Nothing quadratic, nothing collected.
+    val packedBase = packLinear(
+      all.where(!col("is_inc"))
+        .withColumn("bin0", lit(0L)).withColumn("used0", lit(W + 1)),
+      W, S.toInt)
+    val lastBin = packedBase.groupBy("shard").agg(max("bin").as("bin0"))
+    val baseState = packedBase.join(lastBin, "shard")
+      .where(col("bin") === col("bin0"))
+      .groupBy("shard", "bin0").agg(sum("n_tokens").as("used0"))
+    // increment pack: the same LINEAR fold seeded from the base state (a
+    // shard with no base docs starts fresh); the base state rides in as
+    // broadcast-joined columns
+    packLinear(
+      all.where(col("is_inc"))
+        .join(broadcast(baseState), Seq("shard"), "left")
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          coalesce(col("bin0"), lit(0L)).as("bin0"),
+          coalesce(col("used0"), lit(W + 1)).as("used0")),
+      W, S.toInt)
       .orderBy("shard", "bin", "doc_id")
   }
 
@@ -386,12 +390,72 @@ object SamplingQueries {
       |SELECT doc_id, shard, bin, n_tokens FROM rec WHERE is_inc
       |ORDER BY shard, bin, doc_id""".stripMargin
 
+  /** n11: the training-data MANIFEST — the end-to-end composition a
+    * pretraining prep run executes: exact-dedup survivors (d1's min-id
+    * rule) → quality gate (token floor) → temperature-flattened source
+    * sampling (n8's α=0.5 integer-ppm rates, computed over the
+    * deduped+gated corpus) → n5-style hash split; reported per (split,
+    * source) with doc/token totals. Every stage is a hash filter or one
+    * aggregation: the whole manifest of a 100 TB corpus costs the dedup
+    * shuffle, a tiny per-source rollup broadcast back, and the final
+    * rollup — no stage materializes text beyond the first scan.
+    */
+  def n11TrainingManifest(spark: SparkSession, dir: String): DataFrame = {
+    val fpw = Window.partitionBy(md5(Text.normText(col("text")))).orderBy("doc_id")
+    val surv = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"),
+        row_number().over(fpw).as("rn"))
+      .where(col("rn") === 1 && col("n_tokens") >= 20)
+      .drop("rn")
+    val bySrc = surv.groupBy("source").agg(sum("n_tokens").as("src_tokens"))
+    val tmin = bySrc.agg(min("src_tokens").as("min_tokens"))
+    val rates = bySrc.crossJoin(broadcast(tmin)) // 1-row scalar, benign
+      .select(col("source"),
+        floor(lit(1000000.0) * sqrt(col("min_tokens") / col("src_tokens")))
+          .cast("long").as("rate_ppm"))
+    val bucket = pmod(Text.md5Long(col("doc_id").cast("string")), lit(100L))
+    val split = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    surv.join(broadcast(rates), Seq("source"))
+      .where(pmod(Text.md5Long(concat(lit("n11:"), col("doc_id").cast("string"))),
+        lit(1000000L)) < col("rate_ppm"))
+      .select(split.as("split"), col("source"), col("doc_id"), col("n_tokens"), col("rate_ppm"))
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        min("doc_id").as("first_doc"), max("rate_ppm").as("rate_ppm"))
+      .orderBy("split", "source")
+  }
+
+  val n11Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+      |         row_number() OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+      |                            ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |surv AS (SELECT * FROM d WHERE rn = 1 AND n_tokens >= 20),
+      |s AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens FROM surv GROUP BY 1),
+      |r AS (SELECT source,
+      |             CAST(floor(1000000.0 * sqrt((SELECT min(src_tokens) FROM s) / src_tokens)) AS BIGINT) AS rate_ppm
+      |      FROM s),
+      |kept AS (
+      |  SELECT surv.doc_id, surv.source, surv.n_tokens, r.rate_ppm,
+      |         CASE WHEN ('0x' || substr(md5(CAST(surv.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+      |              WHEN ('0x' || substr(md5(CAST(surv.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'val'
+      |              ELSE 'test' END AS split
+      |  FROM surv JOIN r ON surv.source = r.source
+      |  WHERE ('0x' || substr(md5('n11:' || CAST(surv.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 < r.rate_ppm)
+      |SELECT split, source, count(1) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |       min(doc_id) AS first_doc, max(rate_ppm) AS rate_ppm
+      |FROM kept GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n6_bottomk_sample" -> (n6BottomKSample _),
     "n7_shard_shuffle" -> (n7ShardShuffle _),
     "n8_temperature_mix" -> (n8TemperatureMix _),
     "n9_sequence_pack" -> (n9SequencePack _),
     "n10_incremental_pack" -> (n10IncrementalPack _),
+    "n11_training_manifest" -> (n11TrainingManifest _),
     "n1_hash_sample" -> (n1HashSample _),
     "n2_stratified_sample" -> (n2StratifiedSample _),
     "n3_latest_per_key" -> (n3LatestPerKey _),
@@ -404,6 +468,7 @@ object SamplingQueries {
     "n8_temperature_mix" -> n8Oracle,
     "n9_sequence_pack" -> n9Oracle,
     "n10_incremental_pack" -> n10Oracle,
+    "n11_training_manifest" -> n11Oracle,
     "n1_hash_sample" -> n1Oracle,
     "n2_stratified_sample" -> n2Oracle,
     "n3_latest_per_key" -> n3Oracle,
