@@ -195,6 +195,66 @@ object IncrementalAgg {
     else s.join(survivingExtrema(rows, keys, weight, extrema, ""), keys, "left")
   }
 
+  /** Per-key TOP-K over the surviving multiset: rows collapse on
+    * (keys, id, value) with Σweight as multiplicity, tuples with
+    * multiplicity ≤ 0 drop, and the survivors rank by (value DESC,
+    * id ASC) — the deterministic tie order — keeping ranks 1..k.
+    * Output: (keys…, rank INT, id, value). `id` must be unique within a
+    * key (an order id, a doc id), which makes retraction "cancel that
+    * tuple" rather than "decrement an anonymous copy".
+    */
+  def fullTopK(rows: DataFrame, keys: Seq[String], weight: Column,
+               id: Column, value: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kc = keys.map(col)
+    val surv = rows
+      .select(kc ++ Seq(id.as("_id"), value.as("_val"), weight.cast("long").as("_w")): _*)
+      .groupBy(kc ++ Seq(col("_id"), col("_val")): _*)
+      .agg(sum(col("_w")).as("_m"))
+      .where(col("_m") > 0)
+    surv
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(kc: _*).orderBy(col("_val").desc, col("_id"))))
+      .where(col("rank") <= k)
+      .select(kc ++ Seq(col("rank"), col("_id").as("id"), col("_val").as("value")): _*)
+  }
+
+  /** Incremental TOP-K maintenance — the [[refreshWithExtrema]] shape
+    * generalized from 1 extremum to k. Top-k is not retractable from
+    * k rows of state (evicting rank 3 says nothing about the old rank
+    * k+1), so keys touched by any retraction re-rank exactly over
+    * base ⊎ delta RESTRICTED to those keys (one semi-join — O(Δ ·
+    * affected-key rows) given a key-pruning base layout, never a full
+    * rescan in the plan). Keys touched only by inserts re-rank the
+    * union of the k state rows and their delta inserts — no base
+    * access, correct because inserts can only push survivors down:
+    * the new top-k ⊆ old top-k ∪ inserts.
+    *
+    * `refreshTopK(fullTopK(base), Δ, base) == fullTopK(base ⊎ Δ)` on
+    * every changelog (IncrementalAggSpec pins retract-the-leader and
+    * the stepwise property).
+    */
+  def refreshTopK(state: DataFrame, delta: DataFrame, base: DataFrame,
+                  keys: Seq[String], weight: Column,
+                  id: Column, value: Column, k: Int): DataFrame = {
+    val kc = keys.map(col)
+    val touched = delta.where(weight < 0).select(kc: _*).distinct()
+    val inserts = delta.where(weight > 0)
+      .select(kc ++ Seq(id.as("id"), value.as("value")): _*)
+    // insert-merge side: old top-k rows ∪ delta inserts, re-ranked
+    val mergedIn = state.select(kc ++ Seq(col("id"), col("value")): _*)
+      .unionByName(inserts)
+      .join(touched, keys, "left_anti")
+    val merged = fullTopK(mergedIn, keys, lit(1L), col("id"), col("value"), k)
+    // repair side: exact surviving-multiset re-rank for retraction keys
+    val contrib = base.select(kc ++ Seq(id.as("id"), value.as("value"), lit(1L).as("_cw")): _*)
+      .unionByName(delta.select(kc ++ Seq(id.as("id"), value.as("value"),
+        weight.cast("long").as("_cw")): _*))
+      .join(touched, keys, "left_semi")
+    val repaired = fullTopK(contrib, keys, col("_cw"), col("id"), col("value"), k)
+    merged.unionByName(repaired)
+  }
+
   /** The from-scratch form of the same aggregate — the correctness oracle
     * for [[refresh]]: `refresh(full(base), delta) == full(base ∪ delta)`
     * on any changelog (the `_nn_` masking applies here too, so a group

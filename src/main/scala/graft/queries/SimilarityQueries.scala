@@ -225,15 +225,182 @@ object SimilarityQueries {
        |FROM topk t JOIN documents d ON d.doc_id = t.nid
        |ORDER BY qid, rank""".stripMargin
 
+  // ------------------------------------------------------------ k-means
+
+  private val KmK = 8       // clusters
+  private val KmIters = 2   // Lloyd iterations after init
+  private val KmQ = 10000L  // fixed-point quantization: q = round(x · 10⁴)
+
+  /** One Lloyd assignment pass against literal centroids: per vector the
+    * (dist², cid) minimum over k quantized centroids, squared distance in
+    * exact 64-bit integer arithmetic (|q| ≤ ~5,300 ⇒ Σ64·diff² ≤ ~7·10⁹).
+    * Centroids ride in the plan as literals — k·dim ints, the same
+    * driver-held state every distributed k-means (including MLlib) keeps —
+    * so the pass is one codegen'd scan: no join, no shuffle.
+    */
+  private def kmAssign(q: DataFrame, cents: Seq[(Int, Array[Long])]): DataFrame = {
+    val best = least(cents.map { case (cid, cq) =>
+      val dist = aggregate(
+        zip_with(col("qv"), array(cq.map(lit(_)): _*), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+      struct(dist.as("dist"), lit(cid).as("cid"))
+    }: _*)
+    q.select(col("vec_id"), col("qv"),
+      best.getField("cid").as("cid"), best.getField("dist").as("dist"))
+  }
+
+  /** s5: deterministic Lloyd's k-means over the embedding corpus — the
+    * clustering primitive under semantic dedup (SemDedup-style pipelines
+    * cluster embeddings, then prune within clusters) and IVF index builds.
+    * Embeddings quantize to integers (q = round(x·10⁴)) so every distance
+    * and every centroid is exact and identical cross-engine: centroids
+    * update as floor(Σq/n) per dimension (Σq < 2⁵³ ⇒ the double divide is
+    * exact), assignment ties break to the lowest cid. Init = the k lowest
+    * vec_ids; 2 full Lloyd iterations; output = per-cluster size and
+    * integer inertia. The oracle replays both iterations as unrolled CTEs.
+    *
+    * Scale shape per iteration: one scan for assignment (argmin over k
+    * literal centroids, codegen'd), one partial-aggregated shuffle of
+    * k·dim cells for the update, one k·dim-bounded collect — linear in
+    * rows, constant in cluster structure. At 100 TB the iteration count
+    * is the only multiplier.
+    */
+  /** The fitted assignment (vec_id, qv, cid, dist) after [[KmIters]] Lloyd
+    * iterations — shared by [[s5Kmeans]] (cluster stats) and
+    * [[s6Semdedup]] (within-cluster pruning).
+    */
+  private def kmFit(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(spark, dir).select(col("vec_id"),
+      expr(s"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $KmQ) AS BIGINT))")
+        .as("qv"))
+    // init: the k lowest vec_ids, quantized — k·dim ints to the driver
+    var cents: Seq[(Int, Array[Long])] = q.where(col("vec_id") < KmK)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toArray)).toSeq
+    for (_ <- 1 to KmIters) {
+      // update: per-(cid, dim) sums via posexplode — one small shuffle of
+      // k·dim cells after map-side partial aggregation
+      val sums = kmAssign(q, cents)
+        .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "qd")))
+        .groupBy("cid", "pos")
+        .agg(sum("qd").as("s"), count(lit(1)).as("n"))
+        .collect()
+      cents = sums.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (cid, rows) =>
+        val byPos = rows.sortBy(_.getInt(1))
+        (cid, byPos.map(r => math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong).toArray)
+      }
+    }
+    kmAssign(q, cents)
+  }
+
+  def s5Kmeans(spark: SparkSession, dir: String): DataFrame =
+    kmFit(spark, dir)
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_members"), sum("dist").as("inertia"))
+      .orderBy("cid")
+
+  /** Squared quantized-distance ceiling under which two same-cluster
+    * vectors count as semantic near-duplicates (≈ L2 0.89 raw — just
+    * inside this corpus's closest-pair band, the SemDedup percentile-style
+    * cut).
+    */
+  private val SemTau = 120000000L
+
+  /** s6: SemDedup-style pruning — k-means first, then near-duplicate
+    * detection ONLY within each cluster: a vector is pruned when a
+    * lower-id clustermate sits within [[SemTau]]; the keeper reported is
+    * the smallest such id. Output = the pruned rows.
+    *
+    * Scale contract: the within-cluster self-join is quadratic in CLUSTER
+    * size, never corpus size — the whole point of clustering first. At
+    * scale k grows ∝ n (bounding E[cluster]), so the pair stage stays
+    * linear-in-n × bounded-cluster; the equi-join on cid is one
+    * hash-partitioned shuffle.
+    */
+  def s6Semdedup(spark: SparkSession, dir: String): DataFrame = {
+    val fit = kmFit(spark, dir).select(col("vec_id"), col("qv"), col("cid"))
+    val a = fit.select(col("cid"), col("vec_id").as("keep_id"), col("qv").as("qa"))
+    val b = fit.select(col("cid"), col("vec_id").as("pruned_id"), col("qv").as("qb"))
+    val pairDist = aggregate(
+      zip_with(col("qa"), col("qb"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+    a.join(b, Seq("cid"))
+      .where(col("keep_id") < col("pruned_id") && pairDist < SemTau)
+      .groupBy("cid", "pruned_id")
+      .agg(min("keep_id").as("kept_by"))
+      .orderBy("pruned_id")
+      .select("pruned_id", "cid", "kept_by")
+  }
+
+  private def kmDistSql(v: String, c: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip($v, $c)," +
+      " s -> (s[1] - s[2]) * (s[1] - s[2]))), (x, y) -> x + y)"
+
+  /** The shared oracle prefix: quantization, init, both Lloyd iterations
+    * unrolled, and the final assignment `aF(vec_id, cid, dist)`.
+    */
+  private val kmCtes: String = {
+    def iter(n: Int, prevC: String): String =
+      s"""d$n AS (
+         |  SELECT a.vec_id, c.cid, ${kmDistSql("a.qv", "c.cq")} AS dist
+         |  FROM q a, $prevC c),
+         |a$n AS (
+         |  SELECT vec_id, cid, dist FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d$n) WHERE rn = 1),
+         |s$n AS (
+         |  SELECT a$n.cid, t.i, sum(q.qv[CAST(t.i AS INT)]) AS s, count(1) AS n
+         |  FROM a$n JOIN q USING (vec_id) CROSS JOIN range(1, ${Dim + 1}) t(i)
+         |  GROUP BY a$n.cid, t.i),
+         |c$n AS (
+         |  SELECT cid, list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS cq
+         |  FROM s$n GROUP BY cid)""".stripMargin
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $KmQ) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cid, qv AS cq FROM q WHERE vec_id < $KmK),
+       |${iter(1, "c0")},
+       |${iter(2, "c1")},
+       |dF AS (
+       |  SELECT a.vec_id, c.cid, ${kmDistSql("a.qv", "c.cq")} AS dist
+       |  FROM q a, c2 c),
+       |aF AS (
+       |  SELECT vec_id, cid, dist FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM dF) WHERE rn = 1)""".stripMargin
+  }
+
+  val s5Oracle: String =
+    s"""$kmCtes
+       |SELECT cid, count(1) AS n_members, CAST(sum(dist) AS BIGINT) AS inertia
+       |FROM aF GROUP BY cid ORDER BY cid""".stripMargin
+
+  val s6Oracle: String =
+    s"""$kmCtes,
+       |p AS (
+       |  SELECT a.cid, a.vec_id AS keep_id, b.vec_id AS pruned_id,
+       |         ${kmDistSql("qa.qv", "qb.qv")} AS d
+       |  FROM aF a JOIN aF b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  JOIN q qa ON qa.vec_id = a.vec_id
+       |  JOIN q qb ON qb.vec_id = b.vec_id)
+       |SELECT pruned_id, cid, min(keep_id) AS kept_by
+       |FROM p WHERE d < $SemTau
+       |GROUP BY pruned_id, cid ORDER BY pruned_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_brute_topk" -> (s1BruteTopK _),
     "s2_lsh_topk" -> (s2LshTopK _),
     "s3_ivf_topk" -> (s3IvfTopK _),
-    "s4_ann_retrieve" -> (s4AnnRetrieve _))
+    "s4_ann_retrieve" -> (s4AnnRetrieve _),
+    "s5_kmeans" -> (s5Kmeans _),
+    "s6_semdedup" -> (s6Semdedup _))
 
   val oracles: Map[String, String] = Map(
     "s1_brute_topk" -> s1Oracle,
     "s2_lsh_topk" -> s2Oracle,
     "s3_ivf_topk" -> s3Oracle,
-    "s4_ann_retrieve" -> s4Oracle)
+    "s4_ann_retrieve" -> s4Oracle,
+    "s5_kmeans" -> s5Oracle,
+    "s6_semdedup" -> s6Oracle)
 }

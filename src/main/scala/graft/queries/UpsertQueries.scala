@@ -148,15 +148,56 @@ object UpsertQueries {
       |       CAST(min(cents) AS BIGINT) AS min_cents, CAST(max(cents) AS BIGINT) AS max_cents
       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** u5: incremental TOP-K maintenance
+    * ([[graft.operators.IncrementalAgg.refreshTopK]]) — the u3/u4
+    * changelog shape, now maintaining each priority's top-3 orders by
+    * cents. Like extrema (k=1), top-k is not retractable from k rows of
+    * state, so retraction-touched keys re-rank exactly over base ⊎ Δ
+    * restricted by one semi-join while insert-only keys re-rank
+    * state ∪ inserts without base access. The oracle ranks the surviving
+    * rows directly, so the hash-match proves the two-path repair ≡ full
+    * recompute — including "retract the current leader", where naive
+    * state-merge would publish a stale rank 1.
+    */
+  def u5IncrementalTopK(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IncrementalAgg
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderpriority").as("prio"), col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val base = o.where(col("o_orderkey") % 4 =!= 0)
+    val state = IncrementalAgg.fullTopK(base, Seq("prio"), lit(1L),
+      col("o_orderkey"), col("cents"), k = 3)
+    val delta = o.where(col("o_orderkey") % 4 === 0).withColumn("w", lit(1L))
+      .unionByName(base.where(col("o_orderkey") % 7 === 0).withColumn("w", lit(-1L)))
+    IncrementalAgg.refreshTopK(state, delta, base, Seq("prio"), col("w"),
+      col("o_orderkey"), col("cents"), k = 3)
+      .select(col("prio"), col("rank").cast("long").as("rank"),
+        col("id").as("o_orderkey"), col("value").as("cents"))
+      .orderBy("prio", "rank")
+  }
+
+  val u5Oracle: String =
+    """WITH t AS (
+      |  SELECT o_orderpriority AS prio, o_orderkey,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 4 = 0 OR o_orderkey % 7 <> 0)
+      |SELECT prio, rank, o_orderkey, cents FROM (
+      |  SELECT prio, o_orderkey, cents,
+      |         row_number() OVER (PARTITION BY prio ORDER BY cents DESC, o_orderkey) AS rank
+      |  FROM t)
+      |WHERE rank <= 3 ORDER BY prio, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "u1_argmax_aggregator" -> (u1ArgmaxAggregator _),
     "u2_upsert" -> (u2Upsert _),
     "u3_incremental_agg" -> (u3IncrementalAgg _),
-    "u4_incremental_extrema" -> (u4IncrementalExtrema _))
+    "u4_incremental_extrema" -> (u4IncrementalExtrema _),
+    "u5_incremental_topk" -> (u5IncrementalTopK _))
 
   val oracles: Map[String, String] = Map(
     "u1_argmax_aggregator" -> u1Oracle,
     "u2_upsert" -> u2Oracle,
     "u3_incremental_agg" -> u3Oracle,
-    "u4_incremental_extrema" -> u4Oracle)
+    "u4_incremental_extrema" -> u4Oracle,
+    "u5_incremental_topk" -> u5Oracle)
 }

@@ -311,6 +311,34 @@ object YqlTextQueries {
       |         list(CASE WHEN n_chars >= 1000 THEN 'kb+' ELSE 'sub-kb' END))), ',') AS classes
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** y11: FLATTEN BY under the gate — `String::SplitToList` (literal
+    * separator, rewritten to a regex-escaped Spark `split`) feeding
+    * `FLATTEN BY … AS …` (array explode), then a grouped count over the
+    * flattened words. The row-5 frontend feature existed spec-only; this
+    * puts the explode semantics (element-per-row, empty arrays vanish)
+    * under the DuckDB `unnest` oracle.
+    */
+  def y11YqlFlatten(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    YqlFrontend.run(spark,
+      """
+      $w = (select doc_id, String::SplitToList(text, ' ') as words
+              from documents where doc_id % 5 = 0);
+      select word, count(1) as n
+        from $w flatten by words as word
+       group by word
+      having count(1) >= 25
+       order by word;
+      """).get
+  }
+
+  val y11Oracle: String =
+    """SELECT word, count(1) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS word
+      |      FROM documents WHERE doc_id % 5 = 0)
+      |GROUP BY word HAVING count(1) >= 25
+      |ORDER BY word""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "y1_yql_project" -> (y1YqlProject _),
     "y2_yql_exclusion" -> (y2YqlExclusion _),
@@ -321,7 +349,8 @@ object YqlTextQueries {
     "y7_yql_lambdas" -> (y7YqlLambdas _),
     "y8_yql_window" -> (y8YqlWindow _),
     "y9_yql_joins" -> (y9YqlJoins _),
-    "y10_yql_bool_lists" -> (y10YqlBoolLists _))
+    "y10_yql_bool_lists" -> (y10YqlBoolLists _),
+    "y11_yql_flatten" -> (y11YqlFlatten _))
 
   val oracles: Map[String, String] = Map(
     "y1_yql_project" -> y1Oracle,
@@ -333,5 +362,6 @@ object YqlTextQueries {
     "y7_yql_lambdas" -> y7Oracle,
     "y8_yql_window" -> y8Oracle,
     "y9_yql_joins" -> y9Oracle,
-    "y10_yql_bool_lists" -> y10Oracle)
+    "y10_yql_bool_lists" -> y10Oracle,
+    "y11_yql_flatten" -> y11Oracle)
 }

@@ -455,6 +455,50 @@ object YqlFrontend {
     (head :+ "->") ++ ("(" +: body :+ ")")
   }
 
+  /** YQL `String::SplitToList(s, sep)` splits on a LITERAL separator;
+    * Spark's `split(s, regex)` is regex-based — the semantic gap that kept
+    * this function off the [[ModuleFns]] name map. When the separator is a
+    * string LITERAL in the text (the overwhelmingly common call shape),
+    * the gap closes exactly: rewrite to `split` with every regex
+    * metacharacter escaped (backslash doubled so Spark's own
+    * string-literal unescaping yields the single regex backslash). A
+    * computed separator has no safe literal-split rewrite — fail loudly.
+    */
+  private def rewriteSplitToList(ts0: Vector[String]): Vector[String] = {
+    var ts = ts0
+    var i = 0
+    while (i + 3 < ts.length) {
+      if (ts(i).equalsIgnoreCase("string") && ts(i + 1) == "::" &&
+          ts(i + 2).equalsIgnoreCase("splittolist") && ts(i + 3) == "(") {
+        var depth = 0; var close = -1; var commaAt = -1; var j = i + 3
+        while (j < ts.length && close < 0) {
+          if (ts(j) == "(") depth += 1
+          else if (ts(j) == ")") { depth -= 1; if (depth == 0) close = j }
+          else if (ts(j) == "," && depth == 1 && commaAt < 0) commaAt = j
+          j += 1
+        }
+        require(close > 0 && commaAt > 0 && commaAt < close,
+          "YQL: String::SplitToList expects (string, separator)")
+        val sepToks = ts.slice(commaAt + 1, close)
+        require(sepToks.length == 1 &&
+            (sepToks.head.startsWith("'") || sepToks.head.startsWith("\"")),
+          "YQL: String::SplitToList separator must be a string literal " +
+            "(Spark split is regex-based; a computed separator has no safe rewrite)")
+        val lit0 = sepToks.head
+        val q = lit0.head
+        val raw = lit0.substring(1, lit0.length - 1).replace(s"$q$q", q.toString)
+        require(!raw.contains("'") && !raw.contains("\\"),
+          "YQL: SplitToList separators containing quotes/backslashes are not supported")
+        val esc = raw.flatMap { ch =>
+          if ("^$.|?*+()[]{}".indexOf(ch.toInt) >= 0) s"\\\\$ch" else ch.toString
+        }
+        ts = (ts.take(i) :+ "split" :+ "(") ++ ts.slice(i + 4, commaAt) ++
+          Vector(",", s"'$esc'", ")") ++ ts.drop(close + 1)
+      } else i += 1
+    }
+    ts
+  }
+
   /** YQL `LEFT ONLY JOIN` — rows of the left side with no right match,
     * keeping only left columns: exactly Spark's `LEFT ANTI JOIN`. `RIGHT
     * ONLY` has no direct Spark form (swap the sides) — fail loudly.
@@ -835,8 +879,8 @@ object YqlFrontend {
 
     def body(ts: Vector[String]): Vector[String] =
       rewriteExclusionJoins(rewriteFlattenBy(rewriteGroupByAlias(rewriteWithout(rewriteCasts(
-        rewriteBuiltinFns(rewriteBoolListFns(rewriteModuleFns(
-          rewriteOnlyJoins(substitute(rewriteLambdas(rewriteTables(ts, resolver))))))))))))
+        rewriteBuiltinFns(rewriteBoolListFns(rewriteModuleFns(rewriteSplitToList(
+          rewriteOnlyJoins(substitute(rewriteLambdas(rewriteTables(ts, resolver)))))))))))))
 
     val isSubqueryBinding: Vector[String] => Boolean =
       s => s.length > 4 && s(0).startsWith("$") && s(1) == "=" && s(2) == "(" &&

@@ -120,4 +120,56 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(got.where($"k" === "a").select("cnt", "min_v", "max_v").head() ==
       org.apache.spark.sql.Row(2L, 7L, 9L))
   }
+
+  // ------------------------------------------------------------ top-k
+
+  private def topk(rows: org.apache.spark.sql.DataFrame) =
+    IncrementalAgg.fullTopK(rows, Seq("k"), col("w"), col("id"), col("v"), k = 2)
+
+  test("topk: retracting the current leader promotes rank 3 (base repair)") {
+    val base = Seq(("a", 1L, 9L), ("a", 2L, 7L), ("a", 3L, 5L), ("b", 4L, 1L))
+      .toDF("k", "id", "v").withColumn("w", lit(1L))
+    val delta = Seq(("a", 1L, 9L, -1L)).toDF("k", "id", "v", "w")
+    val got = IncrementalAgg.refreshTopK(topk(base), delta, base,
+      Seq("k"), col("w"), col("id"), col("v"), k = 2)
+    val want = topk(base.unionByName(delta))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // the old rank-3 (id 3, v 5) — NOT in the k=2 state — must surface
+    assert(got.where($"k" === "a" && $"rank" === 2).select("id", "value").head() ==
+      org.apache.spark.sql.Row(3L, 5L))
+    // b untouched: carried through the merge path
+    assert(got.where($"k" === "b").select("rank", "id", "value").head() ==
+      org.apache.spark.sql.Row(1, 4L, 1L))
+  }
+
+  test("topk: insert-only keys re-rank state ∪ inserts without base access; stepwise ≡ from-scratch") {
+    val base = Seq(("a", 1L, 5L), ("a", 2L, 3L), ("a", 3L, 1L)).toDF("k", "id", "v")
+      .withColumn("w", lit(1L))
+    val state = topk(base)
+    // base deliberately WRONG (empty) to prove inserts never reread it
+    val emptyBase = Seq.empty[(String, Long, Long)].toDF("k", "id", "v")
+      .withColumn("w", lit(1L))
+    val delta = Seq(("a", 9L, 4L, 1L), ("n", 7L, 2L, 1L)).toDF("k", "id", "v", "w")
+    val got = IncrementalAgg.refreshTopK(state, delta, emptyBase,
+      Seq("k"), col("w"), col("id"), col("v"), k = 2)
+    // a: insert (9, 4) displaces rank 2 (id 2, v 3); n is a new key
+    assert(got.where($"k" === "a").orderBy("rank").select("id", "value").collect().toSeq ==
+      Seq(org.apache.spark.sql.Row(1L, 5L), org.apache.spark.sql.Row(9L, 4L)))
+    assert(got.where($"k" === "n").select("rank", "id", "value").head() ==
+      org.apache.spark.sql.Row(1, 7L, 2L))
+
+    // stepwise: two refreshes ≡ one from-scratch over everything
+    val d2 = Seq(("a", 2L, 3L, -1L)).toDF("k", "id", "v", "w")
+    val all = base.unionByName(delta).unionByName(d2)
+    val step = IncrementalAgg.refreshTopK(got, d2, base.unionByName(delta),
+      Seq("k"), col("w"), col("id"), col("v"), k = 2)
+    val want = topk(all)
+    assert(step.exceptAll(want).isEmpty && want.exceptAll(step).isEmpty)
+  }
+
+  test("topk: value ties break on id ascending, deterministically") {
+    val base = Seq(("a", 5L, 7L), ("a", 3L, 7L), ("a", 9L, 7L)).toDF("k", "id", "v")
+      .withColumn("w", lit(1L))
+    assert(topk(base).orderBy("rank").select("id").as[Long].collect().toSeq == Seq(3L, 5L))
+  }
 }

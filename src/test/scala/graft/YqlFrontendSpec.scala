@@ -133,6 +133,22 @@ class YqlFrontendSpec extends AnyFunSuite {
       Seq((1, "x"), (1, "y"), (2, "z")))
   }
 
+  test("String::SplitToList splits on the LITERAL separator (regex metachars escaped)") {
+    // '.' is a regex metacharacter: an unescaped split('a.b', '.') would
+    // return empty fragments — the rewrite must regex-quote it
+    val r = YqlFrontend.run(spark,
+      "select String::SplitToList('a.b.c', '.') as parts;").get.head().getSeq[String](0)
+    assert(r.toList == List("a", "b", "c"))
+    val r2 = YqlFrontend.run(spark,
+      "select ListLength(String::SplitToList('x y  z', ' ')) as n;").get.head().getInt(0)
+    assert(r2 == 4) // consecutive separators yield an empty fragment, as in YQL
+    // computed separators have no safe literal rewrite: loud failure
+    val e = intercept[IllegalArgumentException] {
+      YqlFrontend.translate("select String::SplitToList('a', lower('X')) as p;")
+    }
+    assert(e.getMessage.contains("separator must be a string literal"))
+  }
+
   test("binding references to undefined names and bare SELECT scripts") {
     val e = intercept[IllegalArgumentException] {
       YqlFrontend.translate("select * from $nope;")
