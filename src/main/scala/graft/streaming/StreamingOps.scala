@@ -308,6 +308,42 @@ object StreamingOps extends Serializable {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fold)
   }
 
+  case class TopKIn(key: String, id: Long, v: Long)
+  case class TopKState(gen: Long, ids: List[Long], vs: List[Long])
+  case class TopKOut(key: String, gen: Long, rank: Int, id: Long, v: Long)
+
+  /** Streaming TOP-K maintenance — the streaming twin of
+    * [[graft.operators.IncrementalAgg.refreshTopK]]'s insert-merge path:
+    * per key the only state is the current k (id, value) rows (state is
+    * O(keys·k), never O(rows)); each micro-batch's inserts merge and
+    * re-rank, and the key's refreshed top-k is re-emitted. Insert-only by
+    * contract — a retraction needs the base relation for repair, which is
+    * the batch operator's two-path job, not a stream's. Ties rank
+    * (value DESC, id ASC), so output ≡ batch `fullTopK` over the same
+    * rows whatever the micro-batch split (StreamingSpec pins it).
+    * Re-emission is Update-shaped — `gen` is the key's state generation,
+    * so a downstream upsert sink (or the spec) keeps max-gen per key;
+    * production routes through foreachBatch upsert
+    * ([[idempotentPartitionedSink]] pattern).
+    */
+  def topKStream(spark: SparkSession, rows: Dataset[TopKIn], k: Int = 3): Dataset[TopKOut] = {
+    import spark.implicits._
+    def fold(key: String, it: Iterator[TopKIn],
+             state: GroupState[TopKState]): Iterator[TopKOut] = {
+      val prev = state.getOption
+      val prevItems = prev.map(s => s.ids.zip(s.vs)).getOrElse(Nil)
+      val gen = prev.map(_.gen + 1L).getOrElse(0L)
+      val merged = (prevItems ++ it.map(r => (r.id, r.v)))
+        .distinct.sortBy { case (id, v) => (-v, id) }.take(k)
+      state.update(TopKState(gen, merged.map(_._1), merged.map(_._2)))
+      merged.zipWithIndex.map { case ((id, v), i) =>
+        TopKOut(key, gen, i + 1, id, v)
+      }.iterator
+    }
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(fold)
+  }
+
   /** Stream-stream interval join: purchases ⋈ clicks of the same user with
     * `c_ts ∈ [p_ts − 1h, p_ts)`. Watermarks on BOTH sides let Spark evict
     * join state: a click can only match purchases up to 1 h later, so click

@@ -358,6 +358,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("streaming top-k == batch fullTopK across micro-batches (insert-only feed)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+
+    // per-priority top-3 orders by cents — the u5 shape, insert-only,
+    // delivered over three arbitrary batch splits
+    val rows = graft.sources.Tables.orders(spark, sfDir).select(
+        col("o_orderpriority").as("key"), col("o_orderkey").as("id"),
+        round(col("o_totalprice") * 100).cast("long").as("v"))
+      .as[StreamingOps.TopKIn].collect()
+    val (b1, rest) = rows.splitAt(rows.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+
+    val mem = MemoryStream[StreamingOps.TopKIn]
+    val q = StreamingOps.topKStream(spark, mem.toDS(), k = 3)
+      .writeStream.format("memory").queryName("stopk").outputMode("update").start()
+    try {
+      mem.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+      mem.addData(b3.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    // Update-shaped emissions: the key's final ranking is its max-gen rows
+    val emitted = spark.table("stopk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    val maxGen = emitted.groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).max }
+    val got = emitted
+      .filter { case (k, g, _, _, _) => maxGen(k) == g }
+      .map { case (k, _, rank, id, v) => (k, rank, id, v) }
+      .sortBy { case (k, rank, _, _) => (k, rank) }
+    val want = graft.operators.IncrementalAgg.fullTopK(
+        rows.toSeq.toDF("key", "id", "v").withColumn("w", lit(1L)),
+        Seq("key"), col("w"), col("id"), col("v"), k = 3)
+      .orderBy("key", "rank").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("batch sessionization totals are exact decimal sums (order-independent)") {
     val df = EventQueries.e3Sessions(spark, sfDir)
     val total = df.agg(sum(col("total_value").cast("decimal(18,2)")).cast("double")).head.getDouble(0)
