@@ -291,7 +291,72 @@ object TextQueries {
       |FROM bs LEFT JOIN ts ON ts.doc_id = bs.doc_id
       |ORDER BY bs.doc_id""".stripMargin
 
+  /** t9: language-model quality scoring (the CCNet-shaped filter) — a
+    * bigram model trained on an in-corpus reference split (doc_id ≡ 0
+    * mod 3) scores EVERY document: per bigram the add-one-smoothed
+    * probability (B(w1,w2)+1)/(C(w1)+V), summed per doc as
+    * floor(10⁹·num/den) — IEEE division + floor, no transcendentals, so
+    * the integer score is bit-identical cross-engine (a log-perplexity
+    * variant would ride on libm `ln`, which is not correctly-rounded).
+    * In-distribution docs score high; gibberish scores ≈ n·10⁹/(C+V).
+    *
+    * Scale shape: the model is two word-count aggregations over the
+    * reference split; scoring is one (w1,w2) equi-join — word-count
+    * shuffles throughout, never pairs. At 100 TB the model prunes to
+    * top-V n-grams and broadcasts (the KenLM-filter deployment shape);
+    * V itself is a 1-row scalar broadcast (K4 pattern).
+    */
+  def t9LmScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+      .where(size(col("tk")) >= 2)
+    val big = toks.select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, size(tk) - 1), i -> struct(tk[i - 1] AS w1, tk[i] AS w2))"))
+          .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val refBig = big.where(col("doc_id") % 3 === 0)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("b"))
+    val refCtx = refBig.groupBy("w1").agg(sum("b").as("c"))
+    val vocab = toks.where(col("doc_id") % 3 === 0)
+      .select(explode(col("tk")).as("w")).agg(countDistinct("w").as("v"))
+    big
+      .join(refBig, Seq("w1", "w2"), "left")
+      .join(refCtx, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        floor(lit(1e9) * (coalesce(col("b"), lit(0L)) + lit(1L)) /
+          (coalesce(col("c"), lit(0L)) + col("v"))).cast("long").as("ppb"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("ppb").as("score_ppb"))
+      .orderBy("doc_id")
+  }
+
+  val t9Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+      |  FROM documents),
+      |tok2 AS (SELECT doc_id, tk FROM toks WHERE len(tk) >= 2),
+      |pos AS (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM tok2),
+      |big AS (SELECT doc_id, tk[CAST(i AS INT)] AS w1, tk[CAST(i + 1 AS INT)] AS w2 FROM pos),
+      |ref_big AS (SELECT w1, w2, count(1) AS b FROM big WHERE doc_id % 3 = 0 GROUP BY w1, w2),
+      |ref_ctx AS (SELECT w1, sum(b) AS c FROM ref_big GROUP BY w1),
+      |vocab AS (
+      |  SELECT count(DISTINCT w) AS v
+      |  FROM (SELECT unnest(tk) AS w FROM tok2 WHERE doc_id % 3 = 0)),
+      |scored AS (
+      |  SELECT big.doc_id,
+      |         CAST(floor(1e9 * (coalesce(rb.b, 0) + 1) /
+      |                    (coalesce(rc.c, 0) + vocab.v)) AS BIGINT) AS ppb
+      |  FROM big
+      |  LEFT JOIN ref_big rb ON rb.w1 = big.w1 AND rb.w2 = big.w2
+      |  LEFT JOIN ref_ctx rc ON rc.w1 = big.w1
+      |  CROSS JOIN vocab)
+      |SELECT doc_id, count(1) AS n_bigrams, CAST(sum(ppb) AS BIGINT) AS score_ppb
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t9_lm_score" -> (t9LmScore _),
     "t8_repetition" -> (t8Repetition _),
     "t1_token_stats" -> (t1TokenStats _),
     "t2_lang_id" -> (t2LangId _),
@@ -302,6 +367,7 @@ object TextQueries {
     "t7_nfc_normalize" -> (t7NfcNormalize _))
 
   val oracles: Map[String, String] = Map(
+    "t9_lm_score" -> t9Oracle,
     "t8_repetition" -> t8Oracle,
     "t1_token_stats" -> t1Oracle,
     "t2_lang_id" -> t2Oracle,
