@@ -227,9 +227,19 @@ object SimilarityQueries {
 
   // ------------------------------------------------------------ k-means
 
-  private val KmK = 8       // clusters
+  private val KmK = 8       // cluster-count floor = the oracle contract at gate SFs
   private val KmIters = 2   // Lloyd iterations after init
   private val KmQ = 10000L  // fixed-point quantization: q = round(x · 10⁴)
+
+  /** Cluster count grows ∝ corpus size, holding E[cluster] ≈ 256 — the
+    * same any-key-cardinality-∝-n rule as `embPlanesFor`: with k FIXED,
+    * [[s6Semdedup]]'s within-cluster pair join would be quadratic in n
+    * (cluster size n/k), the exact cliff the d6 fixed-band probe caught.
+    * The floor is the oracle contract: every gate SF must sit on it.
+    */
+  private[queries] def kmKFor(n: Long): Int = math.max(KmK, (n / 256L).toInt)
+  require(kmKFor(500) == KmK && kmKFor(2000) == KmK,
+    s"k-means cluster floor $KmK no longer covers the gate SFs — update the s5/s6 oracles in lockstep")
 
   /** One Lloyd assignment pass against literal centroids: per vector the
     * (dist², cid) minimum over k quantized centroids, squared distance in
@@ -238,16 +248,33 @@ object SimilarityQueries {
     * driver-held state every distributed k-means (including MLlib) keeps —
     * so the pass is one codegen'd scan: no join, no shuffle.
     */
-  private def kmAssign(q: DataFrame, cents: Seq[(Int, Array[Long])]): DataFrame = {
-    val best = least(cents.map { case (cid, cq) =>
-      val dist = aggregate(
-        zip_with(col("qv"), array(cq.map(lit(_)): _*), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
-      struct(dist.as("dist"), lit(cid).as("cid"))
-    }: _*)
-    q.select(col("vec_id"), col("qv"),
-      best.getField("cid").as("cid"), best.getField("dist").as("dist"))
-  }
+  private def kmAssign(q: DataFrame, cents: Seq[(Int, Array[Long])]): DataFrame =
+    if (cents.length <= 16) {
+      // literal path: argmin folded into one projection — no join at all
+      val best = least(cents.map { case (cid, cq) =>
+        val dist = aggregate(
+          zip_with(col("qv"), array(cq.map(lit(_)): _*), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)
+        struct(dist.as("dist"), lit(cid).as("cid"))
+      }: _*)
+      q.select(col("vec_id"), col("qv"),
+        best.getField("cid").as("cid"), best.getField("dist").as("dist"))
+    } else {
+      // adaptive-k path: the literal expression tree would explode past a
+      // few dozen centroids, so assignment becomes the IvfIndex shape —
+      // broadcast the k-row centroid table, window-argmin per vector
+      val spark = q.sparkSession
+      import spark.implicits._
+      val cdf = cents.map { case (cid, cq) => (cid, cq.toSeq) }.toDF("cid", "cq")
+      q.join(broadcast(cdf))
+        .withColumn("dist", aggregate(
+          zip_with(col("qv"), col("cq"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x))
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))))
+        .where(col("_rn") === 1)
+        .select(col("vec_id"), col("qv"), col("cid"), col("dist"))
+    }
 
   /** s5: deterministic Lloyd's k-means over the embedding corpus — the
     * clustering primitive under semantic dedup (SemDedup-style pipelines
@@ -273,8 +300,9 @@ object SimilarityQueries {
     val q = Tables.embeddings(spark, dir).select(col("vec_id"),
       expr(s"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $KmQ) AS BIGINT))")
         .as("qv"))
+    val k = kmKFor(q.count())
     // init: the k lowest vec_ids, quantized — k·dim ints to the driver
-    var cents: Seq[(Int, Array[Long])] = q.where(col("vec_id") < KmK)
+    var cents: Seq[(Int, Array[Long])] = q.where(col("vec_id") < k)
       .orderBy("vec_id").collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toArray)).toSeq
     for (_ <- 1 to KmIters) {

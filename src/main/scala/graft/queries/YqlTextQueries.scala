@@ -339,6 +339,41 @@ object YqlTextQueries {
       |GROUP BY word HAVING count(1) >= 25
       |ORDER BY word""".stripMargin
 
+  /** y12: `GROUP BY ROLLUP` through the YQL text path — subtotal grids are
+    * a reporting staple and the grouping-clause scanner must pass the
+    * function-shaped grouping spec through untouched (no alias inlining
+    * inside `ROLLUP(…)`). Cents are rounded on both sides (double→int
+    * casts truncate in Spark but round in DuckDB), and the oracle orders
+    * NULLS FIRST to match Spark's ascending default.
+    */
+  def y12YqlRollup(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    YqlFrontend.run(spark,
+      """
+      $o = (select r.r_name as region, n.n_name as nation, c.c_acctbal as bal
+              from customer c
+              join nation n on c.c_nationkey = n.n_nationkey
+              join region r on n.n_regionkey = r.r_regionkey);
+      select region, nation, count(1) as n_cust,
+             sum(cast(Math::Round(bal * 100.0) as Int64)) as bal_cents
+        from $o
+       group by rollup(region, nation)
+       order by region, nation;
+      """).get
+  }
+
+  val y12Oracle: String =
+    """WITH o AS (
+      |  SELECT r.r_name AS region, n.n_name AS nation, c.c_acctbal AS bal
+      |  FROM customer c
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  JOIN region r ON n.n_regionkey = r.r_regionkey)
+      |SELECT region, nation, count(1) AS n_cust,
+      |       CAST(sum(CAST(round(bal * 100.0) AS BIGINT)) AS BIGINT) AS bal_cents
+      |FROM o
+      |GROUP BY ROLLUP(region, nation)
+      |ORDER BY region NULLS FIRST, nation NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "y1_yql_project" -> (y1YqlProject _),
     "y2_yql_exclusion" -> (y2YqlExclusion _),
@@ -350,7 +385,8 @@ object YqlTextQueries {
     "y8_yql_window" -> (y8YqlWindow _),
     "y9_yql_joins" -> (y9YqlJoins _),
     "y10_yql_bool_lists" -> (y10YqlBoolLists _),
-    "y11_yql_flatten" -> (y11YqlFlatten _))
+    "y11_yql_flatten" -> (y11YqlFlatten _),
+    "y12_yql_rollup" -> (y12YqlRollup _))
 
   val oracles: Map[String, String] = Map(
     "y1_yql_project" -> y1Oracle,
@@ -363,5 +399,6 @@ object YqlTextQueries {
     "y8_yql_window" -> y8Oracle,
     "y9_yql_joins" -> y9Oracle,
     "y10_yql_bool_lists" -> y10Oracle,
-    "y11_yql_flatten" -> y11Oracle)
+    "y11_yql_flatten" -> y11Oracle,
+    "y12_yql_rollup" -> y12Oracle)
 }

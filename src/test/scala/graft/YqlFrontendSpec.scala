@@ -133,6 +133,21 @@ class YqlFrontendSpec extends AnyFunSuite {
       Seq((1, "x"), (1, "y"), (2, "z")))
   }
 
+  test("GROUP BY ROLLUP/CUBE/GROUPING SETS pass through the grouping-clause scanner") {
+    spark.sql("SELECT * FROM VALUES ('a','x',1), ('a','y',2), ('b','x',4) v(g, h, n)")
+      .createOrReplaceTempView("yql_gs")
+    val roll = YqlFrontend.run(spark,
+      "select g, h, sum(n) as s from yql_gs group by rollup(g, h) order by g, h;").get
+    assert(roll.count() == 6) // 3 leaves + 2 per-g subtotals + 1 grand total
+    val cube = YqlFrontend.run(spark,
+      "select g, h, sum(n) as s from yql_gs group by cube(g, h) order by g, h;").get
+    assert(cube.count() == 8) // + 2 per-h subtotals
+    val gs = YqlFrontend.run(spark,
+      "select g, h, sum(n) as s from yql_gs group by grouping sets ((g), (h)) order by g, h;").get
+    assert(gs.count() == 4)
+    assert(roll.where("g IS NULL AND h IS NULL").head().getLong(2) == 7L)
+  }
+
   test("String::SplitToList splits on the LITERAL separator (regex metachars escaped)") {
     // '.' is a regex metacharacter: an unescaped split('a.b', '.') would
     // return empty fragments — the rewrite must regex-quote it
