@@ -639,6 +639,59 @@ object DedupQueries {
        |SELECT count(1) AS n_triangles
        |FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin
 
+  /** d12: PageRank over the near-dup graph — the iterative-graph-compute
+    * pattern beyond connected components (d7) and closed-form counting
+    * (d8): which documents sit at the CENTER of duplication neighborhoods.
+    * All arithmetic is 64-bit integer micro-units — rank starts at 10⁶,
+    * each round distributes `r DIV deg` along the symmetric edges and
+    * damps with `150000 + (85·Σ) DIV 100` (integer DIV floors identically
+    * in Spark and DuckDB for non-negative operands) — so three unrolled
+    * oracle CTE iterations reproduce the scores bit-exactly; no float
+    * mass-conservation drift can leak into the hash.
+    *
+    * Scale shape: per iteration one equi-join (edges ⋈ ranks on src) and
+    * one dst-keyed partial-agg shuffle — the canonical distributed
+    * PageRank step, linear in edges. Runs on the near-dup pair graph,
+    * whose size the banded-LSH candidate generation already bounds.
+    */
+  def d12DupPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = d5SimhashPairs(spark, dir)
+    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+      .unionAll(pairs.select(col("db").as("src"), col("da").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edgeDeg = edges.join(deg, "src")
+    var rank = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+    (1 to 3).foreach { _ =>
+      rank = edgeDeg.join(rank, edgeDeg("src") === rank("node"))
+        .selectExpr("dst", "r DIV deg AS c")
+        .groupBy("dst").agg(sum("c").as("s"))
+        .selectExpr("dst AS node", "CAST(150000 + (85 * s) DIV 100 AS BIGINT) AS r")
+    }
+    rank.selectExpr("node AS doc_id", "r AS rank_micro")
+      .orderBy(col("rank_micro").desc, col("doc_id"))
+  }
+
+  val d12Oracle: String = {
+    def iter(n: Int): String =
+      s"""r$n AS (
+         |  SELECT e.dst AS node,
+         |         CAST(150000 + (85 * sum(r.r // d.deg)) // 100 AS BIGINT) AS r
+         |  FROM edges e
+         |  JOIN deg d ON d.src = e.src
+         |  JOIN r${n - 1} r ON r.node = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    s"""WITH $simhashPairsSqlBase,
+       |edges AS (SELECT da AS src, db AS dst FROM pairs
+       |          UNION ALL SELECT db AS src, da AS dst FROM pairs),
+       |deg AS (SELECT src, count(1) AS deg FROM edges GROUP BY src),
+       |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}
+       |SELECT node AS doc_id, r AS rank_micro FROM r3
+       |ORDER BY rank_micro DESC, doc_id""".stripMargin
+  }
+
   /** d9: incremental dedup — the production shape nobody runs full-corpus
     * dedup in: a new crawl increment (re-crawls of every 10th doc plus
     * genuinely fresh docs) is checked against the EXISTING corpus's
@@ -880,7 +933,8 @@ object DedupQueries {
     "d7_dup_clusters" -> (d7DupClusters _),
     "d8_triangles" -> (d8Triangles _),
     "d10_span_dedup" -> (d10SpanDedup _),
-    "d11_incremental_span_dedup" -> (d11IncrementalSpanDedup _))
+    "d11_incremental_span_dedup" -> (d11IncrementalSpanDedup _),
+    "d12_dup_pagerank" -> (d12DupPagerank _))
 
   val oracles: Map[String, String] = Map(
     "d9_incremental_dedup" -> d9Oracle,
@@ -894,5 +948,6 @@ object DedupQueries {
     "d7_dup_clusters" -> d7Oracle,
     "d8_triangles" -> d8Oracle,
     "d10_span_dedup" -> d10Oracle,
-    "d11_incremental_span_dedup" -> d11Oracle)
+    "d11_incremental_span_dedup" -> d11Oracle,
+    "d12_dup_pagerank" -> d12Oracle)
 }

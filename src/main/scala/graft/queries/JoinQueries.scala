@@ -228,7 +228,42 @@ object JoinQueries {
       |ORDER BY revenue_c4 DESC, l_orderkey
       |LIMIT 10""".stripMargin
 
+  /** j8: TPC-H Q18 shape (large-volume customers) — a HAVING-filtered
+    * aggregate over the fact table drives a semi-ish join back through
+    * orders to customer. The qty aggregate reduces lineitem BEFORE any
+    * join (partial agg + one key shuffle); the handful of qualifying
+    * orderkeys then join broadcast-style against orders/customer. Cites
+    * the reference's federated-analytics pattern
+    * (/root/reference/README_en.md:239) at TPC-H heft.
+    */
+  def j8BigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val qty = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity")).cast("long").as("qty"))
+      .where(col("qty") > 300)
+    qty
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+        col("qty"))
+      .orderBy(col("price_cents").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val j8Oracle: String =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+      |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+      |       CAST(qty AS BIGINT) AS qty
+      |FROM (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS qty
+      |      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300) q
+      |JOIN orders ON o_orderkey = q.l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |ORDER BY price_cents DESC, o_orderkey LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j8_big_orders" -> (j8BigOrders _),
     "j1_revenue_by_nation" -> (j1RevenueByNation _),
     "j2_top_parts" -> (j2TopParts _),
     "j3_top_orders_per_priority" -> (j3TopOrdersPerPriority _),
@@ -238,6 +273,7 @@ object JoinQueries {
     "j7_shipping_priority" -> (j7ShippingPriority _))
 
   val oracles: Map[String, String] = Map(
+    "j8_big_orders" -> j8Oracle,
     "j1_revenue_by_nation" -> j1Oracle,
     "j2_top_parts" -> j2Oracle,
     "j3_top_orders_per_priority" -> j3Oracle,

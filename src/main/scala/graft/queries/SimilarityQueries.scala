@@ -248,8 +248,9 @@ object SimilarityQueries {
     * driver-held state every distributed k-means (including MLlib) keeps —
     * so the pass is one codegen'd scan: no join, no shuffle.
     */
-  private def kmAssign(q: DataFrame, cents: Seq[(Int, Array[Long])]): DataFrame =
-    if (cents.length <= 16) {
+  private[graft] def kmAssign(q: DataFrame, cents: Seq[(Int, Array[Long])],
+                              forceJoinPath: Boolean = false): DataFrame =
+    if (cents.length <= 16 && !forceJoinPath) {
       // literal path: argmin folded into one projection — no join at all
       val best = least(cents.map { case (cid, cq) =>
         val dist = aggregate(
@@ -262,18 +263,31 @@ object SimilarityQueries {
     } else {
       // adaptive-k path: the literal expression tree would explode past a
       // few dozen centroids, so assignment becomes the IvfIndex shape —
-      // broadcast the k-row centroid table, window-argmin per vector
+      // broadcast the k-row centroid table and argmin per vector. Two
+      // probe-driven choices: dist² expands to |v|² + |c|² − 2·v·c with
+      // the codegen'd graft_dot (an interpreted zip_with/aggregate HOF per
+      // candidate row measured 205× at the 100× probe) — every term is an
+      // integer-valued double < 2⁵³, so the long cast is exact and the
+      // integer-arithmetic oracle contract is unchanged; and the argmin is
+      // a partial-aggregated min-struct (map-side combine shrinks the n·k
+      // candidates to n before the shuffle — a window would sort all n·k).
       val spark = q.sparkSession
       import spark.implicits._
-      val cdf = cents.map { case (cid, cq) => (cid, cq.toSeq) }.toDF("cid", "cq")
-      q.join(broadcast(cdf))
-        .withColumn("dist", aggregate(
-          zip_with(col("qv"), col("cq"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x))
-        .withColumn("_rn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))))
-        .where(col("_rn") === 1)
-        .select(col("vec_id"), col("qv"), col("cid"), col("dist"))
+      val cdf = cents.map { case (cid, cq) =>
+        (cid, cq.map(_.toDouble).toSeq, cq.map(x => x * x).sum.toDouble)
+      }.toDF("cid", "cv", "cn2")
+      val qd = q
+        .withColumn("dv", expr("transform(qv, x -> CAST(x AS DOUBLE))"))
+        .withColumn("n2", Vectors.dotD(col("dv"), col("dv")))
+      qd.join(broadcast(cdf))
+        .withColumn("dist",
+          (col("n2") + col("cn2") - lit(2.0) * Vectors.dotD(col("dv"), col("cv")))
+            .cast("long"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cid"))).as("best"),
+          first(col("qv")).as("qv")) // qv is functionally dependent on vec_id
+        .select(col("vec_id"), col("qv"),
+          col("best.cid").as("cid"), col("best.dist").as("dist"))
     }
 
   /** s5: deterministic Lloyd's k-means over the embedding corpus — the

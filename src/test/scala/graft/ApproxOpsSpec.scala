@@ -91,4 +91,20 @@ class ApproxOpsSpec extends AnyFunSuite {
       assert(est <= exact + epsN, s"key ${r.getLong(0)}: est $est exceeds exact+εN ${exact + epsN}")
     }
   }
+
+  test("k-means assignment: broadcast-join path == literal-centroid path") {
+    // the gate SFs sit on the k=8 floor and only ever exercise the literal
+    // path; this pins the adaptive-k join path (codegen'd dot expansion,
+    // min-struct argmin) to identical (cid, dist) for every vector
+    import org.apache.spark.sql.functions._
+    val q = graft.sources.Tables.embeddings(spark, dir).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))").as("qv"))
+    val cents = q.where(col("vec_id") < 9).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toArray)).toSeq
+    def res(force: Boolean) =
+      SimilarityQueries.kmAssign(q, cents, forceJoinPath = force)
+        .select("vec_id", "cid", "dist").orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(res(force = true) == res(force = false))
+  }
 }
