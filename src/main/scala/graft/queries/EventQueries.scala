@@ -231,7 +231,40 @@ object EventQueries {
       |FROM act JOIN c USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** e10: session path analysis — the event-type transition matrix
+    * (Markov bigram counts) within the e3 session gap: for each
+    * consecutive in-session pair, count (from → to). One window pass
+    * keyed on user_id (the e3 partitioning — horizontal user growth
+    * parallelizes) and one small groupBy on the type pair; output
+    * cardinality is |types|², constant in event volume. Micros
+    * arithmetic mirrors e3's cross-engine idiom.
+    */
+  def e10Transitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .where(col("prev_type").isNotNull &&
+        unix_micros(col("ts")) - unix_micros(col("prev_ts")) <= 1800L * 1000000L)
+      .groupBy(col("prev_type").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("from_type"), col("to_type"))
+  }
+
+  val e10Oracle: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type, ts,
+      |         lag(event_type) OVER w AS prev_type,
+      |         lag(ts) OVER w AS prev_ts
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT prev_type AS from_type, event_type AS to_type, count(1) AS n
+      |FROM seq
+      |WHERE prev_type IS NOT NULL AND epoch_us(ts) - epoch_us(prev_ts) <= 1800000000
+      |GROUP BY 1, 2 ORDER BY n DESC, from_type, to_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e10_transitions" -> (e10Transitions _),
     "e9_retention" -> (e9Retention _),
     "e1_windowed_counts" -> (e1WindowedCounts _),
     "e2_sliding_counts" -> (e2SlidingCounts _),
@@ -243,6 +276,7 @@ object EventQueries {
     "e8_funnel" -> (e8Funnel _))
 
   val oracles: Map[String, String] = Map(
+    "e10_transitions" -> e10Oracle,
     "e9_retention" -> e9Oracle,
     "e1_windowed_counts" -> e1Oracle,
     "e2_sliding_counts" -> e2Oracle,
