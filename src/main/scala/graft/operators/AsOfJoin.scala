@@ -4,10 +4,12 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** As-of join: for every left row, the single right row with the greatest
-  * `rightTs <= leftTs` within the same key — the time-series/point-in-time
-  * lookup operator Spark has no built-in join type for (builder brief:
-  * compose existing ops when semantics allow).
+/** As-of join: for every left row, the single nearest right row within the
+  * same key — backward (greatest `rightTs <= leftTs`, the point-in-time
+  * lookup) or forward (smallest `rightTs >= leftTs`, the next-event
+  * lookup), with optional tolerance and left-outer semantics: the full
+  * `merge_asof` surface, an operator Spark has no built-in join type for
+  * (builder brief: compose existing ops when semantics allow).
   *
   * Composition, not a nested-loop: both sides are tagged and UNIONed, then
   * one `last(..., ignoreNulls)` running window ordered by
@@ -29,11 +31,27 @@ object AsOfJoin {
     * @param leftTs     event-time column on `left`
     * @param rightTs    event-time column on `right`
     * @param rightCols  payload columns of `right` to carry onto matches
-    * @return left rows (all columns) + `rightCols`, inner semantics: probe
-    *         rows with no prior state row are dropped.
+    * @param direction  `"backward"` (greatest rightTs ≤ leftTs, the
+    *                   default) or `"forward"` (smallest rightTs ≥
+    *                   leftTs) — the two `merge_asof` directions; equal
+    *                   timestamps match in both
+    * @param toleranceMicros  optional maximum |leftTs − rightTs| in
+    *                   microseconds (timestamp columns); the NEAREST
+    *                   match is still picked first, then discarded if
+    *                   beyond tolerance — `merge_asof` semantics
+    * @param outer      false (default): inner semantics — unmatched probe
+    *                   rows drop; true: left-outer — they keep NULL
+    *                   payload columns
+    * @return left rows (all columns) + `rightTs` + `rightCols`
     */
   def apply(left: DataFrame, right: DataFrame, key: String,
-      leftTs: String, rightTs: String, rightCols: Seq[String]): DataFrame = {
+      leftTs: String, rightTs: String, rightCols: Seq[String],
+      direction: String = "backward",
+      toleranceMicros: Option[Long] = None,
+      outer: Boolean = false): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"AsOfJoin direction must be backward|forward, got $direction")
+    val backward = direction == "backward"
     // working columns get a deterministic collision-free suffix so a left
     // side that already has e.g. `_ts` can't shadow them (ADVICE r1)
     val taken = (left.columns ++ right.columns).toSet
@@ -43,24 +61,48 @@ object AsOfJoin {
       .get
     val cTs = s"_ts$sfx"; val cSide = s"_side$sfx"; val cState = s"_state$sfx"; val cLatest = s"_latest$sfx"
 
+    // side ordering puts the right row FIRST at an equal instant for
+    // backward (so `>=` matches it via the preceding window) and LAST for
+    // forward (so the following window still includes it)
+    val (rSide, lSide) = if (backward) (0, 1) else (1, 0)
     val payload = struct(col(rightTs).as(rightTs) +: rightCols.map(col): _*)
     val r = right.select(
-      col(key), col(rightTs).as(cTs), lit(0).as(cSide), payload.as(cState))
+      col(key), col(rightTs).as(cTs), lit(rSide).as(cSide), payload.as(cState))
     val leftCols = left.columns.toSeq
     val l = left.select(
-      col(key) +: col(leftTs).as(cTs) +: lit(1).as(cSide) +:
+      col(key) +: col(leftTs).as(cTs) +: lit(lSide).as(cSide) +:
         lit(null).cast(r.schema(cState).dataType).as(cState) +:
         leftCols.filterNot(_ == key).map(col): _*)
 
-    val w = Window.partitionBy(key).orderBy(col(cTs), col(cSide))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r.select((l.columns.toSeq.map {
+    val ordered = Window.partitionBy(key).orderBy(col(cTs), col(cSide))
+    val w =
+      if (backward) ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      else ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val pick =
+      if (backward) last(col(cState), ignoreNulls = true).over(w)
+      else first(col(cState), ignoreNulls = true).over(w)
+    val probes = l.unionByName(r.select((l.columns.toSeq.map {
         case c if c == cTs || c == cSide || c == cState => col(c)
         case c if c == key => col(c)
         case c => lit(null).as(c)
       }): _*))
-      .withColumn(cLatest, last(col(cState), ignoreNulls = true).over(w))
-      .where(col(cSide) === 1 && col(cLatest).isNotNull)
-      .select(leftCols.map(col) ++ (rightTs +: rightCols).map(c => col(s"$cLatest.$c").as(c)): _*)
+      .withColumn(cLatest, pick)
+      .where(col(cSide) === lSide)
+    val matched = toleranceMicros match {
+      case None => col(cLatest).isNotNull
+      case Some(t) =>
+        // gap is non-negative by construction (the pick is on the probe's
+        // side of the inequality), so one-sided bound suffices
+        val gap =
+          if (backward) unix_micros(col(cTs)) - unix_micros(col(s"$cLatest.$rightTs"))
+          else unix_micros(col(s"$cLatest.$rightTs")) - unix_micros(col(cTs))
+        col(cLatest).isNotNull && gap <= t
+    }
+    if (outer)
+      probes.select(leftCols.map(col) ++ (rightTs +: rightCols).map(c =>
+        when(matched, col(s"$cLatest.$c")).otherwise(lit(null)).as(c)): _*)
+    else
+      probes.where(matched)
+        .select(leftCols.map(col) ++ (rightTs +: rightCols).map(c => col(s"$cLatest.$c").as(c)): _*)
   }
 }

@@ -33,6 +33,39 @@ object AnalyticsQueries {
       |FROM p ASOF JOIN s ON p.user_id = s.user_id AND p.ts >= s.signup_ts
       |ORDER BY event_id""".stripMargin
 
+  /** a2: the other `merge_asof` half — FORWARD as-of with tolerance and
+    * left-outer semantics: each purchase finds the NEXT error event of the
+    * same user within 1 hour, or NULLs. The nearest candidate is picked
+    * first and then tolerance-filtered (merge_asof's order of operations);
+    * the error side pre-dedups to one row per (user, instant) per the
+    * operator's uniqueness contract. Same single-shuffle keyed-window plan
+    * as a1 — direction only flips the frame and the side ordering.
+    */
+  def a2AsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val errors = ev.where(col("event_type") === "error")
+      .groupBy(col("user_id"), col("ts").as("err_ts"))
+      .agg(min("event_id").as("err_id"))
+    AsOfJoin(purchases, errors, "user_id", "ts", "err_ts", Seq("err_id"),
+      direction = "forward", toleranceMicros = Some(3600L * 1000000L), outer = true)
+      .orderBy("event_id")
+  }
+
+  val a2Oracle: String =
+    """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+      |e AS (SELECT user_id, ts AS err_ts, min(event_id) AS err_id
+      |      FROM events WHERE event_type = 'error' GROUP BY user_id, ts),
+      |cand AS (
+      |  SELECT p.event_id, e.err_ts, e.err_id,
+      |         row_number() OVER (PARTITION BY p.event_id ORDER BY e.err_ts) AS rn
+      |  FROM p JOIN e ON e.user_id = p.user_id AND e.err_ts >= p.ts
+      |     AND epoch_us(e.err_ts) - epoch_us(p.ts) <= 3600000000)
+      |SELECT p.event_id, p.user_id, p.ts, p.value, c.err_ts, c.err_id
+      |FROM p LEFT JOIN (SELECT event_id, err_ts, err_id FROM cand WHERE rn = 1) c USING (event_id)
+      |ORDER BY p.event_id""".stripMargin
+
   /** ROLLUP hierarchy: (year, status) → (year) → (). */
   def g1Rollup(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -176,6 +209,7 @@ object AnalyticsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_asof_join" -> (a1AsofJoin _),
+    "a2_asof_forward" -> (a2AsofForward _),
     "g1_rollup" -> (g1Rollup _),
     "g2_cube" -> (g2Cube _),
     "g3_setops" -> (g3SetOps _),
@@ -186,6 +220,7 @@ object AnalyticsQueries {
 
   val oracles: Map[String, String] = Map(
     "a1_asof_join" -> a1Oracle,
+    "a2_asof_forward" -> a2Oracle,
     "g1_rollup" -> g1Oracle,
     "g2_cube" -> g2Oracle,
     "g3_setops" -> g3Oracle,

@@ -61,4 +61,42 @@ class AsOfJoinSpec extends AnyFunSuite {
       r.getString(5) == "u_state" && r.getString(6) == "u_latest")
     assert(r.getTimestamp(7) == ts("2024-01-01 09:00:00") && r.getDouble(8) == 1.0)
   }
+
+  test("forward direction picks the NEXT state; equal instants match both ways") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 09:10:00"), 1.0), // between states → next wins
+      (2L, 10L, ts("2024-01-01 09:30:00"), 2.0), // equal ts → matches (>=)
+      (3L, 10L, ts("2024-01-01 10:00:00"), 3.0)  // after the last state → dropped
+    ).toDF("event_id", "user_id", "ts", "value")
+    val right = Seq(
+      (10L, ts("2024-01-01 09:00:00"), 1.0),
+      (10L, ts("2024-01-01 09:30:00"), 2.0)
+    ).toDF("user_id", "state_ts", "state_value")
+    val got = AsOfJoin(left, right, "user_id", "ts", "state_ts", Seq("state_value"),
+      direction = "forward").orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(4)))
+    assert(got.toSeq == Seq(
+      (1L, ts("2024-01-01 09:30:00")),
+      (2L, ts("2024-01-01 09:30:00"))))
+  }
+
+  test("tolerance discards the nearest match when too far; outer keeps the row with NULLs") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), 1.0), // state 30 min earlier → within 1h
+      (2L, 10L, ts("2024-01-01 12:00:00"), 2.0)  // state 2.5h earlier → beyond 1h
+    ).toDF("event_id", "user_id", "ts", "value")
+    val right = Seq((10L, ts("2024-01-01 09:30:00"), 7.0))
+      .toDF("user_id", "state_ts", "state_value")
+    val inner = AsOfJoin(left, right, "user_id", "ts", "state_ts", Seq("state_value"),
+      toleranceMicros = Some(3600L * 1000000L)).collect()
+    assert(inner.map(_.getLong(0)).toSeq == Seq(1L))
+    val outer = AsOfJoin(left, right, "user_id", "ts", "state_ts", Seq("state_value"),
+      toleranceMicros = Some(3600L * 1000000L), outer = true)
+      .orderBy("event_id").collect()
+    assert(outer.length == 2)
+    assert(outer(0).getDouble(5) == 7.0)
+    assert(outer(1).isNullAt(4) && outer(1).isNullAt(5))
+  }
 }
