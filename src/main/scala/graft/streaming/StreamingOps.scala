@@ -344,6 +344,41 @@ object StreamingOps extends Serializable {
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(fold)
   }
 
+  case class TransIn(user_id: Long, event_id: Long, tsMicros: Long, event_type: String)
+  case class TransState(lastType: String, lastTs: Long)
+  case class TransOut(user_id: Long, from_type: String, to_type: String)
+
+  /** Streaming session-transition extraction — the streaming twin of the
+    * batch e10 Markov bigrams: per user the only state is the LAST
+    * (event_type, ts) pair (O(users), never O(events)); each micro-batch
+    * emits one (from → to) row per in-gap consecutive pair, folding on
+    * from the previous batch's tail so transitions spanning a batch
+    * boundary are not lost. Same append-only nondecreasing-ts-per-user
+    * contract as [[packStream]]; within a batch the fold sorts, so
+    * intra-batch arrival order never matters. Downstream counts are a
+    * plain streaming aggregation over the emitted rows.
+    */
+  def transitionsStream(spark: SparkSession, events: Dataset[TransIn],
+                        gapMicros: Long = 1800L * 1000000L): Dataset[TransOut] = {
+    import spark.implicits._
+    def fold(uid: Long, it: Iterator[TransIn],
+             state: GroupState[TransState]): Iterator[TransOut] = {
+      val sorted = it.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+      var st = state.getOption
+      val out = Seq.newBuilder[TransOut]
+      sorted.foreach { e =>
+        st.foreach { s =>
+          if (e.tsMicros - s.lastTs <= gapMicros) out += TransOut(uid, s.lastType, e.event_type)
+        }
+        st = Some(TransState(e.event_type, e.tsMicros))
+      }
+      st.foreach(state.update)
+      out.result().iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fold)
+  }
+
   /** Stream-stream interval join: purchases ⋈ clicks of the same user with
     * `c_ts ∈ [p_ts − 1h, p_ts)`. Watermarks on BOTH sides let Spark evict
     * join state: a click can only match purchases up to 1 h later, so click

@@ -397,6 +397,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("streaming transitions == batch e10 counts across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+
+    val rows = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsMicros"), col("event_type"))
+      .as[StreamingOps.TransIn].collect()
+      .sortBy(e => (e.tsMicros, e.event_id)) // append-only per-user contract
+    val (b1, rest) = rows.splitAt(rows.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+
+    val mem = MemoryStream[StreamingOps.TransIn]
+    val q = StreamingOps.transitionsStream(spark, mem.toDS())
+      .writeStream.format("memory").queryName("strans").outputMode("append").start()
+    try {
+      mem.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+      mem.addData(b3.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("strans")
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val want = EventQueries.e10Transitions(spark, sfDir)
+      .orderBy("from_type", "to_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("batch sessionization totals are exact decimal sums (order-independent)") {
     val df = EventQueries.e3Sessions(spark, sfDir)
     val total = df.agg(sum(col("total_value").cast("decimal(18,2)")).cast("double")).head.getDouble(0)
