@@ -374,6 +374,36 @@ object YqlTextQueries {
       |GROUP BY ROLLUP(region, nation)
       |ORDER BY region NULLS FIRST, nation NULLS FIRST""".stripMargin
 
+  /** y13: ordered-argument aggregates through YQL text — `MAX_BY`/`MIN_BY`
+    * (pass-through: Spark's builtins share YQL's name and (value, key)
+    * argument order; the ordering key is the unique orderkey so the
+    * result is deterministic) and `SOME` → `any_value` over a
+    * group-constant expression (the only deterministic use; the oracle
+    * computes the constant directly).
+    */
+  def y13YqlMaxBy(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    YqlFrontend.run(spark,
+      """
+      $o = (select o_custkey as acc, o_orderkey as okey, o_orderstatus as st
+              from orders);
+      select acc,
+             max_by(st, okey) as last_status,
+             min_by(st, okey) as first_status,
+             some(acc % 7 = 0) as lucky,
+             cast(count(1) as Int64) as n
+        from $o group by acc order by acc limit 200;
+      """).get
+  }
+
+  val y13Oracle: String =
+    """SELECT o_custkey AS acc,
+      |       max_by(o_orderstatus, o_orderkey) AS last_status,
+      |       min_by(o_orderstatus, o_orderkey) AS first_status,
+      |       (o_custkey % 7 = 0) AS lucky,
+      |       count(1) AS n
+      |FROM orders GROUP BY o_custkey ORDER BY acc LIMIT 200""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "y1_yql_project" -> (y1YqlProject _),
     "y2_yql_exclusion" -> (y2YqlExclusion _),
@@ -386,7 +416,8 @@ object YqlTextQueries {
     "y9_yql_joins" -> (y9YqlJoins _),
     "y10_yql_bool_lists" -> (y10YqlBoolLists _),
     "y11_yql_flatten" -> (y11YqlFlatten _),
-    "y12_yql_rollup" -> (y12YqlRollup _))
+    "y12_yql_rollup" -> (y12YqlRollup _),
+    "y13_yql_maxby" -> (y13YqlMaxBy _))
 
   val oracles: Map[String, String] = Map(
     "y1_yql_project" -> y1Oracle,
@@ -400,5 +431,6 @@ object YqlTextQueries {
     "y9_yql_joins" -> y9Oracle,
     "y10_yql_bool_lists" -> y10Oracle,
     "y11_yql_flatten" -> y11Oracle,
-    "y12_yql_rollup" -> y12Oracle)
+    "y12_yql_rollup" -> y12Oracle,
+    "y13_yql_maxby" -> y13Oracle)
 }

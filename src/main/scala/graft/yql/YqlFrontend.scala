@@ -191,7 +191,12 @@ object YqlFrontend {
     // within the collected list is engine-dependent in BOTH engines, so
     // deterministic queries sort before comparing
     "aggregate_list"          -> "collect_list",
-    "aggregate_list_distinct" -> "collect_set")
+    "aggregate_list_distinct" -> "collect_set",
+    // YQL SOME = "any one value of the group" — Spark's any_value exactly
+    // (both engine-chosen; deterministic only over group-constant args).
+    // MAX_BY/MIN_BY pass through untouched: Spark's builtins share YQL's
+    // name AND argument order (value, ordering-key).
+    "some"                    -> "any_value")
 
   /** YQL `ListAny`/`ListAll` take an ALREADY-BOOLEAN list (no predicate
     * argument); Spark's `exists`/`forall` want (list, lambda). Bridge with
