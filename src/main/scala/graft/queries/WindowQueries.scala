@@ -163,7 +163,42 @@ object WindowQueries {
       .orderBy("day")
   }
 
+  /** w6: a TIME-RANGE frame — per customer the trailing-30-day spend,
+    * `RANGE BETWEEN 29 PRECEDING AND CURRENT ROW` over an epoch-day
+    * ordinal. Rows-frames (w4/w5) count ROWS and silently widen over
+    * date gaps; a range frame bounds by VALUE distance, the semantic a
+    * sliding time window actually needs. Pre-aggregated per (customer,
+    * day) so the frame contents are unambiguous; the customer filter
+    * drops whole partitions, so applying it before the window is exact.
+    */
+  def w6RangeWindow(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .where(col("o_custkey") % 100 === 0)
+      .groupBy(col("o_custkey").as("acc"), to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .withColumn("dayn", datediff(col("day"), to_date(lit("1990-01-01"))).cast("long"))
+    val w = Window.partitionBy("acc").orderBy("dayn").rangeBetween(-29, 0)
+    daily
+      .select(col("acc"), col("day"), col("cents"),
+        sum(col("cents")).over(w).as("cents_30d"))
+      .orderBy("acc", "day")
+  }
+
+  val w6Oracle: String =
+    """WITH daily AS (
+      |  SELECT o_custkey AS acc, CAST(o_orderdate AS DATE) AS day,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders WHERE o_custkey % 100 = 0 GROUP BY 1, 2),
+      |d2 AS (SELECT acc, day, cents,
+      |              date_diff('day', DATE '1990-01-01', day) AS dayn FROM daily)
+      |SELECT acc, day, cents,
+      |       CAST(sum(cents) OVER (PARTITION BY acc ORDER BY dayn
+      |                             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT)
+      |         AS cents_30d
+      |FROM d2 ORDER BY acc, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w6_range_window" -> (w6RangeWindow _),
     "w1_running_total" -> (w1RunningTotal _),
     "w2_lag_delta" -> (w2LagDelta _),
     "w3_rank_tiles" -> (w3RankTiles _),
@@ -171,6 +206,7 @@ object WindowQueries {
     "w5_moving_avg_part" -> (w5MovingAvgPart _))
 
   val oracles: Map[String, String] = Map(
+    "w6_range_window" -> w6Oracle,
     "w1_running_total" -> w1Oracle,
     "w2_lag_delta" -> w2Oracle,
     "w3_rank_tiles" -> w3Oracle,
