@@ -487,7 +487,55 @@ object StatQueries {
       |SELECT CAST(max(k) AS BIGINT) AS n_bins, CAST(sum(term) AS DOUBLE) AS psi
       |FROM terms""".stripMargin
 
+  /** x13: chi-square homogeneity drift — the remaining standard
+    * categorical drift test next to TV (x9), KS (x11), and PSI (x12):
+    * are the two populations' priority distributions the same? Per-bin
+    * observed-vs-expected terms in doubles over exact integer counts
+    * (identical expression shape both engines — correctly-rounded IEEE
+    * ops on identical inputs), rounded to 9 decimals and DECIMAL-summed
+    * so the total is shuffle-order-independent (the x12 pattern). One
+    * scan, one |bins| aggregate, a 1-row totals broadcast.
+    */
+  def x13ChiSquare(spark: SparkSession, dir: String): DataFrame = {
+    val binned = Tables.orders(spark, dir).select(
+      col("o_orderpriority").as("bin"), (col("o_orderkey") % 2).as("side"))
+    val perBin = binned.groupBy("bin").agg(
+      sum(when(col("side") === 0, 1L).otherwise(0L)).as("ca"),
+      sum(when(col("side") === 1, 1L).otherwise(0L)).as("cb"))
+    val tot = binned.agg(
+      sum(when(col("side") === 0, 1L).otherwise(0L)).as("na"),
+      sum(when(col("side") === 1, 1L).otherwise(0L)).as("nb"))
+    val ea = (col("ca") + col("cb")).cast("double") * col("na") / (col("na") + col("nb"))
+    val eb = (col("ca") + col("cb")).cast("double") * col("nb") / (col("na") + col("nb"))
+    val termA = (col("ca").cast("double") - ea) * (col("ca").cast("double") - ea) / ea
+    val termB = (col("cb").cast("double") - eb) * (col("cb").cast("double") - eb) / eb
+    perBin.crossJoin(tot) // 1-row totals, K4-style scalar broadcast
+      .select(round(termA + termB, 9).cast("decimal(18,10)").as("term"))
+      .agg(count(lit(1)).as("n_bins"), sum(col("term")).cast("double").as("chi2"))
+  }
+
+  val x13Oracle: String =
+    """WITH b AS (SELECT o_orderpriority AS bin, o_orderkey % 2 AS side FROM orders),
+      |p AS (SELECT bin,
+      |             sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) ca,
+      |             sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) cb
+      |      FROM b GROUP BY 1),
+      |t AS (SELECT sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) na,
+      |             sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) nb
+      |      FROM b),
+      |terms AS (
+      |  SELECT CAST(round(
+      |           (CAST(ca AS DOUBLE) - CAST(ca + cb AS DOUBLE) * na / (na + nb))
+      |         * (CAST(ca AS DOUBLE) - CAST(ca + cb AS DOUBLE) * na / (na + nb))
+      |         / (CAST(ca + cb AS DOUBLE) * na / (na + nb))
+      |         + (CAST(cb AS DOUBLE) - CAST(ca + cb AS DOUBLE) * nb / (na + nb))
+      |         * (CAST(cb AS DOUBLE) - CAST(ca + cb AS DOUBLE) * nb / (na + nb))
+      |         / (CAST(ca + cb AS DOUBLE) * nb / (na + nb)), 9) AS DECIMAL(18,10)) AS term
+      |  FROM p, t)
+      |SELECT count(1) AS n_bins, CAST(sum(term) AS DOUBLE) AS chi2 FROM terms""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x13_chi_square" -> (x13ChiSquare _),
     "x12_psi_drift" -> (x12PsiDrift _),
     "x11_ks_drift" -> (x11KsDrift _),
     "x10_dq_audit" -> (x10DqAudit _),
@@ -502,6 +550,7 @@ object StatQueries {
     "x8_snapshot_diff" -> (x8SnapshotDiff _))
 
   val oracles: Map[String, String] = Map(
+    "x13_chi_square" -> x13Oracle,
     "x12_psi_drift" -> x12Oracle,
     "x11_ks_drift" -> x11Oracle,
     "x10_dq_audit" -> x10Oracle,
