@@ -56,6 +56,7 @@ object GraftSession {
       graft.functions.Yql.register(spark)
       graft.functions.VectorExpressions.register(spark)
       graft.functions.TextExpressions.register(spark)
+      graft.functions.BloomExpressions.register(spark)
     }
     spark
   }

@@ -717,6 +717,61 @@ object DedupQueries {
       .orderBy("in_id")
   }
 
+  /** d13: Bloom-prefiltered incremental dedup — d9's Δ-vs-index join with
+    * the companion artifact a production pipeline keeps NEXT TO the
+    * fingerprint index: a Bloom filter over the corpus fingerprints
+    * (~1.2 GB per 10⁹ docs at 1 % fpp), broadcast and applied
+    * executor-side BEFORE the join. Bloom filters have no false
+    * negatives, so bloom-negative increment rows are definitively novel
+    * and short-circuit to the output without touching the index; only the
+    * bloom-positive sliver (true matches + ≤ fpp false positives) pays
+    * the exact confirm join. On a mostly-novel crawl that removes most of
+    * the join traffic while the final answer stays EXACT — the oracle is
+    * the plain left join, bit-for-bit.
+    *
+    * The membership test is the codegen'd [[graft.functions.BloomMightContain]]
+    * (one `mightContainLong` per row inside whole-stage codegen, no UDF);
+    * fingerprints are 60-bit md5 longs (the d2/d3 hashed-key discipline).
+    * Past ~10¹⁰ index keys a single broadcast bloom stops fitting; the
+    * scale path shards it by fingerprint prefix co-located with the
+    * bucketed index partitions (SCALE.md).
+    */
+  def d13BloomDedup(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.prepare(spark)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.md5Long(Text.normText(col("text"))).as("fpl"))
+    val incoming = docs.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("in_id"), col("fpl")) // re-crawl: same text, new id
+      .unionByName(Tables.documents(spark, dir).where(col("doc_id") % 10 === 7)
+        .select((col("doc_id") + 2000000L).as("in_id"), // fresh: text not in the corpus
+          Text.md5Long(concat(Text.normText(col("text")), lit(" fresh "), col("doc_id"))).as("fpl")))
+    val corpusIdx = docs.select(col("fpl"), col("doc_id").as("corp_id"))
+    val bloom = corpusIdx.stat.bloomFilter("fpl", corpusIdx.count(), 0.01)
+    val might = graft.functions.BloomExpressions.mightContain(bloom, col("fpl"))
+    val novel = incoming.where(!might)
+      .select(col("in_id"), lit(null).cast("long").as("dup_of"), lit(0L).as("n_matches"))
+    incoming.where(might).join(corpusIdx, Seq("fpl"), "left")
+      .groupBy("in_id")
+      .agg(min("corp_id").as("dup_of"), count(col("corp_id")).as("n_matches"))
+      .unionByName(novel)
+      .orderBy("in_id")
+  }
+
+  val d13Oracle: String =
+    """WITH fp AS (
+      |  SELECT doc_id,
+      |         ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 15))::BIGINT AS fpl
+      |  FROM documents),
+      |incoming AS (
+      |  SELECT doc_id + 1000000 AS in_id, fpl FROM fp WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000,
+      |         ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g') || ' fresh ' || doc_id), 1, 15))::BIGINT
+      |  FROM documents WHERE doc_id % 10 = 7)
+      |SELECT in_id, min(c.doc_id) AS dup_of, count(c.doc_id) AS n_matches
+      |FROM incoming i LEFT JOIN fp c USING (fpl)
+      |GROUP BY in_id ORDER BY in_id""".stripMargin
+
   val d9Oracle: String =
     """WITH fp AS (
       |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
@@ -934,7 +989,8 @@ object DedupQueries {
     "d8_triangles" -> (d8Triangles _),
     "d10_span_dedup" -> (d10SpanDedup _),
     "d11_incremental_span_dedup" -> (d11IncrementalSpanDedup _),
-    "d12_dup_pagerank" -> (d12DupPagerank _))
+    "d12_dup_pagerank" -> (d12DupPagerank _),
+    "d13_bloom_dedup" -> (d13BloomDedup _))
 
   val oracles: Map[String, String] = Map(
     "d9_incremental_dedup" -> d9Oracle,
@@ -949,5 +1005,6 @@ object DedupQueries {
     "d8_triangles" -> d8Oracle,
     "d10_span_dedup" -> d10Oracle,
     "d11_incremental_span_dedup" -> d11Oracle,
-    "d12_dup_pagerank" -> d12Oracle)
+    "d12_dup_pagerank" -> d12Oracle,
+    "d13_bloom_dedup" -> d13Oracle)
 }
