@@ -355,7 +355,65 @@ object TextQueries {
       |SELECT doc_id, count(1) AS n_bigrams, CAST(sum(ppb) AS BIGINT) AS score_ppb
       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** t10: URL parsing + domain blocklist — the web-corpus admission step
+    * every crawl pipeline runs before any text filter: parse each doc's
+    * URL into host/path/query-param, derive the registrable domain
+    * (strip the `www.` subdomain), and flag docs whose domain sits on a
+    * blocklist (exact domains plus one TLD-wide rule). The corpus table
+    * carries no URL column, so each doc's URL is SYNTHESIZED from a
+    * closed-form field formula (the m1/m2 fixture pattern) — the Spark
+    * side then genuinely PARSES the string with `parse_url`
+    * (HOST/PATH/QUERY-param extraction, codegen'd) while the oracle
+    * replays the formula and never parses, so a hash match certifies the
+    * parser against a known ground truth.
+    *
+    * Scale shape: pure narrow projection — zero shuffles; the blocklist
+    * is a literal IN-list (a real one broadcasts, the d13 bloom carries
+    * the 10⁸-domain case).
+    */
+  def t10UrlFilter(spark: SparkSession, dir: String): DataFrame = {
+    val tld = element_at(
+      array(lit("com"), lit("org"), lit("net"), lit("io")),
+      (col("doc_id") % 4 + 1).cast("int"))
+    val url = concat(
+      lit("https://"),
+      when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+      col("source"), lit("-"), col("doc_id") % 7, lit("."), tld,
+      lit("/"), col("lang"), lit("/page-"), col("doc_id"),
+      lit("?ref="), col("doc_id") % 5)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), url.as("url"))
+      .select(
+        col("doc_id"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("page"),
+        parse_url(col("url"), lit("QUERY"), lit("ref")).as("ref"))
+      .withColumn("domain", regexp_replace(col("host"), "^www\\.", ""))
+      .withColumn("blocked",
+        (col("domain").isin("src0-0.com", "src3-1.net", "src5-2.org") ||
+          col("domain").endsWith(".io")).cast("long"))
+      .select("doc_id", "host", "domain", "page", "ref", "blocked")
+      .orderBy("doc_id")
+  }
+
+  val t10Oracle: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
+      |           source || '-' || (doc_id % 7) || '.' ||
+      |           (['com', 'org', 'net', 'io'])[CAST(doc_id % 4 AS INT) + 1] AS host,
+      |         '/' || lang || '/page-' || doc_id AS page,
+      |         CAST(doc_id % 5 AS VARCHAR) AS ref
+      |  FROM documents)
+      |SELECT doc_id, host,
+      |       regexp_replace(host, '^www\.', '') AS domain,
+      |       page, ref,
+      |       CAST(regexp_replace(host, '^www\.', '') IN ('src0-0.com', 'src3-1.net', 'src5-2.org')
+      |            OR regexp_replace(host, '^www\.', '') LIKE '%.io' AS BIGINT) AS blocked
+      |FROM u ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t10_url_filter" -> (t10UrlFilter _),
     "t9_lm_score" -> (t9LmScore _),
     "t8_repetition" -> (t8Repetition _),
     "t1_token_stats" -> (t1TokenStats _),
@@ -367,6 +425,7 @@ object TextQueries {
     "t7_nfc_normalize" -> (t7NfcNormalize _))
 
   val oracles: Map[String, String] = Map(
+    "t10_url_filter" -> t10Oracle,
     "t9_lm_score" -> t9Oracle,
     "t8_repetition" -> t8Oracle,
     "t1_token_stats" -> t1Oracle,
