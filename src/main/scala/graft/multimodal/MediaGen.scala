@@ -84,6 +84,37 @@ object MediaGen {
     baos.toByteArray
   }
 
+  /** Textured gray value for the perceptual-hash fixture (m6): quadratic
+    * and cross terms make the horizontal step depend on position, and the
+    * seed·x / seed·y terms put the SEED into the gradient itself (a ramp
+    * linear in x — [[grayPixel]] — steps by a constant mod 255, and a
+    * seed entering only additively shifts the phase: either way the
+    * gradient-sign pattern collapses to ≤255 classes and unrelated seeds
+    * collide into one dHash; verified 50/50 distinct hashes here).
+    * `pert` models a uniform brightness edit: dHash compares neighbors, so
+    * it cancels; pixel fingerprints see it. Base range 0..254, so +1 never
+    * wraps. Oracle-mirrored.
+    */
+  def texturedPixel(seed: Long, pert: Int, x: Int, y: Int): Int =
+    ((seed * 2654435761L + x * x * 40503L + y * y * 9973L + x * y * 7919L
+      + seed * x * 12007L + seed * y * 3571L) % 255).toInt + pert
+
+  /** A real grayscale PNG whose pixels follow [[texturedPixel]]. */
+  def texturedPngBytes(seed: Long, pert: Int, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, texturedPixel(seed, pert, x, y)); x += 1 }
+      y += 1
+    }
+    val baos = new ByteArrayOutputStream()
+    ImageIO.setUseCache(false)
+    require(ImageIO.write(img, "png", baos), "no ImageIO writer for png")
+    baos.toByteArray
+  }
+
   /** A "video": length-prefixed concatenation of real PNG frames (the
     * MJPEG-style container shape — each frame independently decodable, so
     * frame extraction parallelizes without a stateful demuxer).

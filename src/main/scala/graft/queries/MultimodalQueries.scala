@@ -156,7 +156,65 @@ object MultimodalQueries {
       |       CAST(sum(v * (i + 1)) AS BIGINT) AS amp_fp
       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** m6: perceptual image dedup — decode every PNG, compute the 64-bit
+    * dHash (9×8 nearest-neighbor grid, bit = right neighbor brighter),
+    * and group by hash. The fixture gives cohorts (`doc_id % 50`) the
+    * SAME texture with a uniform +0/+1 brightness edit per half of the
+    * corpus: the exact pixel fingerprint (m4's unit, emitted as `px_fp`)
+    * splits each cohort in two, the perceptual hash reunites it — the
+    * re-encode/slight-edit near-dup exact hashing cannot catch. The
+    * oracle replays the texture formula, never decoding: brightness
+    * cancels in its comparisons exactly as it does in the decoded ones.
+    *
+    * Scale shape: one decode flatMap + one dhash-keyed window shuffle —
+    * d1 with dHash as the unit. Hamming≤k grouping at corpus scale is
+    * d5's 4×16 banding applied to this column (the hash is
+    * simhash-shaped by construction).
+    */
+  def m6PerceptualDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val imgs = MultimodalOps.syntheticTexturedImages(spark, Tables.documents(spark, dir))
+    val w = Window.partitionBy("dhash")
+    MultimodalOps.decodeDHash(spark, imgs)
+      .toDF()
+      .select(col("doc_id"), col("dhash"), col("px_fp"),
+        min("doc_id").over(w).as("dup_of"),
+        count(lit(1)).over(w).as("n_same_hash"))
+      .orderBy("doc_id")
+  }
+
+  val m6Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 50 AS seed, (doc_id // 50) % 2 AS pert FROM documents),
+      |db AS (
+      |  SELECT d.doc_id,
+      |         CAST(sum(CASE WHEN ((seed * 2654435761 + (((x.i + 1) * 24) // 9) * (((x.i + 1) * 24) // 9) * 40503
+      |                              + ((y.i * 16) // 8) * ((y.i * 16) // 8) * 9973
+      |                              + (((x.i + 1) * 24) // 9) * ((y.i * 16) // 8) * 7919
+      |                              + seed * (((x.i + 1) * 24) // 9) * 12007 + seed * ((y.i * 16) // 8) * 3571) % 255)
+      |                         > ((seed * 2654435761 + ((x.i * 24) // 9) * ((x.i * 24) // 9) * 40503
+      |                              + ((y.i * 16) // 8) * ((y.i * 16) // 8) * 9973
+      |                              + ((x.i * 24) // 9) * ((y.i * 16) // 8) * 7919
+      |                              + seed * ((x.i * 24) // 9) * 12007 + seed * ((y.i * 16) // 8) * 3571) % 255)
+      |                  THEN CASE WHEN y.i * 8 + x.i = 63 THEN -9223372036854775808
+      |                            ELSE 1::BIGINT << (y.i * 8 + x.i) END
+      |                  ELSE 0 END) AS BIGINT) AS dhash
+      |  FROM d, unnest(range(0, 8)) AS x(i), unnest(range(0, 8)) AS y(i)
+      |  GROUP BY d.doc_id),
+      |pf AS (
+      |  SELECT d.doc_id,
+      |         CAST(sum(((seed * 2654435761 + x.i * x.i * 40503 + y.i * y.i * 9973 + x.i * y.i * 7919
+      |                    + seed * x.i * 12007 + seed * y.i * 3571) % 255 + pert) * (y.i * 24 + x.i + 1)) AS BIGINT) AS px_fp
+      |  FROM d, unnest(range(0, 24)) AS x(i), unnest(range(0, 16)) AS y(i)
+      |  GROUP BY d.doc_id)
+      |SELECT db.doc_id, dhash, px_fp,
+      |       min(db.doc_id) OVER (PARTITION BY dhash) AS dup_of,
+      |       count(*) OVER (PARTITION BY dhash) AS n_same_hash
+      |FROM db JOIN pf USING (doc_id)
+      |ORDER BY db.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m6_perceptual_dedup" -> (m6PerceptualDedup _),
     "m1_media_meta" -> (m1MediaMeta _),
     "m2_decode_features" -> (m2DecodeFeatures _),
     "m3_frame_sample" -> (m3FrameSample _),
@@ -164,6 +222,7 @@ object MultimodalQueries {
     "m5_audio_decode" -> (m5AudioDecode _))
 
   val oracles: Map[String, String] = Map(
+    "m6_perceptual_dedup" -> m6Oracle,
     "m1_media_meta" -> m1Oracle,
     "m2_decode_features" -> m2Oracle,
     "m3_frame_sample" -> m3Oracle,

@@ -140,6 +140,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.lum_sum == expLum)
   }
 
+  test("dHash on real decoded PNGs: brightness-edit invariant, seed-distinct, px_fp variant") {
+    import spark.implicits._
+    val seeds = (0L until 50L)
+    val plain = seeds.map(s => graft.multimodal.PayloadRow(s, MediaGen.texturedPngBytes(s, 0, 24, 16)))
+    val edited = seeds.map(s => graft.multimodal.PayloadRow(s, MediaGen.texturedPngBytes(s, 1, 24, 16)))
+    val hp = MultimodalOps.decodeDHash(spark, spark.createDataset(plain)).collect()
+      .map(r => r.doc_id -> r).toMap
+    val he = MultimodalOps.decodeDHash(spark, spark.createDataset(edited)).collect()
+      .map(r => r.doc_id -> r).toMap
+    // the +1 uniform edit never moves a dHash bit but always moves the exact fp
+    assert(seeds.forall(s => hp(s).dhash == he(s).dhash))
+    assert(seeds.forall(s => hp(s).px_fp != he(s).px_fp))
+    // and distinct textures land on distinct hashes (no phase-collapse degeneracy)
+    assert(hp.values.map(_.dhash).toSet.size == 50)
+  }
+
   test("corrupt image bytes fail loudly, not silently") {
     val codec = new MediaCodec()
     intercept[IllegalArgumentException](codec.decodeGray(Array[Byte](1, 2, 3, 4)))
