@@ -534,7 +534,64 @@ object StatQueries {
       |  FROM p, t)
       |SELECT count(1) AS n_bins, CAST(sum(term) AS DOUBLE) AS chi2 FROM terms""".stripMargin
 
+  /** x14: exact Pearson correlation per group — `corr()` on doubles is a
+    * sequential float fold (shuffle-order-dependent, never hashable), so
+    * the moments are accumulated EXACTLY instead: cents-quantized x/y,
+    * integer sums Σx Σy Σxy Σx² (BIGINT — bounds documented inline) and
+    * Σy² in DECIMAL(38,0) (y² ~10¹⁴ per row overflows BIGINT's headroom
+    * past ~10⁵ rows). The classic closed form
+    * (nΣxy−ΣxΣy)/√(nΣx²−Σx²)√(nΣy²−Σy²) then runs on DOUBLES derived
+    * from those exact integers with an IDENTICAL expression tree both
+    * engines — every step (decimal→double cast, ×, −, ÷, √) is
+    * correctly-rounded IEEE, so `floor(10⁹·r)` is bit-stable (the t9/y5
+    * discipline: no libm transcendentals, √ is exact-rounded).
+    *
+    * Scale shape: one partial-agg shuffle on the group key; the closed
+    * form is per-group scalar math. Mergeable across any partitioning —
+    * the same sums underlie the u3-style incremental refresh.
+    */
+  def x14Correlation(spark: SparkSession, dir: String): DataFrame = {
+    val x = round(col("l_quantity") * 100).cast("long")
+    val y = round(col("l_extendedprice") * 100).cast("long")
+    val n = col("n_rows").cast("double")
+    val num = n * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")
+    val vx = sqrt(n * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double"))
+    val vy = sqrt(n * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double"))
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(x).as("sx"), // ≤ 5e3·n — BIGINT-safe to ~10^15 rows
+        sum(y).as("sy"), // ≤ 1e7·n
+        sum(x * y).as("sxy"), // ≤ 5e10·n
+        sum(x * x).as("sxx"), // ≤ 2.5e7·n
+        sum((y * y).cast("decimal(38,0)")).as("syy")) // 1e14·n — decimal only
+      .select(col("l_returnflag"), col("n_rows"),
+        floor(lit(1e9) * num / (vx * vy)).cast("long").as("corr_ppb"))
+      .orderBy("l_returnflag")
+  }
+
+  val x14Oracle: String =
+    """WITH q AS (
+      |  SELECT l_returnflag,
+      |         CAST(round(l_quantity * 100) AS BIGINT) AS x,
+      |         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      |  FROM lineitem),
+      |g AS (
+      |  SELECT l_returnflag, count(1) AS n_rows,
+      |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx,
+      |         sum(CAST(y AS DECIMAL(18, 0)) * CAST(y AS DECIMAL(18, 0))) AS syy
+      |  FROM q GROUP BY 1)
+      |SELECT l_returnflag, n_rows,
+      |       CAST(floor(1e9 * (CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |            (sqrt(CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |             sqrt(CAST(n_rows AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) AS BIGINT)
+      |         AS corr_ppb
+      |FROM g ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x14_correlation" -> (x14Correlation _),
     "x13_chi_square" -> (x13ChiSquare _),
     "x12_psi_drift" -> (x12PsiDrift _),
     "x11_ks_drift" -> (x11KsDrift _),
@@ -550,6 +607,7 @@ object StatQueries {
     "x8_snapshot_diff" -> (x8SnapshotDiff _))
 
   val oracles: Map[String, String] = Map(
+    "x14_correlation" -> x14Oracle,
     "x13_chi_square" -> x13Oracle,
     "x12_psi_drift" -> x12Oracle,
     "x11_ks_drift" -> x11Oracle,

@@ -197,7 +197,43 @@ object WindowQueries {
       |         AS cents_30d
       |FROM d2 ORDER BY acc, day""".stripMargin
 
+  /** w7: cumulative distinct users per event type by day — the "users to
+    * date" metric. A naive `COUNT(DISTINCT) OVER (ORDER BY day)` needs
+    * per-frame distinct state and most engines (Spark included) refuse
+    * it; the scalable identity is: a user counts on exactly ONE day —
+    * their first — so cumulative-distinct = running SUM of first-seen
+    * counts. One (type, user) aggregation (the only user-cardinality
+    * shuffle), one (type, day) rollup, one tiny running-sum window whose
+    * partitions are |types| × |days| — constant in event volume. Days
+    * with zero first-timers don't emit a row (join a calendar spine to
+    * densify — q7's generator).
+    */
+  def w7RunningDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val firstDay = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(min(to_date(col("ts"))).as("day"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    firstDay.groupBy("event_type", "day")
+      .agg(count(lit(1)).as("new_users"))
+      .select(col("event_type"), col("day"), col("new_users"),
+        sum("new_users").over(w).as("cum_users"))
+      .orderBy("event_type", "day")
+  }
+
+  val w7Oracle: String =
+    """WITH fd AS (
+      |  SELECT event_type, user_id, min(CAST(ts AS DATE)) AS day
+      |  FROM events GROUP BY 1, 2),
+      |daily AS (SELECT event_type, day, count(1) AS new_users FROM fd GROUP BY 1, 2)
+      |SELECT event_type, day, new_users,
+      |       CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY day
+      |                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |         AS cum_users
+      |FROM daily ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w7_running_distinct" -> (w7RunningDistinct _),
     "w6_range_window" -> (w6RangeWindow _),
     "w1_running_total" -> (w1RunningTotal _),
     "w2_lag_delta" -> (w2LagDelta _),
@@ -206,6 +242,7 @@ object WindowQueries {
     "w5_moving_avg_part" -> (w5MovingAvgPart _))
 
   val oracles: Map[String, String] = Map(
+    "w7_running_distinct" -> w7Oracle,
     "w6_range_window" -> w6Oracle,
     "w1_running_total" -> w1Oracle,
     "w2_lag_delta" -> w2Oracle,
