@@ -255,6 +255,63 @@ object IncrementalAgg {
     merged.unionByName(repaired)
   }
 
+  /** Presence index for exact per-key DISTINCT-count maintenance: one row
+    * per surviving (keys, value) tuple with its multiplicity Σweight.
+    * COUNT(DISTINCT v) is not retractable from a bare count — removing one
+    * of two copies of a value must NOT decrement it — but it IS exactly
+    * maintainable from this index: a refresh touches only Δ's tuples, and
+    * the distinct count moves by the number of tuples whose multiplicity
+    * crosses zero. NULL values are excluded up front (SQL COUNT(DISTINCT)
+    * ignores them — and NULL join keys would break the index merge).
+    */
+  def fullDistinctIndex(rows: DataFrame, keys: Seq[String], weight: Column,
+                        value: Column): DataFrame = {
+    val kc = keys.map(col)
+    rows.select(kc :+ value.as("_dv") :+ weight.cast("long").as("_w"): _*)
+      .where(col("_dv").isNotNull)
+      .groupBy(kc :+ col("_dv"): _*).agg(sum(col("_w")).as("m"))
+      .where(col("m") > 0)
+  }
+
+  /** The published per-key distinct count over a presence index. */
+  def distinctSummary(index: DataFrame, keys: Seq[String]): DataFrame =
+    index.groupBy(keys.map(col): _*).agg(count(lit(1)).as("ndv"))
+
+  /** Incremental DISTINCT-count refresh: merge the changelog into the
+    * presence index (one (keys, value) shuffle over Δ + the index join —
+    * O(Δ + index), never O(base); at scale the index is bucketed on the
+    * join key so the merge is exchange-free), and adjust each key's
+    * count by the zero-crossings — appeared tuples +1, vanished −1 —
+    * rather than recounting the index. Returns (new index, new summary);
+    * both must persist for the next refresh.
+    *
+    * `refreshDistinct(fullDistinctIndex(base), …, Δ) ≡
+    * distinct-count(base ⊎ Δ)` on every changelog — including retracting
+    * one of two copies of a value (count unchanged) and over-retraction
+    * (tuple vanishes) — pinned by `IncrementalAggSpec`.
+    */
+  def refreshDistinct(index: DataFrame, summary: DataFrame, delta: DataFrame,
+                      keys: Seq[String], weight: Column,
+                      value: Column): (DataFrame, DataFrame) = {
+    val kc = keys.map(col)
+    val dIdx = delta.select(kc :+ value.as("_dv") :+ weight.cast("long").as("_w"): _*)
+      .where(col("_dv").isNotNull)
+      .groupBy(kc :+ col("_dv"): _*).agg(sum(col("_w")).as("_dm"))
+    val joined = index.join(dIdx, keys :+ "_dv", "full_outer")
+    val mNew = coalesce(col("m"), lit(0L)) + coalesce(col("_dm"), lit(0L))
+    val newIndex = joined.select(kc ++ Seq(col("_dv"), mNew.as("m")): _*)
+      .where(col("m") > 0)
+    val chg = when(col("m").isNull && mNew > 0, 1L)
+      .when(col("m").isNotNull && mNew <= 0, -1L)
+      .otherwise(0L)
+    val ndvDelta = joined.groupBy(kc: _*).agg(sum(chg).as("_dndv"))
+      .where(col("_dndv") =!= 0)
+    val newSummary = summary.join(ndvDelta, keys, "full_outer")
+      .select(kc :+ (coalesce(col("ndv"), lit(0L)) + coalesce(col("_dndv"), lit(0L))).as("ndv"): _*)
+      .where(col("ndv") > 0)
+    (newIndex, newSummary)
+  }
+
   /** The from-scratch form of the same aggregate — the correctness oracle
     * for [[refresh]]: `refresh(full(base), delta) == full(base ∪ delta)`
     * on any changelog (the `_nn_` masking applies here too, so a group

@@ -187,7 +187,42 @@ object UpsertQueries {
       |  FROM t)
       |WHERE rank <= 3 ORDER BY prio, rank""".stripMargin
 
+  /** u6: incremental DISTINCT-count maintenance
+    * ([[graft.operators.IncrementalAgg.refreshDistinct]]) — the u3/u4
+    * changelog shape, now maintaining distinct customers per priority.
+    * A distinct count is not retractable from the count alone (removing
+    * one of a customer's two orders must not decrement it); the
+    * presence index (surviving (prio, custkey) multiplicities) makes the
+    * refresh exact in O(Δ + index), and the summary adjusts by
+    * zero-crossings instead of recounting. The oracle counts DISTINCT
+    * over the surviving rows directly, so the hash-match proves
+    * index-merge ≡ full recompute — including the both-copies /
+    * one-copy retraction edge (o_orderkey % 7 retracts single rows of
+    * multi-order customers).
+    */
+  def u6IncrementalDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IncrementalAgg
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderpriority").as("prio"), col("o_orderkey"), col("o_custkey"))
+    val base = o.where(col("o_orderkey") % 4 =!= 0)
+    val index = IncrementalAgg.fullDistinctIndex(base, Seq("prio"), lit(1L), col("o_custkey"))
+    val summary = IncrementalAgg.distinctSummary(index, Seq("prio"))
+    val delta = o.where(col("o_orderkey") % 4 === 0).withColumn("w", lit(1L))
+      .unionByName(base.where(col("o_orderkey") % 7 === 0).withColumn("w", lit(-1L)))
+    val (_, refreshed) = IncrementalAgg.refreshDistinct(
+      index, summary, delta, Seq("prio"), col("w"), col("o_custkey"))
+    refreshed.orderBy("prio")
+  }
+
+  val u6Oracle: String =
+    """WITH t AS (
+      |  SELECT o_orderpriority AS prio, o_custkey
+      |  FROM orders WHERE o_orderkey % 4 = 0 OR o_orderkey % 7 <> 0)
+      |SELECT prio, count(DISTINCT o_custkey) AS ndv
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u6_incremental_distinct" -> (u6IncrementalDistinct _),
     "u1_argmax_aggregator" -> (u1ArgmaxAggregator _),
     "u2_upsert" -> (u2Upsert _),
     "u3_incremental_agg" -> (u3IncrementalAgg _),
@@ -195,6 +230,7 @@ object UpsertQueries {
     "u5_incremental_topk" -> (u5IncrementalTopK _))
 
   val oracles: Map[String, String] = Map(
+    "u6_incremental_distinct" -> u6Oracle,
     "u1_argmax_aggregator" -> u1Oracle,
     "u2_upsert" -> u2Oracle,
     "u3_incremental_agg" -> u3Oracle,

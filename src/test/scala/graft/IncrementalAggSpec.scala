@@ -172,4 +172,39 @@ class IncrementalAggSpec extends AnyFunSuite {
       .withColumn("w", lit(1L))
     assert(topk(base).orderBy("rank").select("id").as[Long].collect().toSeq == Seq(3L, 5L))
   }
+
+  private def ndvOf(rows: org.apache.spark.sql.DataFrame) = {
+    val idx = IncrementalAgg.fullDistinctIndex(rows, Seq("k"), col("w"), col("v"))
+    IncrementalAgg.distinctSummary(idx, Seq("k"))
+  }
+
+  test("distinct: retracting one of two copies keeps the value; both copies drops it") {
+    // "a" holds value 1 twice (ids differ, value repeats) and 2 once
+    val base = Seq(("a", 1L), ("a", 1L), ("a", 2L), ("b", 9L)).toDF("k", "v")
+      .withColumn("w", lit(1L))
+    val idx = IncrementalAgg.fullDistinctIndex(base, Seq("k"), col("w"), col("v"))
+    val sum0 = IncrementalAgg.distinctSummary(idx, Seq("k"))
+    assert(sum0.where($"k" === "a").select("ndv").as[Long].head() == 2L)
+    // retract ONE copy of (a, 1): ndv must stay 2
+    val d1 = Seq(("a", 1L, -1L)).toDF("k", "v", "w")
+    val (idx1, sum1) = IncrementalAgg.refreshDistinct(idx, sum0, d1, Seq("k"), col("w"), col("v"))
+    assert(sum1.where($"k" === "a").select("ndv").as[Long].head() == 2L)
+    // retract the second copy: ndv drops to 1
+    val (_, sum2) = IncrementalAgg.refreshDistinct(idx1, sum1, d1, Seq("k"), col("w"), col("v"))
+    assert(sum2.where($"k" === "a").select("ndv").as[Long].head() == 1L)
+  }
+
+  test("distinct: refresh == from-scratch on a mixed changelog; NULLs never count; keys can vanish") {
+    val base = Seq(("a", Some(1L)), ("a", Some(2L)), ("b", Some(5L)), ("b", None))
+      .toDF("k", "v").withColumn("w", lit(1L))
+    val delta = Seq(("a", Some(3L), 1L), ("b", Some(5L), -1L), ("c", Some(8L), 1L),
+      ("c", None, 1L)).toDF("k", "v", "w")
+    val idx = IncrementalAgg.fullDistinctIndex(base, Seq("k"), col("w"), col("v"))
+    val sum0 = IncrementalAgg.distinctSummary(idx, Seq("k"))
+    val (_, got) = IncrementalAgg.refreshDistinct(idx, sum0, delta, Seq("k"), col("w"), col("v"))
+    val want = ndvOf(base.unionByName(delta))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // b's only non-NULL value was retracted: the key vanishes from the summary
+    assert(got.where($"k" === "b").isEmpty)
+  }
 }
