@@ -404,7 +404,43 @@ object YqlTextQueries {
       |       count(1) AS n
       |FROM orders GROUP BY o_custkey ORDER BY acc LIMIT 200""".stripMargin
 
+  /** y14: module-function breadth (notch 11) — `String::Substring`
+    * (ZERO-based in YQL: rewritten structurally to one-based `substr`
+    * with `pos + 1`, both 2- and 3-arg forms), `DateTime::ToSeconds` →
+    * `unix_seconds`, `Unicode::ToUpper`/`Unicode::Normalize` (NFC — the
+    * registered codegen expression), and `String::LevensteinDistance` →
+    * `levenshtein`. The oracle computes each from DuckDB primitives
+    * (`epoch_us // 1e6`, one-based `substr`, `nfc_normalize`), so the
+    * hash certifies every bridge's semantics, not just its parse.
+    */
+  def y14YqlModules(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    YqlFrontend.run(spark,
+      """
+      $e = (select event_id, ts, event_type from events);
+      select event_id,
+             cast(DateTime::ToSeconds(ts) as Int64) as ts_sec,
+             Unicode::ToUpper(event_type) as type_uc,
+             Unicode::Normalize(event_type) as type_nfc,
+             String::Substring(event_type, 0, 3) as t3,
+             String::Substring(event_type, 2) as t_from2,
+             cast(String::LevensteinDistance(event_type, 'click') as Int64) as lev
+        from $e order by event_id limit 500;
+      """).get
+  }
+
+  val y14Oracle: String =
+    """SELECT event_id,
+      |       epoch_us(ts) // 1000000 AS ts_sec,
+      |       upper(event_type) AS type_uc,
+      |       nfc_normalize(event_type) AS type_nfc,
+      |       substr(event_type, 1, 3) AS t3,
+      |       substr(event_type, 3) AS t_from2,
+      |       levenshtein(event_type, 'click') AS lev
+      |FROM events ORDER BY event_id LIMIT 500""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "y14_yql_modules" -> (y14YqlModules _),
     "y1_yql_project" -> (y1YqlProject _),
     "y2_yql_exclusion" -> (y2YqlExclusion _),
     "y3_yql_federation" -> (y3YqlFederation _),
@@ -420,6 +456,7 @@ object YqlTextQueries {
     "y13_yql_maxby" -> (y13YqlMaxBy _))
 
   val oracles: Map[String, String] = Map(
+    "y14_yql_modules" -> y14Oracle,
     "y1_yql_project" -> y1Oracle,
     "y2_yql_exclusion" -> y2Oracle,
     "y3_yql_federation" -> y3Oracle,

@@ -162,7 +162,13 @@ object YqlFrontend {
     "math::tan"               -> "tan",
     "math::atan"              -> "atan",
     "math::ceil"              -> "ceiling",
-    "math::floor"             -> "floor")
+    "math::floor"             -> "floor",
+    // notch 11: epoch/edit-distance/Unicode bridges with 1:1 Spark builtins
+    "datetime::toseconds"     -> "unix_seconds", // epoch seconds, both engines
+    "string::levensteindistance" -> "levenshtein", // same metric, same args
+    "unicode::tolower"        -> "lower",        // Spark lower/upper ARE unicode-aware
+    "unicode::toupper"        -> "upper",
+    "unicode::normalize"      -> "graft_nfc")    // YQL default form is NFC; registered codegen expr
 
   /** YQL bare-name builtins (mostly the List* family) whose Spark builtin
     * has IDENTICAL argument order and semantics. Anything with a semantic
@@ -499,6 +505,41 @@ object YqlFrontend {
         }
         ts = (ts.take(i) :+ "split" :+ "(") ++ ts.slice(i + 4, commaAt) ++
           Vector(",", s"'$esc'", ")") ++ ts.drop(close + 1)
+      } else i += 1
+    }
+    ts
+  }
+
+  /** YQL `String::Substring(s, pos[, len])` is ZERO-based; Spark's
+    * `substr` is one-based — a bare name map would silently shift every
+    * extraction by one character, so the call is rewritten structurally:
+    * `substr((s), (pos) + 1[, (len)])`. Argument expressions pass through
+    * parenthesized (a computed pos composes with the `+ 1`).
+    */
+  private def rewriteSubstring(ts0: Vector[String]): Vector[String] = {
+    var ts = ts0
+    var i = 0
+    while (i + 3 < ts.length) {
+      if (ts(i).equalsIgnoreCase("string") && ts(i + 1) == "::" &&
+          ts(i + 2).equalsIgnoreCase("substring") && ts(i + 3) == "(") {
+        var depth = 0; var close = -1; var j = i + 3
+        val commas = Vector.newBuilder[Int]
+        while (j < ts.length && close < 0) {
+          if (ts(j) == "(") depth += 1
+          else if (ts(j) == ")") { depth -= 1; if (depth == 0) close = j }
+          else if (ts(j) == "," && depth == 1) commas += j
+          j += 1
+        }
+        val cs = commas.result()
+        require(close > 0 && (cs.length == 1 || cs.length == 2),
+          "YQL: String::Substring expects (string, pos[, len])")
+        val sArg = ts.slice(i + 4, cs.head)
+        val pArg = ts.slice(cs.head + 1, if (cs.length == 2) cs(1) else close)
+        val lArg = if (cs.length == 2) Some(ts.slice(cs(1) + 1, close)) else None
+        val rewritten = (Vector("substr", "(", "(") ++ sArg ++ Vector(")", ",", "(") ++
+          pArg ++ Vector(")", "+", "1")) ++
+          lArg.map(l => Vector(",", "(") ++ l ++ Vector(")")).getOrElse(Vector.empty) :+ ")"
+        ts = ts.take(i) ++ rewritten ++ ts.drop(close + 1)
       } else i += 1
     }
     ts
@@ -885,7 +926,8 @@ object YqlFrontend {
     def body(ts: Vector[String]): Vector[String] =
       rewriteExclusionJoins(rewriteFlattenBy(rewriteGroupByAlias(rewriteWithout(rewriteCasts(
         rewriteBuiltinFns(rewriteBoolListFns(rewriteModuleFns(rewriteSplitToList(
-          rewriteOnlyJoins(substitute(rewriteLambdas(rewriteTables(ts, resolver)))))))))))))
+          rewriteSubstring(
+            rewriteOnlyJoins(substitute(rewriteLambdas(rewriteTables(ts, resolver))))))))))))))
 
     val isSubqueryBinding: Vector[String] => Boolean =
       s => s.length > 4 && s(0).startsWith("$") && s(1) == "=" && s(2) == "(" &&

@@ -516,4 +516,24 @@ class YqlFrontendSpec extends AnyFunSuite {
     val bad = YqlFrontend.run(spark, checkSql, referenceResolver).get.head().getLong(0)
     assert(bad == 2L)
   }
+
+  test("String::Substring is zero-based (structural rewrite), composes with computed pos") {
+    val r = YqlFrontend.run(spark,
+      """select String::Substring('abcdef', 0, 2) as head2,
+        |       String::Substring('abcdef', 2) as tail4,
+        |       String::Substring('abcdef', 1 + 1, 3) as mid,
+        |       Unicode::ToUpper('straße') as uc,
+        |       Unicode::Normalize('é') = 'é' as nfc_folds
+        |  from (select 1);""".stripMargin).get.head()
+    assert(r.getString(0) == "ab")
+    assert(r.getString(1) == "cdef")
+    assert(r.getString(2) == "cde") // pos expression (1+1) → substr(…, (1+1)+1, 3)
+    assert(r.getString(3) == "STRASSE")
+    assert(r.getBoolean(4)) // combining acute collapses to the precomposed char
+    // wrong arity fails loudly at the rewrite, naming the function
+    val e = intercept[IllegalArgumentException] {
+      YqlFrontend.run(spark, "select String::Substring('abc') from (select 1);")
+    }
+    assert(e.getMessage.contains("Substring"))
+  }
 }
