@@ -263,7 +263,44 @@ object EventQueries {
       |WHERE prev_type IS NOT NULL AND epoch_us(ts) - epoch_us(prev_ts) <= 1800000000
       |GROUP BY 1, 2 ORDER BY n DESC, from_type, to_type""".stripMargin
 
+  /** e11: error-burst detection — per-hour error volume scored against
+    * the global rate, all in INTEGER arithmetic so the hash is exact:
+    * `dev_micro = (n·nmin·10⁶) DIV total − 10⁶` (the first term is
+    * non-negative, where Spark DIV and DuckDB // floor identically; the
+    * subtraction happens after) and the burst flag is the pure integer
+    * comparison `n·nmin > 2·total`. Every window row is emitted with its
+    * score — the monitoring-table shape — rather than only exceedances
+    * (on a uniform corpus the flag column is honest-false, and a real
+    * burst flips it with no threshold float math to drift).
+    *
+    * Scale shape: one (hour) partial-agg shuffle over the error slice +
+    * a 1-row scalar broadcast (K4 pattern) — never a second scan.
+    */
+  def e11ErrorBursts(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .where(col("event_type") === "error")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_errors"))
+    val tot = hourly.agg(sum("n_errors").as("total"), count(lit(1)).as("nmin"))
+    hourly.crossJoin(broadcast(tot))
+      .selectExpr("hour", "n_errors",
+        "CAST((n_errors * nmin * 1000000) DIV total - 1000000 AS BIGINT) AS dev_micro",
+        "n_errors * nmin > 2 * total AS burst")
+      .orderBy("hour")
+  }
+
+  val e11Oracle: String =
+    """WITH e AS (
+      |  SELECT date_trunc('hour', ts) AS hour, count(1) AS n_errors
+      |  FROM events WHERE event_type = 'error' GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_errors) AS BIGINT) AS total, count(1) AS nmin FROM e)
+      |SELECT hour, n_errors,
+      |       CAST((n_errors * nmin * 1000000) // total - 1000000 AS BIGINT) AS dev_micro,
+      |       n_errors * nmin > 2 * total AS burst
+      |FROM e, t ORDER BY hour""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e11_error_bursts" -> (e11ErrorBursts _),
     "e10_transitions" -> (e10Transitions _),
     "e9_retention" -> (e9Retention _),
     "e1_windowed_counts" -> (e1WindowedCounts _),
@@ -276,6 +313,7 @@ object EventQueries {
     "e8_funnel" -> (e8Funnel _))
 
   val oracles: Map[String, String] = Map(
+    "e11_error_bursts" -> e11Oracle,
     "e10_transitions" -> e10Oracle,
     "e9_retention" -> e9Oracle,
     "e1_windowed_counts" -> e1Oracle,

@@ -262,7 +262,40 @@ object JoinQueries {
       |JOIN customer ON c_custkey = o_custkey
       |ORDER BY price_cents DESC, o_orderkey LIMIT 100""".stripMargin
 
+  /** j9: customer order-count distribution (the TPC-H Q13 shape, adapted
+    * to this schema's columns — the filter excludes urgent orders where
+    * Q13 excludes special-request comments): how many customers placed
+    * exactly k qualifying orders, INCLUDING the zero-order customers the
+    * left join preserves. The plan reduces the fact side FIRST — orders
+    * pre-aggregate to (custkey, cnt) before touching customer (the j8
+    * discipline: the join input is one row per customer, not one per
+    * order) — then the distribution is a second, |distinct counts|-sized
+    * aggregate. Both shuffles key on custkey / cnt; nothing is quadratic
+    * and the dim join broadcasts when customer fits.
+    */
+  def j9CustDist(spark: SparkSession, dir: String): DataFrame = {
+    val ordCnt = Tables.orders(spark, dir)
+      .where(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"))
+    Tables.customer(spark, dir)
+      .join(ordCnt, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val j9Oracle: String =
+    """WITH oc AS (
+      |  SELECT o_custkey, count(1) AS cnt
+      |  FROM orders WHERE o_orderpriority <> '1-URGENT' GROUP BY 1)
+      |SELECT coalesce(oc.cnt, 0) AS c_count, count(1) AS custdist
+      |FROM customer c LEFT JOIN oc ON oc.o_custkey = c.c_custkey
+      |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j9_custdist" -> (j9CustDist _),
     "j8_big_orders" -> (j8BigOrders _),
     "j1_revenue_by_nation" -> (j1RevenueByNation _),
     "j2_top_parts" -> (j2TopParts _),
@@ -273,6 +306,7 @@ object JoinQueries {
     "j7_shipping_priority" -> (j7ShippingPriority _))
 
   val oracles: Map[String, String] = Map(
+    "j9_custdist" -> j9Oracle,
     "j8_big_orders" -> j8Oracle,
     "j1_revenue_by_nation" -> j1Oracle,
     "j2_top_parts" -> j2Oracle,

@@ -379,6 +379,36 @@ object StreamingOps extends Serializable {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fold)
   }
 
+  case class FirstSeenIn(event_type: String, user_id: Long, dayN: Int)
+  case class FirstSeenOut(event_type: String, user_id: Long, dayN: Int)
+
+  /** Streaming first-seen extraction — the streaming twin of the batch w7
+    * running-distinct identity: a (type, user) counts toward the distinct
+    * total on exactly ONE day, its first, so the stream only has to emit
+    * each key's first sighting. State per (type, user) is the single
+    * first-seen day (O(keys), never O(events)) — the same key-linear
+    * envelope as the sessionizer; downstream "distinct users to date" is
+    * a plain streaming count over the emitted first-seen rows. Requires
+    * chronological micro-batches ACROSS batches (days arrive in order —
+    * the crawl/ingest contract every twin here shares); within a batch
+    * the fold takes the min day, so intra-batch order never matters.
+    */
+  def firstSeenStream(spark: SparkSession,
+                      rows: Dataset[FirstSeenIn]): Dataset[FirstSeenOut] = {
+    import spark.implicits._
+    def fold(key: (String, Long), it: Iterator[FirstSeenIn],
+             state: GroupState[Int]): Iterator[FirstSeenOut] = {
+      if (state.exists) Iterator.empty
+      else {
+        val d = it.map(_.dayN).min
+        state.update(d)
+        Iterator.single(FirstSeenOut(key._1, key._2, d))
+      }
+    }
+    rows.groupByKey(r => (r.event_type, r.user_id))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fold)
+  }
+
   /** Stream-stream interval join: purchases ⋈ clicks of the same user with
     * `c_ts ∈ [p_ts − 1h, p_ts)`. Watermarks on BOTH sides let Spark evict
     * join state: a click can only match purchases up to 1 h later, so click

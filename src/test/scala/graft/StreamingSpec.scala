@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.EventQueries
+import graft.queries.{EventQueries, WindowQueries}
 import graft.streaming.StreamingOps
 
 /** Streaming ⇔ batch equivalence (the Structured Streaming contract): the
@@ -427,6 +427,47 @@ class StreamingSpec extends AnyFunSuite {
       .orderBy("from_type", "to_type").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(got.toSeq == want.toSeq)
+  }
+
+  test("streaming first-seen == batch w7 running distinct across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+
+    val rows = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"),
+        datediff(to_date(col("ts")), to_date(lit("1990-01-01"))).cast("int").as("dayN"))
+      .as[StreamingOps.FirstSeenIn].collect()
+      .sortBy(_.dayN) // chronological micro-batches — the ingest contract
+    val (b1, rest) = rows.splitAt(rows.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+
+    val mem = MemoryStream[StreamingOps.FirstSeenIn]
+    val q = StreamingOps.firstSeenStream(spark, mem.toDS())
+      .writeStream.format("memory").queryName("sfseen").outputMode("append").start()
+    try {
+      mem.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+      mem.addData(b3.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    // exactly one emission per (type, user): the key's first day
+    val seen = spark.table("sfseen")
+    assert(seen.groupBy("event_type", "user_id").count().where(col("count") > 1).isEmpty)
+    // aggregated to (type, day) new-user counts + running sum == batch w7
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val got = seen
+      .select(col("event_type"),
+        date_add(to_date(lit("1990-01-01")), col("dayN")).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("new_users"))
+      .select(col("event_type"), col("day"), col("new_users"),
+        sum("new_users").over(w).as("cum_users"))
+      .orderBy("event_type", "day").collect().map(_.toString).toSeq
+    val want = WindowQueries.w7RunningDistinct(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(got == want)
   }
 
   test("batch sessionization totals are exact decimal sums (order-independent)") {
