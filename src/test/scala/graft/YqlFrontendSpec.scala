@@ -52,10 +52,12 @@ class YqlFrontendSpec extends AnyFunSuite {
     val r = YqlFrontend.run(spark,
       "select DateTime::GetYear(ts) as y, DateTime::GetMonth(ts) as m from yql_mf;").get.head()
     assert(r.getInt(0) == 2021 && r.getInt(1) == 7)
+    // Unicode::Fold (locale-sensitive case folding) has no faithful Spark
+    // twin — it stays unmapped and must fail loudly, naming the call
     val e = intercept[IllegalArgumentException] {
-      YqlFrontend.translate("select Unicode::ToLower(x) from v;")
+      YqlFrontend.translate("select Unicode::Fold(x) from v;")
     }
-    assert(e.getMessage.contains("Unicode::ToLower"))
+    assert(e.getMessage.contains("Unicode::Fold"))
   }
 
   test("exclusion join text == ExclusionJoin operator on the orders corpus") {
