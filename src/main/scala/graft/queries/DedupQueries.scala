@@ -659,13 +659,18 @@ object DedupQueries {
     val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
       .unionAll(pairs.select(col("db").as("src"), col("da").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val edgeDeg = edges.join(deg, "src")
+    // materialize the degree-annotated edge list ONCE: without the
+    // checkpoint each iteration's lazy plan re-runs the whole banded
+    // candidate pipeline (iteration 3 pays it three times — measured
+    // 3.3 s at sf0.1, dominated by that re-execution, not the joins)
+    val edgeDeg = edges.join(deg, "src").localCheckpoint(true)
     var rank = deg.select(col("src").as("node"), lit(1000000L).as("r"))
     (1 to 3).foreach { _ =>
       rank = edgeDeg.join(rank, edgeDeg("src") === rank("node"))
         .selectExpr("dst", "r DIV deg AS c")
         .groupBy("dst").agg(sum("c").as("s"))
         .selectExpr("dst AS node", "CAST(150000 + (85 * s) DIV 100 AS BIGINT) AS r")
+        .localCheckpoint(true) // truncate per-round lineage (d7 discipline)
     }
     rank.selectExpr("node AS doc_id", "r AS rank_micro")
       .orderBy(col("rank_micro").desc, col("doc_id"))

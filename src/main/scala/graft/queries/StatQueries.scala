@@ -590,7 +590,58 @@ object StatQueries {
       |         AS corr_ppb
       |FROM g ORDER BY l_returnflag""".stripMargin
 
+  /** x15: exact least-squares fit per group — the x14 moment discipline
+    * applied to OLS: slope = (nΣxy−ΣxΣy)/(nΣx²−Σx²) and intercept =
+    * (Σy − slope·Σx)/n, all from the same exact integer sums, with the
+    * final scalar math on doubles in an identical expression tree both
+    * engines (correctly-rounded ops only) → `floor(10⁹·slope)` /
+    * `floor(10⁶·intercept)` hash-stable. The regression every
+    * drift-monitoring table wants next to its correlation; one
+    * partial-agg shuffle, mergeable moments.
+    */
+  def x15Regression(spark: SparkSession, dir: String): DataFrame = {
+    val x = round(col("l_quantity") * 100).cast("long")
+    val y = round(col("l_extendedprice") * 100).cast("long")
+    val n = col("n_rows").cast("double")
+    val num = n * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")
+    val den = n * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+      .select(col("l_returnflag"), col("n_rows"),
+        floor(lit(1e9) * num / den).cast("long").as("slope_ppb"),
+        floor(lit(1e6) * (col("sy").cast("double") - num / den * col("sx").cast("double")) / n)
+          .cast("long").as("intercept_micro"))
+      .orderBy("l_returnflag")
+  }
+
+  val x15Oracle: String =
+    """WITH q AS (
+      |  SELECT l_returnflag,
+      |         CAST(round(l_quantity * 100) AS BIGINT) AS x,
+      |         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      |  FROM lineitem),
+      |g AS (
+      |  SELECT l_returnflag, count(1) AS n_rows,
+      |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+      |  FROM q GROUP BY 1)
+      |SELECT l_returnflag, n_rows,
+      |       CAST(floor(1e9 * (CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |                  (CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS BIGINT)
+      |         AS slope_ppb,
+      |       CAST(floor(1e6 * (CAST(sy AS DOUBLE) -
+      |                         (CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |                         (CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |                         * CAST(sx AS DOUBLE)) / CAST(n_rows AS DOUBLE)) AS BIGINT)
+      |         AS intercept_micro
+      |FROM g ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x15_regression" -> (x15Regression _),
     "x14_correlation" -> (x14Correlation _),
     "x13_chi_square" -> (x13ChiSquare _),
     "x12_psi_drift" -> (x12PsiDrift _),
@@ -607,6 +658,7 @@ object StatQueries {
     "x8_snapshot_diff" -> (x8SnapshotDiff _))
 
   val oracles: Map[String, String] = Map(
+    "x15_regression" -> x15Oracle,
     "x14_correlation" -> x14Oracle,
     "x13_chi_square" -> x13Oracle,
     "x12_psi_drift" -> x12Oracle,
