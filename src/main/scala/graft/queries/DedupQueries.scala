@@ -722,6 +722,109 @@ object DedupQueries {
       .orderBy("in_id")
   }
 
+  /** d14: incremental MinHash-LSH — the d9 Δ-vs-index pattern at NEAR-dup
+    * granularity: the corpus's band index (band, key → doc) and shingle
+    * set persist like d9's fingerprint index; a crawl increment (re-crawls
+    * with a small textual edit — the realistic "page updated" case exact
+    * fingerprints miss) computes ONLY its own signatures and equi-joins
+    * its band keys against the index, then verifies exact Jaccard on the
+    * candidate pairs. The corpus is never re-banded and never self-joined:
+    * cost is O(Δ·bands + candidates), the serve path of a production
+    * near-dup index. Shingle sets here are uncapped on both sides (one
+    * consistent universe for the Jaccard verify); the production index
+    * carries d2/d3's DF cap as its skew guard.
+    */
+  def d14IncrementalLsh(spark: SparkSession, dir: String): DataFrame = {
+    def hashedShingles(docs: DataFrame, idCol: String): DataFrame =
+      docs.select(col(idCol), Text.tokens(col("text")).as("tk"))
+        .select(col(idCol), explode(Text.shingles(col("tk"))).as("shingle"))
+        .select(col(idCol), Text.md5Long(col("shingle")).as("sh64"))
+    def bandsOf(sh: DataFrame, idCol: String): DataFrame = {
+      val hashed = sh.withColumn("h32", col("sh64").bitwiseAND(lit(0xFFFFFFFFL)))
+        .select(col(idCol) +: (0 until MinhashFns).map(j =>
+          ((col("h32") * affineA(j) + affineB(j)) % MersenneP).as(s"h$j")): _*)
+      val sig = hashed.groupBy(idCol)
+        .agg(min(col("h0")).as("m0"),
+          (1 until MinhashFns).map(j => min(col(s"h$j")).as(s"m$j")): _*)
+      val bandArr = array((0 until MinhashFns / BandRows).map { k =>
+        struct(lit(k).as("band"),
+          concat_ws(",", (0 until BandRows).map(r => col(s"m${k * BandRows + r}")): _*).as("key"))
+      }: _*)
+      sig.select(col(idCol), explode(bandArr).as("b"))
+        .select(col(idCol), col("b.band").as("band"), col("b.key").as("key"))
+    }
+    val corpusDocs = Tables.documents(spark, dir)
+      .select(col("doc_id").as("corp_id"), col("text"))
+    val incDocs = Tables.documents(spark, dir).where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("in_id"),
+        concat(col("text"), lit(" updated revision two")).as("text"))
+    val corpusSh = hashedShingles(corpusDocs, "corp_id") // persisted at scale
+    val incSh = hashedShingles(incDocs, "in_id")
+    val cand = bandsOf(incSh, "in_id")
+      .join(bandsOf(corpusSh, "corp_id"), Seq("band", "key")) // Δ bands ⋈ the index
+      .select(col("in_id").as("ca"), col("corp_id").as("cb")).distinct()
+    val inter = cand
+      .join(incSh.as("x"), col("x.in_id") === col("ca"))
+      .join(corpusSh.as("y"), col("y.corp_id") === col("cb") && col("y.sh64") === col("x.sh64"))
+      .groupBy("ca", "cb").agg(count(lit(1)).as("i"))
+    inter
+      .join(incSh.groupBy("in_id").agg(count(lit(1)).as("na"))
+        .withColumnRenamed("in_id", "ca"), "ca")
+      .join(corpusSh.groupBy("corp_id").agg(count(lit(1)).as("nb"))
+        .withColumnRenamed("corp_id", "cb"), "cb")
+      .withColumn("jaccard", col("i") * lit(1.0) / (col("na") + col("nb") - col("i")))
+      .where(col("jaccard") >= 0.5)
+      .select(col("ca").as("in_id"), col("cb").as("corp_id"), col("jaccard"))
+      .orderBy("in_id", "corp_id")
+  }
+
+  val d14Oracle: String = {
+    val aArr = (0 until MinhashFns).map(affineA).mkString(", ")
+    val bArr = (0 until MinhashFns).map(affineB).mkString(", ")
+    def lshCtes(pfx: String, shRel: String, id: String): String =
+      s"""${pfx}h AS (
+         |  SELECT $id, shingle, j,
+         |         ((('0x' || substr(md5(shingle), 1, 15))::BIGINT & 4294967295)
+         |          * ([$aArr][j + 1]) + ([$bArr][j + 1])) % $MersenneP hv
+         |  FROM $shRel, unnest(range(0, $MinhashFns)) AS r(j)),
+         |${pfx}sig AS (SELECT $id, j, min(hv) m FROM ${pfx}h GROUP BY 1, 2),
+         |${pfx}bands AS (
+         |  SELECT $id, j // $BandRows AS band, string_agg(m::VARCHAR, ',' ORDER BY j) AS key
+         |  FROM ${pfx}sig GROUP BY $id, j // $BandRows)""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') tk
+       |  FROM documents),
+       |corpus_sh AS (
+       |  SELECT doc_id AS corp_id,
+       |         unnest(list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in range(1, len(tk) - 1)])) AS shingle
+       |  FROM toks WHERE len(tk) >= 3),
+       |inc_toks AS (
+       |  SELECT doc_id + 1000000 AS in_id,
+       |         list_filter(regexp_split_to_array(lower(trim(text || ' updated revision two')), '\\s+'), x -> x <> '') tk
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |inc_sh AS (
+       |  SELECT in_id,
+       |         unnest(list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in range(1, len(tk) - 1)])) AS shingle
+       |  FROM inc_toks WHERE len(tk) >= 3),
+       |${lshCtes("c", "corpus_sh", "corp_id")},
+       |${lshCtes("i", "inc_sh", "in_id")},
+       |cand AS (
+       |  SELECT DISTINCT in_id, corp_id
+       |  FROM ibands i JOIN cbands c ON i.band = c.band AND i.key = c.key),
+       |inter AS (
+       |  SELECT cand.in_id, cand.corp_id, count(1) i
+       |  FROM cand
+       |  JOIN inc_sh x ON x.in_id = cand.in_id
+       |  JOIN corpus_sh y ON y.corp_id = cand.corp_id AND y.shingle = x.shingle
+       |  GROUP BY 1, 2),
+       |na AS (SELECT in_id, count(*) n FROM inc_sh GROUP BY 1),
+       |nb AS (SELECT corp_id, count(*) n FROM corpus_sh GROUP BY 1)
+       |SELECT inter.in_id, inter.corp_id, i * 1.0 / (na.n + nb.n - i) AS jaccard
+       |FROM inter JOIN na USING (in_id) JOIN nb USING (corp_id)
+       |WHERE i * 1.0 / (na.n + nb.n - i) >= 0.5
+       |ORDER BY in_id, corp_id""".stripMargin
+  }
+
   /** d13: Bloom-prefiltered incremental dedup — d9's Δ-vs-index join with
     * the companion artifact a production pipeline keeps NEXT TO the
     * fingerprint index: a Bloom filter over the corpus fingerprints
@@ -995,7 +1098,8 @@ object DedupQueries {
     "d10_span_dedup" -> (d10SpanDedup _),
     "d11_incremental_span_dedup" -> (d11IncrementalSpanDedup _),
     "d12_dup_pagerank" -> (d12DupPagerank _),
-    "d13_bloom_dedup" -> (d13BloomDedup _))
+    "d13_bloom_dedup" -> (d13BloomDedup _),
+    "d14_incremental_lsh" -> (d14IncrementalLsh _))
 
   val oracles: Map[String, String] = Map(
     "d9_incremental_dedup" -> d9Oracle,
@@ -1011,5 +1115,6 @@ object DedupQueries {
     "d10_span_dedup" -> d10Oracle,
     "d11_incremental_span_dedup" -> d11Oracle,
     "d12_dup_pagerank" -> d12Oracle,
-    "d13_bloom_dedup" -> d13Oracle)
+    "d13_bloom_dedup" -> d13Oracle,
+    "d14_incremental_lsh" -> d14Oracle)
 }
