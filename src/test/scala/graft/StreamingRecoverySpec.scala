@@ -101,4 +101,44 @@ class StreamingRecoverySpec extends AnyFunSuite {
     val got = spark.read.parquet(outDir).count()
     assert(got == n, s"redelivery after restart duplicated rows: $got vs $n")
   }
+
+  test("first-seen state survives a restart: no re-emission for keys seen before the crash") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-fseen-recovery").toString
+    val srcDir = s"$root/src"; val outDir = s"$root/out"; val ck = s"$root/ck"
+    new java.io.File(srcDir).mkdirs()
+
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"),
+        datediff(to_date(col("ts")), to_date(lit("1990-01-01"))).cast("int").as("dayN"))
+    val cut = rows.agg(expr("percentile_approx(dayN, 0.5)")).head.getInt(0)
+
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema("event_type STRING, user_id BIGINT, dayN INT").parquet(srcDir)
+        .as[StreamingOps.FirstSeenIn]
+      val q = StreamingOps.firstSeenStream(spark, stream).toDF()
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+
+    // chronological halves with a RESTART between them; the second half
+    // re-contains many (type, user) keys from the first — only the
+    // checkpointed state can suppress their re-emission
+    rows.where(col("dayN") <= cut).coalesce(1).write.mode("append").parquet(srcDir)
+    run()
+    rows.where(col("dayN") > cut).coalesce(1).write.mode("append").parquet(srcDir)
+    run()
+
+    val got = spark.read.parquet(outDir)
+    assert(got.groupBy("event_type", "user_id").count().where(col("count") > 1).isEmpty,
+      "a key emitted twice across the restart — first-seen state was lost")
+    val want = rows.groupBy("event_type", "user_id").agg(min("dayN").as("dayN"))
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want.select("event_type", "user_id", "dayN")).isEmpty)
+  }
 }
