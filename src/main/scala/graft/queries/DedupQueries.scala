@@ -734,25 +734,53 @@ object DedupQueries {
     * consistent universe for the Jaccard verify); the production index
     * carries d2/d3's DF cap as its skew guard.
     */
-  def d14IncrementalLsh(spark: SparkSession, dir: String): DataFrame = {
-    def hashedShingles(docs: DataFrame, idCol: String): DataFrame =
-      docs.select(col(idCol), Text.tokens(col("text")).as("tk"))
-        .select(col(idCol), explode(Text.shingles(col("tk"))).as("shingle"))
-        .select(col(idCol), Text.md5Long(col("shingle")).as("sh64"))
-    def bandsOf(sh: DataFrame, idCol: String): DataFrame = {
-      val hashed = sh.withColumn("h32", col("sh64").bitwiseAND(lit(0xFFFFFFFFL)))
-        .select(col(idCol) +: (0 until MinhashFns).map(j =>
-          ((col("h32") * affineA(j) + affineB(j)) % MersenneP).as(s"h$j")): _*)
-      val sig = hashed.groupBy(idCol)
-        .agg(min(col("h0")).as("m0"),
-          (1 until MinhashFns).map(j => min(col(s"h$j")).as(s"m$j")): _*)
-      val bandArr = array((0 until MinhashFns / BandRows).map { k =>
-        struct(lit(k).as("band"),
-          concat_ws(",", (0 until BandRows).map(r => col(s"m${k * BandRows + r}")): _*).as("key"))
-      }: _*)
-      sig.select(col(idCol), explode(bandArr).as("b"))
-        .select(col(idCol), col("b.band").as("band"), col("b.key").as("key"))
+  /** (id, sh64) hashed shingle rows of a (id, text) relation — the
+    * persisted shingle side of the d14 index (shared with the streaming
+    * twin's spec).
+    */
+  private[graft] def lshShingles(docs: DataFrame, idCol: String): DataFrame =
+    docs.select(col(idCol), Text.tokens(col("text")).as("tk"))
+      .select(col(idCol), explode(Text.shingles(col("tk"))).as("shingle"))
+      .select(col(idCol), Text.md5Long(col("shingle")).as("sh64"))
+
+  /** (id, band, key) MinHash band rows of a hashed-shingle relation — the
+    * persisted band side of the d14 index.
+    */
+  private[graft] def lshBands(sh: DataFrame, idCol: String): DataFrame = {
+    val hashed = sh.withColumn("h32", col("sh64").bitwiseAND(lit(0xFFFFFFFFL)))
+      .select(col(idCol) +: (0 until MinhashFns).map(j =>
+        ((col("h32") * affineA(j) + affineB(j)) % MersenneP).as(s"h$j")): _*)
+    val sig = hashed.groupBy(idCol)
+      .agg(min(col("h0")).as("m0"),
+        (1 until MinhashFns).map(j => min(col(s"h$j")).as(s"m$j")): _*)
+    val bandArr = array((0 until MinhashFns / BandRows).map { k =>
+      struct(lit(k).as("band"),
+        concat_ws(",", (0 until BandRows).map(r => col(s"m${k * BandRows + r}")): _*).as("key"))
+    }: _*)
+    sig.select(col(idCol), explode(bandArr).as("b"))
+      .select(col(idCol), col("b.band").as("band"), col("b.key").as("key"))
+  }
+
+  /** The SQL-expression (HOF) twin of [[lshBands]] for STREAMS: per-row
+    * minhash over the shingle-hash ARRAY (array_min ∘ transform — no
+    * aggregation, so it runs on an unbounded stream), band structs built
+    * in one projection. `shArr` must hold the md5Long shingle hashes.
+    */
+  private[graft] def lshBandArrayExpr(shArr: String): Column = {
+    val mins = (0 until MinhashFns).map { j =>
+      s"array_min(transform($shArr, _h -> ((_h & 4294967295) * ${affineA(j)}L + ${affineB(j)}L) % ${MersenneP}L))"
     }
+    val bands = (0 until MinhashFns / BandRows).map { k =>
+      val key = (0 until BandRows).map(r => s"CAST(${mins(k * BandRows + r)} AS STRING)")
+        .mkString("concat_ws(',', ", ", ", ")")
+      s"struct($k AS band, $key AS key)"
+    }
+    expr(bands.mkString("array(", ", ", ")"))
+  }
+
+  def d14IncrementalLsh(spark: SparkSession, dir: String): DataFrame = {
+    def hashedShingles(docs: DataFrame, idCol: String): DataFrame = lshShingles(docs, idCol)
+    def bandsOf(sh: DataFrame, idCol: String): DataFrame = lshBands(sh, idCol)
     val corpusDocs = Tables.documents(spark, dir)
       .select(col("doc_id").as("corp_id"), col("text"))
     val incDocs = Tables.documents(spark, dir).where(col("doc_id") % 10 === 0)

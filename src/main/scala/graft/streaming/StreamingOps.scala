@@ -273,6 +273,43 @@ object StreamingOps extends Serializable {
       .select(col("doc_id"), col("r.n").as("n_spans"), col("r.cov").as("dup_tokens"))
   }
 
+  /** Stream-static MinHash-LSH — the streaming twin of batch d14: each
+    * micro-batch of crawl docs `(in_id, text)` computes its OWN signatures
+    * with per-row HOF expressions (array_min ∘ transform over the shingle
+    * hashes — no stream aggregation needed), equi-joins its band keys
+    * against the PERSISTED band index, and verifies exact Jaccard via
+    * array_intersect against the persisted per-doc shingle arrays. The
+    * only stream state is the (in_id, corp_id) dropDuplicates (one row
+    * per reported pair — multi-band hits collapse); the corpus is never
+    * re-banded. Output `(in_id, corp_id, jaccard)` — the d14 schema.
+    *
+    * @param increment    streaming (in_id, text)
+    * @param bandIndex    static (corp_id, band, key) — [[graft.queries.DedupQueries.lshBands]]
+    * @param shingleIndex static (corp_id, corp_sh array<bigint>) — per-doc md5Long shingle hashes
+    */
+  def streamStaticLsh(increment: DataFrame, bandIndex: DataFrame,
+                      shingleIndex: DataFrame): DataFrame = {
+    import graft.queries.DedupQueries
+    import graft.functions.Text
+    val sh = increment
+      .select(col("in_id"), Text.shingles(Text.tokens(col("text"))).as("shingles"))
+      .withColumn("sh64arr", expr(
+        "transform(shingles, _s -> CAST(conv(substring(md5(_s), 1, 15), 16, 10) AS BIGINT))"))
+    val bands = sh
+      .select(col("in_id"), col("sh64arr"),
+        explode(DedupQueries.lshBandArrayExpr("sh64arr")).as("b"))
+      .select(col("in_id"), col("sh64arr"), col("b.band").as("band"), col("b.key").as("key"))
+    bands.join(bandIndex, Seq("band", "key")) // stream ⋈ static index
+      .select("in_id", "corp_id", "sh64arr")
+      .dropDuplicates("in_id", "corp_id")
+      .join(shingleIndex, "corp_id")
+      .withColumn("i", size(array_intersect(col("sh64arr"), col("corp_sh"))))
+      .withColumn("jaccard",
+        col("i") * lit(1.0) / (size(col("sh64arr")) + size(col("corp_sh")) - col("i")))
+      .where(col("jaccard") >= 0.5)
+      .select("in_id", "corp_id", "jaccard")
+  }
+
   case class PackDoc(doc_id: Long, shard: Int, n_tokens: Long)
   case class PackState(bin: Long, used: Long)
   case class PackAssign(doc_id: Long, shard: Int, bin: Long, n_tokens: Long)

@@ -470,6 +470,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("stream-static LSH == batch d14 pairs across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.queries.DedupQueries
+    implicit val sqlCtx = spark.sqlContext
+
+    // the persisted artifacts: band index + per-doc shingle-hash arrays
+    val corpusDocs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("corp_id"), col("text"))
+    val corpusSh = DedupQueries.lshShingles(corpusDocs, "corp_id")
+    val bandIndex = DedupQueries.lshBands(corpusSh, "corp_id")
+      .localCheckpoint(true) // static for the whole run, computed once
+    val shingleIndex = corpusSh.groupBy("corp_id")
+      .agg(collect_list("sh64").as("corp_sh")).localCheckpoint(true)
+
+    val inc = graft.sources.Tables.documents(spark, sfDir)
+      .where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("in_id"),
+        concat(col("text"), lit(" updated revision two")).as("text"))
+      .as[(Long, String)].collect()
+    val (b1, rest) = inc.splitAt(inc.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamStaticLsh(
+        mem.toDS().toDF("in_id", "text"), bandIndex, shingleIndex)
+      .writeStream.format("memory").queryName("slsh").outputMode("append").start()
+    try {
+      mem.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+      mem.addData(b3.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("slsh").orderBy("in_id", "corp_id")
+      .collect().map(_.toString).toSeq
+    val want = DedupQueries.d14IncrementalLsh(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(got == want)
+  }
+
   test("batch sessionization totals are exact decimal sums (order-independent)") {
     val df = EventQueries.e3Sessions(spark, sfDir)
     val total = df.agg(sum(col("total_value").cast("decimal(18,2)")).cast("double")).head.getDouble(0)
