@@ -360,12 +360,20 @@ object SimilarityQueries {
     * hash-partitioned shuffle.
     */
   def s6Semdedup(spark: SparkSession, dir: String): DataFrame = {
+    // pair distance via the kmAssign expansion: |a−b|² = |a|²+|b|²−2·a·b
+    // with the codegen'd graft_dot — the zip_with/aggregate HOF fold this
+    // replaces ran INTERPRETED per candidate pair (the exact hot-path the
+    // 100× probe flagged in kmAssign); all terms are integer-valued
+    // doubles < 2⁵³, so the long cast is exact and the oracle unchanged
     val fit = kmFit(spark, dir).select(col("vec_id"), col("qv"), col("cid"))
-    val a = fit.select(col("cid"), col("vec_id").as("keep_id"), col("qv").as("qa"))
-    val b = fit.select(col("cid"), col("vec_id").as("pruned_id"), col("qv").as("qb"))
-    val pairDist = aggregate(
-      zip_with(col("qa"), col("qb"), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, x) => acc + x)
+      .withColumn("dv", expr("transform(qv, x -> CAST(x AS DOUBLE))"))
+      .withColumn("n2", Vectors.dotD(col("dv"), col("dv")))
+    val a = fit.select(col("cid"), col("vec_id").as("keep_id"),
+      col("dv").as("da"), col("n2").as("na2"))
+    val b = fit.select(col("cid"), col("vec_id").as("pruned_id"),
+      col("dv").as("db"), col("n2").as("nb2"))
+    val pairDist = (col("na2") + col("nb2")
+      - lit(2.0) * Vectors.dotD(col("da"), col("db"))).cast("long")
     a.join(b, Seq("cid"))
       .where(col("keep_id") < col("pruned_id") && pairDist < SemTau)
       .groupBy("cid", "pruned_id")
