@@ -439,7 +439,34 @@ object YqlTextQueries {
       |       levenshtein(event_type, 'click') AS lev
       |FROM events ORDER BY event_id LIMIT 500""".stripMargin
 
+  /** y15: `DateTime::StartOf*` bridges (notch 12) — structural rewrites
+    * to `date_trunc('<UNIT>', x)`; WEEK is faithful because both engines
+    * start weeks on Monday. Oracle = DuckDB `date_trunc` directly.
+    */
+  def y15YqlStartOf(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    YqlFrontend.run(spark,
+      """
+      $e = (select event_id, ts from events);
+      select event_id,
+             DateTime::StartOfDay(ts) as day_start,
+             DateTime::StartOfWeek(ts) as week_start,
+             DateTime::StartOfMonth(ts) as month_start,
+             DateTime::StartOfYear(ts) as year_start
+        from $e order by event_id limit 400;
+      """).get
+  }
+
+  val y15Oracle: String =
+    """SELECT event_id,
+      |       date_trunc('day', ts) AS day_start,
+      |       date_trunc('week', ts) AS week_start,
+      |       date_trunc('month', ts) AS month_start,
+      |       date_trunc('year', ts) AS year_start
+      |FROM events ORDER BY event_id LIMIT 400""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "y15_yql_startof" -> (y15YqlStartOf _),
     "y14_yql_modules" -> (y14YqlModules _),
     "y1_yql_project" -> (y1YqlProject _),
     "y2_yql_exclusion" -> (y2YqlExclusion _),
@@ -456,6 +483,7 @@ object YqlTextQueries {
     "y13_yql_maxby" -> (y13YqlMaxBy _))
 
   val oracles: Map[String, String] = Map(
+    "y15_yql_startof" -> y15Oracle,
     "y14_yql_modules" -> y14Oracle,
     "y1_yql_project" -> y1Oracle,
     "y2_yql_exclusion" -> y2Oracle,

@@ -545,6 +545,32 @@ object YqlFrontend {
     ts
   }
 
+  /** YQL `DateTime::StartOfDay/StartOfWeek/StartOfMonth/StartOfYear(x)` →
+    * `date_trunc('<UNIT>', x)`. Structural (the unit rides as a literal
+    * first argument, so a bare name map can't express it); both engines
+    * start weeks on Monday, so the WEEK bridge is faithful. Unknown
+    * `StartOf*` names fall through untouched and fail loudly in Spark's
+    * analyzer (the module-gap discipline).
+    */
+  private val StartOfUnits = Map(
+    "startofday" -> "DAY", "startofweek" -> "WEEK",
+    "startofmonth" -> "MONTH", "startofyear" -> "YEAR")
+
+  private def rewriteStartOf(ts0: Vector[String]): Vector[String] = {
+    var ts = ts0
+    var i = 0
+    while (i + 3 < ts.length) {
+      val unit = if (ts(i).equalsIgnoreCase("datetime") && ts(i + 1) == "::" && ts(i + 3) == "(")
+        StartOfUnits.get(ts(i + 2).toLowerCase) else None
+      unit match {
+        case Some(u) =>
+          ts = (ts.take(i) ++ Vector("date_trunc", "(", s"'$u'", ",")) ++ ts.drop(i + 4)
+        case None => i += 1
+      }
+    }
+    ts
+  }
+
   /** YQL `LEFT ONLY JOIN` — rows of the left side with no right match,
     * keeping only left columns: exactly Spark's `LEFT ANTI JOIN`. `RIGHT
     * ONLY` has no direct Spark form (swap the sides) — fail loudly.
@@ -926,8 +952,8 @@ object YqlFrontend {
     def body(ts: Vector[String]): Vector[String] =
       rewriteExclusionJoins(rewriteFlattenBy(rewriteGroupByAlias(rewriteWithout(rewriteCasts(
         rewriteBuiltinFns(rewriteBoolListFns(rewriteModuleFns(rewriteSplitToList(
-          rewriteSubstring(
-            rewriteOnlyJoins(substitute(rewriteLambdas(rewriteTables(ts, resolver))))))))))))))
+          rewriteSubstring(rewriteStartOf(
+            rewriteOnlyJoins(substitute(rewriteLambdas(rewriteTables(ts, resolver)))))))))))))))
 
     val isSubqueryBinding: Vector[String] => Boolean =
       s => s.length > 4 && s(0).startsWith("$") && s(1) == "=" && s(2) == "(" &&
