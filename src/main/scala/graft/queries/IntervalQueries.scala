@@ -100,12 +100,61 @@ object IntervalQueries {
       |FROM p JOIN e ON e.user_id = p.user_id AND ps < ee AND es < pe
       |ORDER BY p_id, e_id""".stripMargin
 
+  /** r4: calendar gap-fill + forward fill (last observation carried
+    * forward) — the time-series densification every balance/metrics table
+    * needs: per-account daily totals joined onto a continuous calendar
+    * spine (`sequence` explode, executor-side), missing days filled with
+    * the latest prior observation via `last(…, ignoreNulls)` over an
+    * account-keyed running frame; days before an account's first
+    * observation stay NULL, and `observed` marks real rows. Spine bounds
+    * are a 1-row scalar broadcast (K4); the fill is one account-keyed
+    * window — the w-family shuffle envelope, linear in accounts × days.
+    */
+  def r4GapFill(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, dir)
+      .where(col("o_custkey") % 100 === 0)
+      .groupBy(col("o_custkey").as("acc"), to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val bounds = daily.agg(min("day").as("lo"), max("day").as("hi"))
+    val spine = daily.select("acc").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("acc"), explode(sequence(col("lo"), col("hi"))).as("day"))
+    val w = Window.partitionBy("acc").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("acc", "day"), "left")
+      .select(col("acc"), col("day"),
+        last(col("cents"), ignoreNulls = true).over(w).as("filled_cents"),
+        col("cents").isNotNull.as("observed"))
+      .orderBy("acc", "day")
+  }
+
+  val r4Oracle: String =
+    """WITH daily AS (
+      |  SELECT o_custkey AS acc, CAST(o_orderdate AS DATE) AS day,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders WHERE o_custkey % 100 = 0 GROUP BY 1, 2),
+      |b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+      |spine AS (
+      |  SELECT acc, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM (SELECT DISTINCT acc FROM daily), b),
+      |j AS (
+      |  SELECT s.acc, s.day, d.cents
+      |  FROM spine s LEFT JOIN daily d ON d.acc = s.acc AND d.day = s.day)
+      |SELECT acc, day,
+      |       last_value(cents IGNORE NULLS) OVER (PARTITION BY acc ORDER BY day
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents,
+      |       cents IS NOT NULL AS observed
+      |FROM j ORDER BY acc, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r4_gap_fill" -> (r4GapFill _),
     "r1_interval_join" -> (r1IntervalJoin _),
     "r2_nearby_errors" -> (r2NearbyErrors _),
     "r3_overlap_join" -> (r3OverlapJoin _))
 
   val oracles: Map[String, String] = Map(
+    "r4_gap_fill" -> r4Oracle,
     "r1_interval_join" -> r1Oracle,
     "r2_nearby_errors" -> r2Oracle,
     "r3_overlap_join" -> r3Oracle)
