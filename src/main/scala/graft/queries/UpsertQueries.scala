@@ -221,7 +221,45 @@ object UpsertQueries {
       |SELECT prio, count(DISTINCT o_custkey) AS ndv
       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** u7: incremental JOIN-view maintenance
+    * ([[graft.operators.IncrementalJoin]]) — a materialized
+    * customer ⋈ orders view refreshed from changelogs of BOTH sides at
+    * once: order inserts and retractions join the persisted customer
+    * index, and retracting a customer cascades its entire order fan-out
+    * out of the view via the ΔA ⋈ B term — no base re-join anywhere.
+    * The oracle inner-joins the surviving rows directly, so the
+    * hash-match proves the three-term delta identity ≡ full recompute.
+    */
+  def u7IncrementalJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IncrementalJoin
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val ords = Tables.orders(spark, dir).select(
+      col("o_custkey").as("c_custkey"), col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val baseA = cust.withColumn("w", lit(1L))
+    val baseB = ords.where(col("o_orderkey") % 4 =!= 0).withColumn("w", lit(1L))
+    val state = IncrementalJoin.full(baseA, baseB, Seq("c_custkey"))
+    val dA = cust.where(col("c_custkey") % 50 === 3).withColumn("w", lit(-1L))
+    val dB = ords.where(col("o_orderkey") % 4 === 0).withColumn("w", lit(1L))
+      .unionByName(ords.where(col("o_orderkey") % 4 =!= 0 && col("o_orderkey") % 7 === 0)
+        .withColumn("w", lit(-1L)))
+    IncrementalJoin.refresh(state, dA, dB, Seq("c_custkey")).view
+      .select(col("c_custkey"), col("c_mktsegment"), col("o_orderkey"), col("cents"), col("m"))
+      .orderBy("o_orderkey")
+  }
+
+  val u7Oracle: String =
+    """WITH a AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 50 <> 3),
+      |b AS (
+      |  SELECT o_custkey AS c_custkey, o_orderkey,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 4 = 0 OR o_orderkey % 7 <> 0)
+      |SELECT c_custkey, c_mktsegment, o_orderkey, cents, CAST(1 AS BIGINT) AS m
+      |FROM a JOIN b USING (c_custkey) ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u7_incremental_join" -> (u7IncrementalJoin _),
     "u6_incremental_distinct" -> (u6IncrementalDistinct _),
     "u1_argmax_aggregator" -> (u1ArgmaxAggregator _),
     "u2_upsert" -> (u2Upsert _),
@@ -230,6 +268,7 @@ object UpsertQueries {
     "u5_incremental_topk" -> (u5IncrementalTopK _))
 
   val oracles: Map[String, String] = Map(
+    "u7_incremental_join" -> u7Oracle,
     "u6_incremental_distinct" -> u6Oracle,
     "u1_argmax_aggregator" -> u1Oracle,
     "u2_upsert" -> u2Oracle,
