@@ -99,6 +99,37 @@ object MediaGen {
     ((seed * 2654435761L + x * x * 40503L + y * y * 9973L + x * y * 7919L
       + seed * x * 12007L + seed * y * 3571L) % 255).toInt + pert
 
+  /** [[texturedPixel]] with a VARIANT class for the banded-hamming
+    * fixture (m7): 0 = plain, 1 = uniform +1 brightness (dHash-invariant),
+    * 2 = a localized +128 flip at pixel (10, 6) — a sampled dHash grid
+    * site, so exactly the ≤2 comparison bits that touch that cell move:
+    * a small, nonzero hamming distance the band join must still catch.
+    */
+  def texturedPixelVariant(seed: Long, variant: Int, x: Int, y: Int): Int = {
+    val base = texturedPixel(seed, 0, x, y)
+    variant match {
+      case 1                        => base + 1
+      case 2 if x == 10 && y == 6   => (base + 128) % 255
+      case _                        => base
+    }
+  }
+
+  /** A real grayscale PNG whose pixels follow [[texturedPixelVariant]]. */
+  def texturedVariantPngBytes(seed: Long, variant: Int, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, texturedPixelVariant(seed, variant, x, y)); x += 1 }
+      y += 1
+    }
+    val baos = new ByteArrayOutputStream()
+    ImageIO.setUseCache(false)
+    require(ImageIO.write(img, "png", baos), "no ImageIO writer for png")
+    baos.toByteArray
+  }
+
   /** A real grayscale PNG whose pixels follow [[texturedPixel]]. */
   def texturedPngBytes(seed: Long, pert: Int, w: Int, h: Int): Array[Byte] = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)

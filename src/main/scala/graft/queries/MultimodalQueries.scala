@@ -213,7 +213,84 @@ object MultimodalQueries {
       |FROM db JOIN pf USING (doc_id)
       |ORDER BY db.doc_id""".stripMargin
 
+  /** m7: banded-hamming perceptual near-dup — m6's dHash column pushed
+    * through d5's machinery: 4×16-bit bands (pigeonhole-complete for
+    * hamming ≤ 3) → candidate equi-join → exact `bit_count(xor)` verify →
+    * per-doc group representative. The fixture's third variant class
+    * flips ONE sampled grid pixel, moving ≤2 dHash bits — an edit
+    * exact-hash grouping (m6) misses and the band join must catch. Output
+    * is linear (one row per doc); the pair set stays bounded by cohort
+    * structure exactly as d5's contract describes.
+    */
+  def m7PhashNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val imgs = MultimodalOps.syntheticTexturedVariants(spark, Tables.documents(spark, dir))
+    val hashed = MultimodalOps.decodeDHash(spark, imgs).toDF()
+      .select("doc_id", "dhash")
+    val bands = hashed
+      .select(col("doc_id"), col("dhash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bkey", expr("(dhash >> (band * 16)) & 65535"))
+    val pairs = bands.as("a").join(bands.as("b"), Seq("band", "bkey"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
+      .where(col("hamming") <= 3)
+    val sym = pairs.select(col("da").as("doc_id"), col("db").as("nb"))
+      .unionAll(pairs.select(col("db").as("doc_id"), col("da").as("nb")))
+    hashed.select("doc_id").join(sym, Seq("doc_id"), "left")
+      .groupBy("doc_id").agg(min("nb").as("mn"))
+      .select(col("doc_id"),
+        least(col("doc_id"), coalesce(col("mn"), col("doc_id"))).as("group_min"))
+      .orderBy("doc_id")
+  }
+
+  val m7Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 50 AS seed, CAST((doc_id // 50) % 3 AS INT) AS variant
+      |  FROM documents),
+      |db AS (
+      |  SELECT d.doc_id,
+      |         CAST(sum(CASE WHEN
+      |             (CASE WHEN variant = 2 AND (((x.i + 1) * 24) // 9) = 10 AND ((y.i * 16) // 8) = 6
+      |                   THEN ((seed * 2654435761 + (((x.i + 1) * 24) // 9) * (((x.i + 1) * 24) // 9) * 40503
+      |                          + ((y.i * 16) // 8) * ((y.i * 16) // 8) * 9973
+      |                          + (((x.i + 1) * 24) // 9) * ((y.i * 16) // 8) * 7919
+      |                          + seed * (((x.i + 1) * 24) // 9) * 12007 + seed * ((y.i * 16) // 8) * 3571) % 255 + 128) % 255
+      |                   ELSE (seed * 2654435761 + (((x.i + 1) * 24) // 9) * (((x.i + 1) * 24) // 9) * 40503
+      |                          + ((y.i * 16) // 8) * ((y.i * 16) // 8) * 9973
+      |                          + (((x.i + 1) * 24) // 9) * ((y.i * 16) // 8) * 7919
+      |                          + seed * (((x.i + 1) * 24) // 9) * 12007 + seed * ((y.i * 16) // 8) * 3571) % 255 END)
+      |           > (CASE WHEN variant = 2 AND ((x.i * 24) // 9) = 10 AND ((y.i * 16) // 8) = 6
+      |                   THEN ((seed * 2654435761 + ((x.i * 24) // 9) * ((x.i * 24) // 9) * 40503
+      |                          + ((y.i * 16) // 8) * ((y.i * 16) // 8) * 9973
+      |                          + ((x.i * 24) // 9) * ((y.i * 16) // 8) * 7919
+      |                          + seed * ((x.i * 24) // 9) * 12007 + seed * ((y.i * 16) // 8) * 3571) % 255 + 128) % 255
+      |                   ELSE (seed * 2654435761 + ((x.i * 24) // 9) * ((x.i * 24) // 9) * 40503
+      |                          + ((y.i * 16) // 8) * ((y.i * 16) // 8) * 9973
+      |                          + ((x.i * 24) // 9) * ((y.i * 16) // 8) * 7919
+      |                          + seed * ((x.i * 24) // 9) * 12007 + seed * ((y.i * 16) // 8) * 3571) % 255 END)
+      |           THEN CASE WHEN y.i * 8 + x.i = 63 THEN -9223372036854775808
+      |                     ELSE 1::BIGINT << (y.i * 8 + x.i) END
+      |           ELSE 0 END) AS BIGINT) AS dhash
+      |  FROM d, unnest(range(0, 8)) AS x(i), unnest(range(0, 8)) AS y(i)
+      |  GROUP BY d.doc_id),
+      |bands AS (
+      |  SELECT doc_id, dhash, band, (dhash >> (band * 16)) & 65535 AS bkey
+      |  FROM db, unnest(range(0, 4)) AS r(band)),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id da, b.doc_id db, a.dhash ha, b.dhash hb
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      |near AS (
+      |  SELECT da, db FROM pairs WHERE bit_count(xor(ha, hb)) <= 3),
+      |sym AS (SELECT da AS doc_id, db AS nb FROM near UNION ALL SELECT db, da FROM near)
+      |SELECT d.doc_id, least(d.doc_id, coalesce(min(sym.nb), d.doc_id)) AS group_min
+      |FROM db d LEFT JOIN sym ON sym.doc_id = d.doc_id
+      |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m7_phash_neardup" -> (m7PhashNeardup _),
     "m6_perceptual_dedup" -> (m6PerceptualDedup _),
     "m1_media_meta" -> (m1MediaMeta _),
     "m2_decode_features" -> (m2DecodeFeatures _),
@@ -222,6 +299,7 @@ object MultimodalQueries {
     "m5_audio_decode" -> (m5AudioDecode _))
 
   val oracles: Map[String, String] = Map(
+    "m7_phash_neardup" -> m7Oracle,
     "m6_perceptual_dedup" -> m6Oracle,
     "m1_media_meta" -> m1Oracle,
     "m2_decode_features" -> m2Oracle,
