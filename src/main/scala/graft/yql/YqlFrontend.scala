@@ -545,6 +545,34 @@ object YqlFrontend {
     ts
   }
 
+  /** YQL's 2-argument `IF(cond, then)` defaults the else-branch to NULL;
+    * Spark's `if` is strictly ternary, so the missing branch is appended
+    * explicitly: `IF(c, t)` → `if(c, t, NULL)`. 3-argument calls pass
+    * through untouched (one top-level comma ⇒ rewrite; two ⇒ leave).
+    */
+  private def rewriteTwoArgIf(ts0: Vector[String]): Vector[String] = {
+    var ts = ts0
+    var i = 0
+    while (i + 1 < ts.length) {
+      val isIf = ts(i).equalsIgnoreCase("if") && ts(i + 1) == "(" &&
+        (i == 0 || (ts(i - 1) != "." && ts(i - 1) != "::"))
+      if (isIf) {
+        var depth = 0; var close = -1; var commas = 0; var j = i + 1
+        while (j < ts.length && close < 0) {
+          if (ts(j) == "(") depth += 1
+          else if (ts(j) == ")") { depth -= 1; if (depth == 0) close = j }
+          else if (ts(j) == "," && depth == 1) commas += 1
+          j += 1
+        }
+        require(close > 0, "YQL: unterminated IF call")
+        if (commas == 1)
+          ts = (ts.take(close) :+ "," :+ "NULL") ++ ts.drop(close)
+        i += 1 // keep scanning INSIDE the call — IF args can nest IFs
+      } else i += 1
+    }
+    ts
+  }
+
   /** YQL `DateTime::StartOfDay/StartOfWeek/StartOfMonth/StartOfYear(x)` →
     * `date_trunc('<UNIT>', x)`. Structural (the unit rides as a literal
     * first argument, so a bare name map can't express it); both engines
@@ -952,8 +980,8 @@ object YqlFrontend {
     def body(ts: Vector[String]): Vector[String] =
       rewriteExclusionJoins(rewriteFlattenBy(rewriteGroupByAlias(rewriteWithout(rewriteCasts(
         rewriteBuiltinFns(rewriteBoolListFns(rewriteModuleFns(rewriteSplitToList(
-          rewriteSubstring(rewriteStartOf(
-            rewriteOnlyJoins(substitute(rewriteLambdas(rewriteTables(ts, resolver)))))))))))))))
+          rewriteSubstring(rewriteStartOf(rewriteTwoArgIf(
+            rewriteOnlyJoins(substitute(rewriteLambdas(rewriteTables(ts, resolver))))))))))))))))
 
     val isSubqueryBinding: Vector[String] => Boolean =
       s => s.length > 4 && s(0).startsWith("$") && s(1) == "=" && s(2) == "(" &&

@@ -519,6 +519,19 @@ class YqlFrontendSpec extends AnyFunSuite {
     assert(bad == 2L)
   }
 
+  test("2-arg IF defaults else to NULL; 3-arg and nested forms untouched") {
+    val r = YqlFrontend.run(spark,
+      """select IF(1 = 1, 'yes') as a,
+        |       IF(1 = 2, 'yes') as b,
+        |       IF(1 = 2, 'yes', 'no') as c,
+        |       IF(1 = 1, IF(2 = 3, 'x'), 'z') as nested
+        |  from (select 1);""".stripMargin).get.head()
+    assert(r.getString(0) == "yes")
+    assert(r.isNullAt(1))
+    assert(r.getString(2) == "no")
+    assert(r.isNullAt(3)) // outer takes then-branch = inner 2-arg IF → NULL
+  }
+
   test("String::Substring is zero-based (structural rewrite), composes with computed pos") {
     val r = YqlFrontend.run(spark,
       """select String::Substring('abcdef', 0, 2) as head2,
