@@ -54,19 +54,29 @@ case class BloomMightContain(child: Expression, ser: Array[Byte])
 object BloomExpressions {
 
   /** Deserialization cache: the same serialized filter is deserialized at
-    * most once per JVM (keyed on identity + length — plan copies share the
-    * byte array reference, so identity is the common hit path).
+    * most once per JVM. Keyed on CONTENT (`ByteBuffer.wrap` gives byte-wise
+    * equality + hashCode), never on identity — identity hash codes are not
+    * unique, and a collision between two distinct filters would silently
+    * return the wrong one, turning bloom-negative pruning into wrong d13
+    * answers. The cache is a bounded access-order LRU so long-lived
+    * sessions that cycle through many filters don't accumulate them; the
+    * content hash costs O(bytes) once per plan execution, not per row.
     */
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[Integer, BloomFilter]()
+  private val MaxCachedFilters = 64
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[java.nio.ByteBuffer, BloomFilter](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[java.nio.ByteBuffer, BloomFilter]): Boolean =
+        size() > MaxCachedFilters
+    })
 
   def deserialize(ser: Array[Byte]): BloomFilter = {
-    val key = Integer.valueOf(System.identityHashCode(ser))
+    val key = java.nio.ByteBuffer.wrap(ser)
     val hit = cache.get(key)
     if (hit != null) hit
     else {
       val bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(ser))
-      cache.putIfAbsent(key, bf)
+      cache.put(key, bf)
       bf
     }
   }

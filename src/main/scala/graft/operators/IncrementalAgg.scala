@@ -57,6 +57,31 @@ object IncrementalAgg {
   private def minC(alias: String): String = s"min_$alias"
   private def maxC(alias: String): String = s"max_$alias"
 
+  /** Null-safe equi-join on `on` columns: a NULL group key is a legal
+    * group (groupBy and Window.partitionBy both treat NULL as a value, so
+    * every from-scratch twin aggregates it) — with plain join equality a
+    * NULL-key group would never match its state/base counterpart and the
+    * refresh would silently diverge from the oracle. `<=>` matches
+    * groupBy's semantics. For row-producing join types the right side's
+    * key columns are coalesced away so the result keeps one set of key
+    * columns (the usingColumns shape the callers expect); non-key columns
+    * must be name-disjoint across sides.
+    */
+  private def nsKeyJoin(x: DataFrame, y: DataFrame, on: Seq[String],
+                        joinType: String): DataFrame = {
+    val yr = on.foldLeft(y)((d, c) => d.withColumnRenamed(c, s"_k_$c"))
+    val cond = on.map(c => col(c) <=> col(s"_k_$c")).reduce(_ && _)
+    val j = x.join(yr, cond, joinType)
+    joinType match {
+      case "left_semi" | "left_anti" => j
+      case _ =>
+        val rest = (x.columns.filterNot(on.contains) ++
+          y.columns.filterNot(on.contains)).toSeq
+        j.select(on.map(c => coalesce(col(c), col(s"_k_$c")).as(c)) ++
+          rest.map(col): _*)
+    }
+  }
+
   /** Mask a raw additive sum by its non-NULL contribution count: 0
     * contributions ⇒ NULL (the from-scratch answer), else the raw sum
     * (which a masked-NULL state stores as NULL but whose additive value is
@@ -87,9 +112,9 @@ object IncrementalAgg {
         sum(s.delta * weight).as(s.alias),
         sum(when(s.delta.isNotNull, weight).otherwise(0L)).as(nn(s.alias)))): _*)
     val stateCols = "cnt" +: sums.flatMap(s => Seq(s.alias, nn(s.alias)))
-    val merged = state.select((kc ++ stateCols.map(col)): _*)
-      .join(deltaAgg.withColumnsRenamed(stateCols.map(a => a -> s"_d_$a").toMap),
-        keys, "full_outer")
+    val merged = nsKeyJoin(state.select((kc ++ stateCols.map(col)): _*),
+      deltaAgg.withColumnsRenamed(stateCols.map(a => a -> s"_d_$a").toMap),
+      keys, "full_outer")
     // After the full outer, a NULL on either side means "key absent there"
     // (contributes 0) or, for a sum column, "present but masked/all-NULL"
     // (raw additive value also 0) — either way coalesce-to-0 is exact, and
@@ -160,7 +185,7 @@ object IncrementalAgg {
       Seq(col(minC(e.alias)), col(maxC(e.alias)))): _*)
     // least/greatest skip NULLs, so a key present on one side only keeps
     // the other side's extremum — exactly the merge semantics we need
-    val merged = extState.join(dIns, keys, "full_outer")
+    val merged = nsKeyJoin(extState, dIns, keys, "full_outer")
       .select(kc ++ extrema.flatMap(e => Seq(
         least(col(minC(e.alias)), col(s"_di_${minC(e.alias)}")).as(s"_mg_${minC(e.alias)}"),
         greatest(col(maxC(e.alias)), col(s"_di_${maxC(e.alias)}")).as(s"_mg_${maxC(e.alias)}"))): _*)
@@ -170,13 +195,12 @@ object IncrementalAgg {
       .select(kc ++ extrema.map(e => e.delta.as(s"_v_${e.alias}")) :+ lit(1L).as("_cw"): _*)
       .unionByName(delta.select(kc ++ extrema.map(e => e.delta.as(s"_v_${e.alias}")) :+
         weight.cast("long").as("_cw"): _*))
-      .join(touched, keys, "left_semi")
-    val repaired = survivingExtrema(contrib, keys, col("_cw"),
+    val contribTouched = nsKeyJoin(contrib, touched, keys, "left_semi")
+    val repaired = survivingExtrema(contribTouched, keys, col("_cw"),
       extrema.map(e => ExtremaSpec(e.alias, col(s"_v_${e.alias}"))), "_rc_")
-    refreshed
-      .join(merged, keys, "left")
-      .join(repaired, keys, "left")
-      .join(touched.withColumn("_retr", lit(true)), keys, "left")
+    nsKeyJoin(nsKeyJoin(nsKeyJoin(refreshed, merged, keys, "left"),
+        repaired, keys, "left"),
+        touched.withColumn("_retr", lit(true)), keys, "left")
       .select(kc ++ ("cnt" +: sums.flatMap(s => Seq(s.alias, nn(s.alias)))).map(col) ++
         extrema.flatMap(e => Seq(
           when(col("_retr"), col(s"_rc_${minC(e.alias)}"))
@@ -192,7 +216,7 @@ object IncrementalAgg {
                       sums: Seq[SumSpec], extrema: Seq[ExtremaSpec]): DataFrame = {
     val s = full(rows, keys, weight, sums)
     if (extrema.isEmpty) s
-    else s.join(survivingExtrema(rows, keys, weight, extrema, ""), keys, "left")
+    else nsKeyJoin(s, survivingExtrema(rows, keys, weight, extrema, ""), keys, "left")
   }
 
   /** Per-key TOP-K over the surviving multiset: rows collapse on
@@ -242,15 +266,16 @@ object IncrementalAgg {
     val inserts = delta.where(weight > 0)
       .select(kc ++ Seq(id.as("id"), value.as("value")): _*)
     // insert-merge side: old top-k rows ∪ delta inserts, re-ranked
-    val mergedIn = state.select(kc ++ Seq(col("id"), col("value")): _*)
-      .unionByName(inserts)
-      .join(touched, keys, "left_anti")
+    val mergedIn = nsKeyJoin(
+      state.select(kc ++ Seq(col("id"), col("value")): _*).unionByName(inserts),
+      touched, keys, "left_anti")
     val merged = fullTopK(mergedIn, keys, lit(1L), col("id"), col("value"), k)
     // repair side: exact surviving-multiset re-rank for retraction keys
-    val contrib = base.select(kc ++ Seq(id.as("id"), value.as("value"), lit(1L).as("_cw")): _*)
-      .unionByName(delta.select(kc ++ Seq(id.as("id"), value.as("value"),
-        weight.cast("long").as("_cw")): _*))
-      .join(touched, keys, "left_semi")
+    val contrib = nsKeyJoin(
+      base.select(kc ++ Seq(id.as("id"), value.as("value"), lit(1L).as("_cw")): _*)
+        .unionByName(delta.select(kc ++ Seq(id.as("id"), value.as("value"),
+          weight.cast("long").as("_cw")): _*)),
+      touched, keys, "left_semi")
     val repaired = fullTopK(contrib, keys, col("_cw"), col("id"), col("value"), k)
     merged.unionByName(repaired)
   }
@@ -297,7 +322,7 @@ object IncrementalAgg {
     val dIdx = delta.select(kc :+ value.as("_dv") :+ weight.cast("long").as("_w"): _*)
       .where(col("_dv").isNotNull)
       .groupBy(kc :+ col("_dv"): _*).agg(sum(col("_w")).as("_dm"))
-    val joined = index.join(dIdx, keys :+ "_dv", "full_outer")
+    val joined = nsKeyJoin(index, dIdx, keys :+ "_dv", "full_outer")
     val mNew = coalesce(col("m"), lit(0L)) + coalesce(col("_dm"), lit(0L))
     val newIndex = joined.select(kc ++ Seq(col("_dv"), mNew.as("m")): _*)
       .where(col("m") > 0)
@@ -306,7 +331,7 @@ object IncrementalAgg {
       .otherwise(0L)
     val ndvDelta = joined.groupBy(kc: _*).agg(sum(chg).as("_dndv"))
       .where(col("_dndv") =!= 0)
-    val newSummary = summary.join(ndvDelta, keys, "full_outer")
+    val newSummary = nsKeyJoin(summary, ndvDelta, keys, "full_outer")
       .select(kc :+ (coalesce(col("ndv"), lit(0L)) + coalesce(col("_dndv"), lit(0L))).as("ndv"): _*)
       .where(col("ndv") > 0)
     (newIndex, newSummary)

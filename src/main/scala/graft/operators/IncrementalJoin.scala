@@ -51,12 +51,26 @@ object IncrementalJoin {
     if (keepNegative) g.where(col("m") =!= 0) else g.where(col("m") > 0)
   }
 
-  /** Bag union on all non-`m` columns; tuples summing to ≤ 0 drop. */
+  /** Bag union on all non-`m` columns; tuples summing to ≤ 0 drop.
+    *
+    * Tuple matching is NULL-SAFE (`<=>`): a NULL payload value must pair
+    * with its index/view counterpart, exactly as `collapse`'s groupBy
+    * already treats NULLs as equal — with plain equality a retraction of a
+    * NULL-bearing tuple would survive as a separate negative row and be
+    * dropped by the m > 0 filter, silently losing the retraction. (Join
+    * KEYS follow standard SQL semantics throughout: a NULL key never
+    * enters the view in `full` or `refresh`, so plain equality in
+    * `bagJoin` is consistent between the two paths.)
+    */
   private def mergeBags(x: DataFrame, y: DataFrame): DataFrame = {
     val cols = x.columns.filterNot(_ == "m").toSeq
-    x.withColumnRenamed("m", "_mx")
-      .join(y.withColumnRenamed("m", "_my"), cols, "full_outer")
-      .select(cols.map(col) :+
+    val xr = x.withColumnRenamed("m", "_mx")
+    val yr = cols.foldLeft(y.withColumnRenamed("m", "_my")) {
+      (d, c) => d.withColumnRenamed(c, s"_y_$c")
+    }
+    val cond = cols.map(c => col(c) <=> col(s"_y_$c")).reduce(_ && _)
+    xr.join(yr, cond, "full_outer")
+      .select(cols.map(c => coalesce(col(c), col(s"_y_$c")).as(c)) :+
         (coalesce(col("_mx"), lit(0L)) + coalesce(col("_my"), lit(0L))).as("m"): _*)
       .where(col("m") > 0)
   }

@@ -537,9 +537,11 @@ object StatQueries {
   /** x14: exact Pearson correlation per group — `corr()` on doubles is a
     * sequential float fold (shuffle-order-dependent, never hashable), so
     * the moments are accumulated EXACTLY instead: cents-quantized x/y,
-    * integer sums Σx Σy Σxy Σx² (BIGINT — bounds documented inline) and
-    * Σy² in DECIMAL(38,0) (y² ~10¹⁴ per row overflows BIGINT's headroom
-    * past ~10⁵ rows). The classic closed form
+    * integer sums Σx Σy (BIGINT — per-row terms ≤ 10⁷ keep them safe to
+    * ~10¹¹ rows per group) and Σxy Σx² Σy² in DECIMAL(38,0) — the per-row
+    * products run to ~10¹⁴, so a BIGINT Σxy would overflow silently past
+    * ~2·10⁸ rows per group, far below the 100 TB regime; decimal
+    * accumulation is exact to 10³⁸. The classic closed form
     * (nΣxy−ΣxΣy)/√(nΣx²−Σx²)√(nΣy²−Σy²) then runs on DOUBLES derived
     * from those exact integers with an IDENTICAL expression tree both
     * engines — every step (decimal→double cast, ×, −, ÷, √) is
@@ -563,9 +565,9 @@ object StatQueries {
         count(lit(1)).as("n_rows"),
         sum(x).as("sx"), // ≤ 5e3·n — BIGINT-safe to ~10^15 rows
         sum(y).as("sy"), // ≤ 1e7·n
-        sum(x * y).as("sxy"), // ≤ 5e10·n
-        sum(x * x).as("sxx"), // ≤ 2.5e7·n
-        sum((y * y).cast("decimal(38,0)")).as("syy")) // 1e14·n — decimal only
+        sum((x * y).cast("decimal(38,0)")).as("sxy"), // 5e10·n — decimal, BIGINT dies at ~2e8 rows
+        sum((x * x).cast("decimal(38,0)")).as("sxx"), // 2.5e7·n
+        sum((y * y).cast("decimal(38,0)")).as("syy")) // 1e14·n
       .select(col("l_returnflag"), col("n_rows"),
         floor(lit(1e9) * num / (vx * vy)).cast("long").as("corr_ppb"))
       .orderBy("l_returnflag")
@@ -580,7 +582,8 @@ object StatQueries {
       |g AS (
       |  SELECT l_returnflag, count(1) AS n_rows,
       |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-      |         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx,
+      |         sum(CAST(x AS DECIMAL(18, 0)) * CAST(y AS DECIMAL(18, 0))) AS sxy,
+      |         sum(CAST(x AS DECIMAL(18, 0)) * CAST(x AS DECIMAL(18, 0))) AS sxx,
       |         sum(CAST(y AS DECIMAL(18, 0)) * CAST(y AS DECIMAL(18, 0))) AS syy
       |  FROM q GROUP BY 1)
       |SELECT l_returnflag, n_rows,
@@ -610,7 +613,9 @@ object StatQueries {
       .agg(
         count(lit(1)).as("n_rows"),
         sum(x).as("sx"), sum(y).as("sy"),
-        sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+        // decimal moments, same rationale as x14: BIGINT Σxy overflows ~2e8 rows/group
+        sum((x * y).cast("decimal(38,0)")).as("sxy"),
+        sum((x * x).cast("decimal(38,0)")).as("sxx"))
       .select(col("l_returnflag"), col("n_rows"),
         floor(lit(1e9) * num / den).cast("long").as("slope_ppb"),
         floor(lit(1e6) * (col("sy").cast("double") - num / den * col("sx").cast("double")) / n)
@@ -627,7 +632,8 @@ object StatQueries {
       |g AS (
       |  SELECT l_returnflag, count(1) AS n_rows,
       |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-      |         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+      |         sum(CAST(x AS DECIMAL(18, 0)) * CAST(y AS DECIMAL(18, 0))) AS sxy,
+      |         sum(CAST(x AS DECIMAL(18, 0)) * CAST(x AS DECIMAL(18, 0))) AS sxx
       |  FROM q GROUP BY 1)
       |SELECT l_returnflag, n_rows,
       |       CAST(floor(1e9 * (CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /

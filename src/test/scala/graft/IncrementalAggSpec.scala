@@ -207,4 +207,39 @@ class IncrementalAggSpec extends AnyFunSuite {
     // b's only non-NULL value was retracted: the key vanishes from the summary
     assert(got.where($"k" === "b").isEmpty)
   }
+
+  test("NULL group keys refresh exactly like the from-scratch twin (null-safe key joins)") {
+    // groupBy treats NULL as a group, so every full* twin aggregates it;
+    // refresh paths must pair NULL-key state/delta/base rows the same way
+    val base = Seq((Option.empty[String], 10L), (Option.empty[String], 4L), (Some("a"), 7L))
+      .toDF("k", "v").withColumn("w", lit(1L))
+    val delta = Seq((Option.empty[String], 10L, -1L), (Option.empty[String], 6L, 1L),
+      (Some("a"), 2L, 1L)).toDF("k", "v", "w")
+    val after = base.unionByName(delta)
+    val sums = Seq(IncrementalAgg.SumSpec("sv", col("v")))
+    val ext = Seq(IncrementalAgg.ExtremaSpec("v", col("v")))
+
+    // sums + extrema: the NULL-key retraction must route through base repair
+    val st = IncrementalAgg.fullWithExtrema(base, Seq("k"), col("w"), sums, ext)
+    val got = IncrementalAgg.refreshWithExtrema(st, delta, base, Seq("k"), col("w"), sums, ext)
+    val want = IncrementalAgg.fullWithExtrema(after, Seq("k"), col("w"), sums, ext)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(got.where($"k".isNull).select("max_v").as[Long].head() == 6L) // 10 retracted
+
+    // top-k: NULL-key leader retraction promotes the next value
+    val bT = base.select($"k", monotonically_increasing_id().as("id"), $"v", $"w")
+      .withColumn("id", $"v") // unique per key here; value doubles as id
+    val dT = delta.select($"k", $"v".as("id"), $"v", $"w")
+    val gotT = IncrementalAgg.refreshTopK(topk(bT), dT, bT, Seq("k"), col("w"),
+      col("id"), col("v"), k = 2)
+    val wantT = topk(bT.unionByName(dT))
+    assert(gotT.exceptAll(wantT).isEmpty && wantT.exceptAll(gotT).isEmpty)
+
+    // distinct: NULL-key index/summary merge is null-safe
+    val idx = IncrementalAgg.fullDistinctIndex(base, Seq("k"), col("w"), col("v"))
+    val sum0 = IncrementalAgg.distinctSummary(idx, Seq("k"))
+    val (_, gotD) = IncrementalAgg.refreshDistinct(idx, sum0, delta, Seq("k"), col("w"), col("v"))
+    val wantD = ndvOf(after)
+    assert(gotD.exceptAll(wantD).isEmpty && wantD.exceptAll(gotD).isEmpty)
+  }
 }

@@ -56,6 +56,23 @@ class IncrementalJoinSpec extends AnyFunSuite {
     assert(got2.view.isEmpty && got2.bIdx.isEmpty)
   }
 
+  test("NULL payload values: retraction of a NULL-bearing tuple cancels (null-safe merge)") {
+    // payload `seg` is NULL — plain-equality merging would leave the −1 row
+    // unmatched and the retraction would silently vanish at the m>0 filter
+    val a = Seq((1L, Option.empty[String]), (2L, Some("s2")))
+      .toDF("k", "seg").withColumn("w", lit(1L))
+    val b = Seq((1L, 10L), (2L, 20L)).toDF("k", "oid").withColumn("w", lit(1L))
+    val s0 = IncrementalJoin.full(a, b, Seq("k"))
+    assert(s0.view.where($"k" === 1L).count() == 1L)
+    val dA = Seq((1L, Option.empty[String], -1L)).toDF("k", "seg", "w")
+    val dB = Seq.empty[(Long, Long, Long)].toDF("k", "oid", "w")
+    val got = IncrementalJoin.refresh(s0, dA, dB, Seq("k"))
+    val want = IncrementalJoin.full(a.unionByName(dA), b.unionByName(dB), Seq("k"))
+    assertSame(got.view, want.view)
+    assertSame(got.aIdx, want.aIdx)
+    assert(got.view.where($"k" === 1L).isEmpty) // the NULL-tuple retraction lands
+  }
+
   test("stepwise refreshes ≡ one from-scratch over everything") {
     val a = Seq((1L, "p"), (2L, "q")).toDF("k", "seg").withColumn("w", lit(1L))
     val b = Seq((1L, 100L), (2L, 200L)).toDF("k", "oid").withColumn("w", lit(1L))
