@@ -390,7 +390,238 @@ object CorpusQueries {
       |       min(doc_id) AS first_doc
       |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** v10: the FULL LLM-curation pipeline as one connected DAG — the
+    * brief-shaped composition every per-stage gate (d1, d3, t3, t9, v2,
+    * n8, n9, n11) rehearses individually: re-crawl corpus → exact dedup
+    * (d1's keep-first rule) → MinHash-LSH near-dedup (d3's banded
+    * candidates + exact-Jaccard verify, drop the larger id of each
+    * confirmed pair) → quality gate (token floor + t9's add-one-smoothed
+    * bigram LM score against an in-corpus reference split) →
+    * decontamination (v2's 8-gram overlap with the eval split, eval docs
+    * excluded from the training corpus) → temperature-flattened source
+    * mixing (n8's integer-ppm √-rates over the SURVIVING corpus) →
+    * per-(split, shard) greedy sequence packing (n9's linear
+    * mapPartitions fold, shards never cross splits) → the manifest.
+    *
+    * Scale shape, stage by stage: one window shuffle on the text
+    * fingerprint (exact dedup); the shingle/band equi-join shuffles (LSH —
+    * never all-pairs); word-count shuffles + one broadcast scalar (LM
+    * score); one gram equi-join with a distinct-gram build side
+    * (decontamination); a per-source rollup broadcast back (mix); ONE
+    * hash-route shuffle into 12 packer shards (pack); a tiny final rollup.
+    * The tokenized survivor relation is computed ONCE and reused by the
+    * shingle, LM, and gram stages (InMemoryTableScan reuse — at 100 TB
+    * this is the "tokenize once, feed every filter" layout every curation
+    * run wants). Nothing materializes between stages; Catalyst sees the
+    * whole chain and AQE sizes every exchange.
+    *
+    * Output grain: (split, source) with doc/token totals, the number of
+    * packed sequences the group's docs landed in, the deterministic
+    * first survivor id, and the source's sampling rate — the manifest a
+    * trainer consumes.
+    */
+  def v10Pipeline(spark: SparkSession, dir: String): DataFrame = {
+    import DedupQueries.{MinhashFns, BandRows, ShingleDfCap, MersenneP, affineA, affineB, tracked}
+    val W = 256L // token budget per packed sequence
+    val docs = Tables.documents(spark, dir).select("doc_id", "source", "text")
+    val corpus = docs.unionByName(
+      docs.where(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+    // stage 1 — exact dedup, keep-first on the normalized-text fingerprint
+    val s1 = corpus
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(Text.normText(col("text")))).orderBy("doc_id")))
+      .where(col("rn") === 1).drop("rn")
+    // tokenize ONCE; shingles, LM bigrams, and decontamination grams all read this
+    val toks = tracked(s1
+      .select(col("doc_id"), col("source"), Text.tokens(col("text")).as("tk")).cache())
+    // stage 2 — MinHash-LSH near-dedup over the exact-dedup survivors
+    val sh0 = toks.select(col("doc_id"), explode(Text.shingles(col("tk"))).as("shingle"))
+      .select(col("doc_id"), Text.md5Long(col("shingle")).as("sh64"))
+    val dfc = sh0.groupBy("sh64").agg(count(lit(1)).as("df")).where(col("df") <= ShingleDfCap)
+    val sh = tracked(sh0.join(dfc, "sh64").select("doc_id", "sh64").cache())
+    val hashed = sh
+      .withColumn("h32", col("sh64").bitwiseAND(lit(0xFFFFFFFFL)))
+      .select(col("doc_id") +: (0 until MinhashFns).map(j =>
+        ((col("h32") * affineA(j) + affineB(j)) % MersenneP).as(s"h$j")): _*)
+    val sig = hashed.groupBy("doc_id")
+      .agg(min(col("h0")).as("m0"),
+        (1 until MinhashFns).map(j => min(col(s"h$j")).as(s"m$j")): _*)
+    val nBands = MinhashFns / BandRows
+    val bandArr = array((0 until nBands).map { k =>
+      struct(lit(k).as("band"),
+        concat_ws(",", (0 until BandRows).map(r => col(s"m${k * BandRows + r}")): _*).as("key"))
+    }: _*)
+    val bands = sig.select(col("doc_id"), explode(bandArr).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+    val cand = bands.as("a").join(bands.as("b"), Seq("band", "key"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("x"), col("x.doc_id") === col("da"))
+      .join(sh.as("y"), col("y.doc_id") === col("db") && col("y.sh64") === col("x.sh64"))
+      .groupBy("da", "db").agg(count(lit(1)).as("i"))
+    val neardup = inter
+      .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
+      .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
+      .where(col("i") * lit(1.0) / (col("na") + col("nb") - col("i")) >= 0.5)
+      .select(col("db").as("doc_id")).distinct()
+    val s2 = toks.join(neardup, Seq("doc_id"), "left_anti")
+    // stage 3 — quality gate: token floor + t9 LM score ≥ 30M ppb/bigram
+    val tok2 = s2.where(size(col("tk")) >= 2)
+    val big = tok2.select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, size(tk) - 1), i -> struct(tk[i - 1] AS w1, tk[i] AS w2))"))
+          .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val refBig = big.where(col("doc_id") % 3 === 0)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("b"))
+    val refCtx = refBig.groupBy("w1").agg(sum("b").as("c"))
+    val vocab = tok2.where(col("doc_id") % 3 === 0)
+      .select(explode(col("tk")).as("w")).agg(countDistinct("w").as("v"))
+    val lm = big
+      .join(refBig, Seq("w1", "w2"), "left")
+      .join(refCtx, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab)) // 1-row scalar, benign
+      .select(col("doc_id"),
+        floor(lit(1e9) * (coalesce(col("b"), lit(0L)) + lit(1L)) /
+          (coalesce(col("c"), lit(0L)) + col("v"))).cast("long").as("ppb"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("ppb").as("score_ppb"))
+    val s3 = s2.select(col("doc_id"), col("source"), size(col("tk")).cast("long").as("n_tokens"))
+      .join(lm, "doc_id")
+      .where(col("n_tokens") >= 20 && col("score_ppb") >= col("n_bigrams") * lit(30000000L))
+      .select("doc_id", "source", "n_tokens")
+    // stage 4 — decontamination: 8-gram overlap with the eval split (id ≡ 0 mod 11)
+    val grams = toks.select(col("doc_id"), explode(Text.shingles(col("tk"), NGram)).as("gram"))
+    val ev = grams.where(col("doc_id") % 11 === 0).select("gram").distinct()
+    val contaminated = grams.where(col("doc_id") % 11 =!= 0)
+      .join(ev, "gram").select("doc_id").distinct()
+    val s4 = s3.where(col("doc_id") % 11 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    // stage 5 — temperature mix (α = 0.5 → √-flattened integer-ppm rates) + split
+    val bySrc = s4.groupBy("source").agg(sum("n_tokens").as("src_tokens"))
+    val tmin = bySrc.agg(min("src_tokens").as("min_tokens"))
+    val rates = bySrc.crossJoin(broadcast(tmin)) // 1-row scalar, benign
+      .select(col("source"),
+        floor(lit(1000000.0) * sqrt(col("min_tokens") / col("src_tokens")))
+          .cast("long").as("rate_ppm"))
+    val bucket = pmod(Text.md5Long(col("doc_id").cast("string")), lit(100L))
+    val s5 = tracked(s4.join(broadcast(rates), Seq("source"))
+      .where(pmod(Text.md5Long(concat(lit("v10:"), col("doc_id").cast("string"))),
+        lit(1000000L)) < col("rate_ppm"))
+      .withColumn("split_idx",
+        when(bucket < 80, 0).when(bucket < 90, 1).otherwise(2))
+      .cache())
+    // stage 6 — greedy sequence packing per (split, shard); shards never cross splits
+    val packed = SamplingQueries.packLinear(
+      s5.select(col("doc_id"),
+          (col("split_idx") * 4 +
+            pmod(Text.md5Long(concat(lit("v10s:"), col("doc_id").cast("string"))), lit(4L)))
+            .cast("int").as("shard"),
+          col("n_tokens"))
+        .withColumn("bin0", lit(0L)).withColumn("used0", lit(W + 1)),
+      W, 12)
+    // stage 7 — the manifest
+    packed
+      .join(s5.select("doc_id", "source", "rate_ppm", "split_idx"), "doc_id")
+      .select(
+        when(col("split_idx") === 0, "train").when(col("split_idx") === 1, "val")
+          .otherwise("test").as("split"),
+        col("source"), col("n_tokens"), col("doc_id"), col("rate_ppm"),
+        (col("shard").cast("long") * 1000000L + col("bin")).as("seq_key"))
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        countDistinct(col("seq_key")).as("n_seqs_touched"),
+        min("doc_id").as("first_doc"), max("rate_ppm").as("rate_ppm"))
+      .orderBy("split", "source")
+  }
+
+  val v10Oracle: String = {
+    import DedupQueries.{MinhashFns, BandRows, ShingleDfCap, MersenneP, affineA, affineB}
+    val As = (0 until MinhashFns).map(affineA).mkString("[", ", ", "]")
+    val Bs = (0 until MinhashFns).map(affineB).mkString("[", ", ", "]")
+    val gram8 = (0 until NGram).map(o => s"tk[i+$o]").mkString(" || ' ' || ")
+    s"""WITH RECURSIVE corpus AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, source, text FROM documents WHERE doc_id % 10 = 0),
+       |d AS (
+       |  SELECT *, row_number() OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) ORDER BY doc_id) AS rn
+       |  FROM corpus),
+       |s1 AS (SELECT doc_id, source, text FROM d WHERE rn = 1),
+       |toks AS (SELECT doc_id, source, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') tk FROM s1),
+       |sh_all AS (SELECT doc_id, unnest(list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in range(1, len(tk) - 1)])) AS shingle
+       |           FROM toks WHERE len(tk) >= 3),
+       |sh AS (SELECT doc_id, shingle FROM sh_all
+       |       WHERE shingle IN (SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) <= $ShingleDfCap)),
+       |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+       |h AS (SELECT doc_id, shingle, j,
+       |        ((('0x' || substr(md5(shingle), 1, 15))::BIGINT & 4294967295) * ($As[j + 1]) + ($Bs[j + 1])) % $MersenneP hv
+       |      FROM sh, unnest(range(0, $MinhashFns)) AS r(j)),
+       |sig AS (SELECT doc_id, j, min(hv) m FROM h GROUP BY 1, 2),
+       |bands AS (SELECT doc_id, j // $BandRows AS band, string_agg(m::VARCHAR, ',' ORDER BY j) AS key
+       |          FROM sig GROUP BY doc_id, j // $BandRows),
+       |cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
+       |         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |inter AS (SELECT c.da, c.db, count(*) i
+       |          FROM cand c JOIN sh x ON x.doc_id = c.da JOIN sh y ON y.doc_id = c.db AND y.shingle = x.shingle
+       |          GROUP BY 1, 2),
+       |neardup AS (SELECT DISTINCT db FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+       |            WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5),
+       |s2 AS (SELECT toks.* FROM toks LEFT JOIN neardup ON toks.doc_id = neardup.db WHERE neardup.db IS NULL),
+       |tok2 AS (SELECT doc_id, tk FROM s2 WHERE len(tk) >= 2),
+       |pos AS (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM tok2),
+       |big AS (SELECT doc_id, tk[CAST(i AS INT)] AS w1, tk[CAST(i + 1 AS INT)] AS w2 FROM pos),
+       |ref_big AS (SELECT w1, w2, count(1) AS b FROM big WHERE doc_id % 3 = 0 GROUP BY 1, 2),
+       |ref_ctx AS (SELECT w1, sum(b) AS c FROM ref_big GROUP BY 1),
+       |vocab AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(tk) AS w FROM tok2 WHERE doc_id % 3 = 0)),
+       |scored AS (
+       |  SELECT big.doc_id, CAST(floor(1e9 * (coalesce(rb.b, 0) + 1) / (coalesce(rc.c, 0) + vocab.v)) AS BIGINT) AS ppb
+       |  FROM big LEFT JOIN ref_big rb ON rb.w1 = big.w1 AND rb.w2 = big.w2
+       |       LEFT JOIN ref_ctx rc ON rc.w1 = big.w1 CROSS JOIN vocab),
+       |lm AS (SELECT doc_id, count(1) AS n_bigrams, CAST(sum(ppb) AS BIGINT) AS score_ppb FROM scored GROUP BY 1),
+       |s3 AS (
+       |  SELECT s2.doc_id, s2.source, CAST(len(s2.tk) AS BIGINT) AS n_tokens
+       |  FROM s2 JOIN lm ON lm.doc_id = s2.doc_id
+       |  WHERE len(s2.tk) >= 20 AND lm.score_ppb >= lm.n_bigrams * 30000000),
+       |grams AS (SELECT doc_id, unnest(list_distinct([$gram8 for i in range(1, len(tk) - ${NGram - 2})])) AS gram
+       |          FROM toks WHERE len(tk) >= $NGram),
+       |ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 11 = 0),
+       |contaminated AS (SELECT DISTINCT g.doc_id FROM grams g JOIN ev USING (gram) WHERE g.doc_id % 11 <> 0),
+       |s4 AS (SELECT s3.* FROM s3 LEFT JOIN contaminated c ON s3.doc_id = c.doc_id
+       |       WHERE s3.doc_id % 11 <> 0 AND c.doc_id IS NULL),
+       |srcs AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens FROM s4 GROUP BY 1),
+       |r AS (SELECT source, CAST(floor(1000000.0 * sqrt((SELECT min(src_tokens) FROM srcs) / src_tokens)) AS BIGINT) AS rate_ppm FROM srcs),
+       |s5 AS (SELECT s4.doc_id, s4.source, s4.n_tokens, r.rate_ppm,
+       |              CASE WHEN ('0x' || substr(md5(CAST(s4.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80 THEN 0
+       |                   WHEN ('0x' || substr(md5(CAST(s4.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 1
+       |                   ELSE 2 END AS split_idx
+       |       FROM s4 JOIN r USING (source)
+       |       WHERE ('0x' || substr(md5('v10:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 < r.rate_ppm),
+       |p AS MATERIALIZED (SELECT *,
+       |        CAST(split_idx * 4 + ('0x' || substr(md5('v10s:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 4 AS INT) AS shard,
+       |        row_number() OVER (PARTITION BY split_idx * 4 + ('0x' || substr(md5('v10s:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 4
+       |                           ORDER BY doc_id) AS prn
+       |      FROM s5),
+       |rec AS (
+       |  SELECT shard, prn, doc_id, source, n_tokens, rate_ppm, split_idx, CAST(1 AS BIGINT) AS bin, n_tokens AS used
+       |  FROM p WHERE prn = 1
+       |  UNION ALL
+       |  SELECT p.shard, p.prn, p.doc_id, p.source, p.n_tokens, p.rate_ppm, p.split_idx,
+       |         CASE WHEN rec.used + p.n_tokens <= 256 THEN rec.bin ELSE rec.bin + 1 END,
+       |         CASE WHEN rec.used + p.n_tokens <= 256 THEN rec.used + p.n_tokens ELSE p.n_tokens END
+       |  FROM rec JOIN p ON p.shard = rec.shard AND p.prn = rec.prn + 1)
+       |SELECT CASE split_idx WHEN 0 THEN 'train' WHEN 1 THEN 'val' ELSE 'test' END AS split,
+       |       source, count(1) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |       CAST(count(DISTINCT shard * 1000000 + bin) AS BIGINT) AS n_seqs_touched,
+       |       min(doc_id) AS first_doc, max(rate_ppm) AS rate_ppm
+       |FROM rec GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v10_pipeline" -> (v10Pipeline _),
     "v9_curate" -> (v9Curate _),
     "v1_vocab" -> (v1Vocab _),
     "v2_decontaminate" -> (v2Decontaminate _),
@@ -402,6 +633,7 @@ object CorpusQueries {
     "v8_chunk" -> (v8Chunk _))
 
   val oracles: Map[String, String] = Map(
+    "v10_pipeline" -> v10Oracle,
     "v9_curate" -> v9Oracle,
     "v1_vocab" -> v1Oracle,
     "v2_decontaminate" -> v2Oracle,

@@ -20,9 +20,9 @@ import graft.sources.Tables
   */
 object DedupQueries {
 
-  private val MinhashFns = 12   // hash family size
-  private val BandRows = 2      // MinHash rows per band → 6 bands
-  private val ShingleDfCap = 100 // drop shingles shared by > cap docs (skew guard)
+  private[queries] val MinhashFns = 12   // hash family size
+  private[queries] val BandRows = 2      // MinHash rows per band → 6 bands
+  private[queries] val ShingleDfCap = 100 // drop shingles shared by > cap docs (skew guard)
   /** 64-bit SimHash with 4×16-bit bands (pigeonhole-complete for
     * Hamming ≤ 3, same as the previous 4×8 over 32 bits). The width is a
     * 100 TB requirement, not a tuning knob: a 32-bit sketch has 2³²
@@ -53,7 +53,7 @@ object DedupQueries {
     * life of the SparkSession.
     */
   private val persistedShared = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
-  private def tracked(df: DataFrame): DataFrame = { persistedShared.add(df); df }
+  private[queries] def tracked(df: DataFrame): DataFrame = { persistedShared.add(df); df }
 
   /** Drop every cached intermediate this module has registered. Safe to
     * call at any point: queries simply re-persist on next use.
@@ -63,7 +63,7 @@ object DedupQueries {
     while (df != null) { df.unpersist(blocking = false); df = persistedShared.poll() }
   }
 
-  private val MersenneP = (1L << 61) - 1
+  private[queries] val MersenneP = (1L << 61) - 1
   private[queries] def affineA(j: Int): Long =
     math.abs(("a:" + j).hashCode.toLong % ((1L << 29) - 1)) * 2 + 1 // odd, < 2^30
   private[queries] def affineB(j: Int): Long =
