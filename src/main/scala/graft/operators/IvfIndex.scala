@@ -35,6 +35,36 @@ final class IvfIndex private (val base: String) {
   private def assignments(spark: SparkSession): DataFrame =
     spark.read.parquet(s"$base/assignments")
 
+  /** Incremental index maintenance: assign a crawl increment
+    * (vec_id BIGINT, embedding ARRAY<FLOAT>) to the EXISTING coarse
+    * centroids and append it to the `cid=` inverted-list partitions.
+    * Resident list files are never read, rewritten, or moved — the write
+    * adds new parquet files inside the touched `cid=` directories
+    * (SaveMode.Append under partitionBy), so an append costs O(Δ·k·d)
+    * assignment + O(Δ) write regardless of corpus size, and concurrent
+    * readers keep serving the old lists until the new files land.
+    *
+    * Centroids are NOT re-fit: with frozen centroids,
+    * `build(base); append(Δ)` produces exactly the assignment
+    * `build(base ⊎ Δ)` would with the same centroids (`IvfIndexSpec`
+    * pins it; `s7_incremental_ivf` oracle-gates the served results).
+    * Cell DRIFT is the operator's contract boundary — see SCALE.md for
+    * the re-centering policy (rebuild when the appended mass or the
+    * assignment-cosine distribution degrades past threshold).
+    *
+    * Exactly-once: a retried append would double the increment's rows;
+    * production runs wrap the append in a manifest commit (the
+    * `VersionedStore` pointer pattern) or dedup on vec_id at read.
+    */
+  def append(spark: SparkSession, increment: DataFrame): Unit = {
+    graft.GraftSession.prepare(spark)
+    val e = increment
+      .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
+      .withColumn("n2", Vectors.norm2D(col("v")))
+    IvfIndex.assignTo(centroids(spark), e)
+      .write.mode(SaveMode.Append).partitionBy("cid").parquet(s"$base/assignments")
+  }
+
   /** Top-k cosine neighbors for `queries` (qid, v ARRAY<DOUBLE>), probing
     * `probes` cells per query. The probed-cell union is collected to the
     * driver (bounded by the centroid count, NOT the data — ≤ k ints) and
@@ -88,15 +118,8 @@ object IvfIndex {
       .select(col("cid"), col("v").as("cv"), col("n2").as("cn2"))
       .localCheckpoint()
 
-    def assign(of: DataFrame): DataFrame = of.join(broadcast(cents))
-      .withColumn("ccos", Vectors.cosinePre(col("v"), col("n2"), col("cv"), col("cn2")))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))))
-      .where(col("crank") === 1)
-      .select(col("vec_id"), col("v"), col("n2"), col("cid"))
-
     (1 to lloydIters).foreach { _ =>
-      cents = assign(e)
+      cents = assignTo(cents, e)
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cid", "dim").agg(avg("x").as("x"))
         .groupBy("cid").agg(array_sort(collect_list(struct(col("dim"), col("x")))).as("dx"))
@@ -106,10 +129,22 @@ object IvfIndex {
     }
 
     cents.write.mode(SaveMode.Overwrite).parquet(s"$base/centroids")
-    assign(e).write.mode(SaveMode.Overwrite)
+    assignTo(cents, e).write.mode(SaveMode.Overwrite)
       .partitionBy("cid").parquet(s"$base/assignments")
     new IvfIndex(base)
   }
+
+  /** Nearest-centroid assignment: broadcast join + rank-1 window over
+    * (vec_id, v, n2) rows — the one step build iterations, the final
+    * assignment write, and incremental [[IvfIndex.append]] all share.
+    */
+  private def assignTo(cents: DataFrame, e: DataFrame): DataFrame =
+    e.join(broadcast(cents))
+      .withColumn("ccos", Vectors.cosinePre(col("v"), col("n2"), col("cv"), col("cn2")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))))
+      .where(col("crank") === 1)
+      .select(col("vec_id"), col("v"), col("n2"), col("cid"))
 
   def load(base: String): IvfIndex = new IvfIndex(base)
 }

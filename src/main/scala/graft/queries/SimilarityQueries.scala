@@ -198,6 +198,63 @@ object SimilarityQueries {
 
   private def cosSqlQX: String = cosSql
 
+  /** s7: INCREMENTAL IVF index maintenance — the persistent-index twin of
+    * d9/d14's Δ-vs-index pattern for ANN serving: 90% of the corpus (by
+    * membership hash) builds a REAL on-disk [[graft.operators.IvfIndex]]
+    * (deterministic bottom-k md5 seeding; Lloyd disabled here because its
+    * float averages are engine-order-dependent — the oracle must replay
+    * the centroid math bit-exactly; `IvfIndexSpec` covers the Lloyd path),
+    * the remaining 10% arrives as a crawl increment that
+    * [[graft.operators.IvfIndex.append]] assigns to the EXISTING coarse
+    * centroids and appends into the `cid=` inverted-list partitions —
+    * resident lists never rewritten, corpus never re-assigned. Queries
+    * then probe the appended index.
+    *
+    * The oracle IS the rebuilt index: it assigns base ⊎ Δ from scratch
+    * against the same centroids and serves the same probes, so a hash
+    * match certifies append ≡ rebuild — exactly the invariant that makes
+    * the incremental path safe. Scale: append costs O(Δ·k·d) assignment +
+    * O(Δ) write regardless of corpus size; re-centering policy in
+    * SCALE.md.
+    */
+  def s7IncrementalIvf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Text
+    import graft.operators.IvfIndex
+    val e = Tables.embeddings(spark, dir)
+    val isInc = pmod(Text.md5Long(concat(lit("s7:"), col("vec_id").cast("string"))), lit(10L)) === 0
+    val idxPath = s"${sys.props("java.io.tmpdir")}/graft_s7_${math.abs(dir.hashCode)}"
+    // dynamic partition overwrite only replaces partitions the build writes
+    // into — wipe the rehearsal path so a rerun can't keep stale appends
+    graft.sources.FsUtil.delete(spark, idxPath)
+    val idx = IvfIndex.build(spark, e.where(!isInc), idxPath, cells = Cells, lloydIters = 0)
+    idx.append(spark, e.where(isInc))
+    val queries = e.where(col("vec_id") < QueryBlock)
+      .select(col("vec_id").as("qid"), Vectors.toDouble(col("embedding")).as("v"))
+    idx.query(spark, queries, probes = Probes, topK = TopK)
+      .orderBy("qid", "rank")
+  }
+
+  val s7Oracle: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+       |base AS (SELECT * FROM e WHERE ('0x' || substr(md5('s7:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 10 <> 0),
+       |seeds AS (SELECT vec_id, v, md5('ivf:' || CAST(vec_id AS VARCHAR)) AS h FROM base ORDER BY h LIMIT $Cells),
+       |c AS (SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS INT) AS cid, v AS cv FROM seeds),
+       |ranked_cells AS (
+       |  SELECT a.vec_id, b.cid, $cosSqlAB AS ccos,
+       |         row_number() OVER (PARTITION BY a.vec_id ORDER BY $cosSqlAB DESC, b.cid) AS crank
+       |  FROM e a CROSS JOIN c b),
+       |assigned AS (SELECT vec_id, cid FROM ranked_cells WHERE crank = 1),
+       |probes AS (SELECT vec_id AS qid, cid FROM ranked_cells WHERE crank <= $Probes AND vec_id < $QueryBlock),
+       |scored AS (
+       |  SELECT p.qid, x.vec_id nid, $cosSqlQX AS cos
+       |  FROM probes p JOIN assigned x ON p.cid = x.cid AND x.vec_id <> p.qid
+       |  JOIN e a ON a.vec_id = p.qid JOIN e b ON b.vec_id = x.vec_id),
+       |fin AS (
+       |  SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |  FROM scored)
+       |SELECT qid, nid, CAST(rank AS INTEGER) AS rank, cos FROM fin WHERE rank <= $TopK
+       |ORDER BY qid, rank""".stripMargin
+
   /** s4: retrieval hydration — the RAG shape: ANN top-k ids joined back to
     * the document store for text snippets. The k·|queries| hit list is
     * tiny next to the corpus, so the hydrate join broadcasts the hits and
@@ -444,7 +501,8 @@ object SimilarityQueries {
     "s3_ivf_topk" -> (s3IvfTopK _),
     "s4_ann_retrieve" -> (s4AnnRetrieve _),
     "s5_kmeans" -> (s5Kmeans _),
-    "s6_semdedup" -> (s6Semdedup _))
+    "s6_semdedup" -> (s6Semdedup _),
+    "s7_incremental_ivf" -> (s7IncrementalIvf _))
 
   val oracles: Map[String, String] = Map(
     "s1_brute_topk" -> s1Oracle,
@@ -452,5 +510,6 @@ object SimilarityQueries {
     "s3_ivf_topk" -> s3Oracle,
     "s4_ann_retrieve" -> s4Oracle,
     "s5_kmeans" -> s5Oracle,
-    "s6_semdedup" -> s6Oracle)
+    "s6_semdedup" -> s6Oracle,
+    "s7_incremental_ivf" -> s7Oracle)
 }

@@ -77,4 +77,52 @@ class IvfIndexSpec extends AnyFunSuite {
     val reloaded = IvfIndex.load(base).query(spark, queries, probes = 2, topK = TopK)
     assert(got.exceptAll(reloaded).isEmpty && reloaded.exceptAll(got).isEmpty)
   }
+
+  test("append: increment joins the lists without touching resident files; ≡ frozen-centroid rebuild") {
+    val e = Tables.embeddings(spark, dir)
+    val isInc = col("vec_id") % 5 === 0 // 20% arrives as the crawl increment
+    val incBase = Files.createTempDirectory("graft-ivf-inc").toString + "/idx"
+    val idx = IvfIndex.build(spark, e.where(!isInc), incBase, cells = 16, lloydIters = 2)
+
+    // snapshot resident list files (path, size, mtime) before the append
+    def listFiles() = {
+      val root = new java.io.File(s"$incBase/assignments")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(root).filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getPath, f.length, f.lastModified)).sorted
+    }
+    val resident = listFiles()
+    val nBase = spark.read.parquet(s"$incBase/assignments").count()
+
+    idx.append(spark, e.where(isInc))
+
+    // resident files byte-identical and still present; only NEW files appeared
+    val after = listFiles()
+    assert(after.size > resident.size, "append should add files")
+    assert(resident.forall(after.contains), "append must not rewrite or remove resident list files")
+    assert(spark.read.parquet(s"$incBase/assignments").count() == e.count())
+    assert(nBase == e.where(!isInc).count())
+
+    // served results ≡ an index whose assignments were rebuilt from scratch
+    // against the SAME (frozen) centroids — the invariant that makes the
+    // incremental path safe; centroids here went through real Lloyd rounds
+    val gotInc = idx.query(spark, queries, probes = 2, topK = TopK)
+    val rebuiltBase = Files.createTempDirectory("graft-ivf-reb").toString + "/idx"
+    // rebuild = copy the frozen centroids, reassign EVERYTHING against them
+    spark.read.parquet(s"$incBase/centroids").write.parquet(s"$rebuiltBase/centroids")
+    val all = e.select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
+      .withColumn("n2", Vectors.norm2D(col("v")))
+    val cents = spark.read.parquet(s"$rebuiltBase/centroids")
+    all.join(broadcast(cents))
+      .withColumn("ccos", Vectors.cosinePre(col("v"), col("n2"), col("cv"), col("cn2")))
+      .withColumn("crank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(col("ccos").desc, col("cid"))))
+      .where(col("crank") === 1)
+      .select(col("vec_id"), col("v"), col("n2"), col("cid"))
+      .write.partitionBy("cid").parquet(s"$rebuiltBase/assignments")
+    val gotReb = IvfIndex.load(rebuiltBase).query(spark, queries, probes = 2, topK = TopK)
+    assert(gotInc.exceptAll(gotReb).isEmpty && gotReb.exceptAll(gotInc).isEmpty)
+  }
 }
