@@ -79,6 +79,26 @@ final class JdbcPaymentsSource(
       names.foreach(n => st.execute(JdbcPaymentsSource.dropDdl(n)))
     } finally conn.close()
   }
+
+  /** Register the hot store as a DSv2 JDBC catalog (`<name>.<table>`) —
+    * the read path with AGGREGATE pushdown: COUNT/SUM/MIN/MAX/AVG +
+    * GROUP BY (and LIMIT) compile into the remote SQL, so q4-shaped
+    * scalar counts and grouped rollups fetch aggregated rows instead of
+    * scanning the table through the wire. The q2 reconcile's join itself
+    * can never push (its other side lives in object storage) but each
+    * side's filter/pruning/count does — `JdbcSourceSpec` asserts the
+    * executed plans. The plain `scan` (v1 path) keeps the range-split
+    * parallel read; use the catalog for aggregate-shaped queries.
+    */
+  def registerCatalog(spark: SparkSession, name: String): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name",
+      "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.url", url)
+    spark.conf.set(s"spark.sql.catalog.$name.pushDownAggregate", "true")
+    spark.conf.set(s"spark.sql.catalog.$name.pushDownLimit", "true")
+    if (user.nonEmpty) spark.conf.set(s"spark.sql.catalog.$name.user", user)
+    if (password.nonEmpty) spark.conf.set(s"spark.sql.catalog.$name.password", password)
+  }
 }
 
 /** The exact wire strings the PG-bound pipeline emits — factored out so

@@ -60,6 +60,50 @@ class JdbcSourceSpec extends AnyFunSuite {
       s"window filter should reach the JDBC source:\n$plan")
   }
 
+  test("column pruning reaches the JDBC scan: 2-column projection reads 2 columns") {
+    setup
+    val df = source.scan(spark).select("id", "amount")
+    val plan = df.queryExecution.executedPlan.toString
+    // ReadSchema on the JDBC relation must carry ONLY the projected columns:
+    // a scan that drags DESCR/DOC_NUM through the wire for a 2-column
+    // projection pays the width at every row
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("ID") && read.contains("AMOUNT"),
+      s"projected columns missing from ReadSchema:\n$plan")
+    assert(!read.contains("DESCR") && !read.contains("DOC_NUM") && !read.contains("PAYMENT_DATE"),
+      s"unprojected columns leaked into the JDBC ReadSchema:\n$plan")
+  }
+
+  test("DSv2 catalog: q4-shaped COUNT and grouped SUM push into the database") {
+    setup
+    source.registerCatalog(spark, "hotcat")
+    // q4 shape: global scalar count — the K4 result-fetch pattern
+    val q4 = spark.sql("SELECT count(1) AS n FROM hotcat.PAYMENTS")
+    val q4Plan = q4.queryExecution.executedPlan.toString
+    assert(q4Plan.contains("PushedAggregates: [COUNT(*)]"),
+      s"global count should compile into the remote SQL:\n$q4Plan")
+    assert(q4.collect().head.getLong(0) == 240L)
+
+    // grouped rollup: GROUP BY + COUNT/SUM — the q3-federation JDBC side
+    val grp = spark.sql(
+      "SELECT state, count(1) AS n, sum(amount) AS amt FROM hotcat.PAYMENTS GROUP BY state")
+    val grpPlan = grp.queryExecution.executedPlan.toString
+    assert(grpPlan.contains("PushedAggregates: [COUNT(*), SUM(AMOUNT)]") &&
+      grpPlan.contains("PushedGroupByExpressions: [STATE]"),
+      s"grouped aggregate should push group keys + aggregates:\n$grpPlan")
+    assert(grp.collect().map(_.getLong(1)).sum == 240L)
+
+    // q2's JOIN itself can never push (the cold side is parquet, not in
+    // the database) — but the hot side of the join still prunes + filters
+    val cold = spark.range(0, 100).selectExpr("id AS id")
+    val joined = spark.sql("SELECT id, amount FROM hotcat.PAYMENTS WHERE amount > 10")
+      .join(cold, "id")
+    val jPlan = joined.queryExecution.executedPlan.toString
+    // the join even adds its own ID IS NOT NULL to the pushed set
+    assert(jPlan.contains("AMOUNT > 10.0") && jPlan.contains("PushedFilters"),
+      s"hot-side filter should still push under the join:\n$jPlan")
+  }
+
   test("catalog partition enumeration and destructive drop (S4 + K3)") {
     setup
     assert(source.listPartitions(spark, "payments_y2020") ==
