@@ -465,7 +465,56 @@ object YqlTextQueries {
       |       date_trunc('year', ts) AS year_start
       |FROM events ORDER BY event_id LIMIT 400""".stripMargin
 
+  /** y16: notch 14 — set-operation texts, `JOIN … USING`, and explicit
+    * window frames (`ROWS BETWEEN`). YQL set ops combine columns BY NAME;
+    * the frontend's audit proves every branch's output names align (then
+    * positional ≡ by-name and the text passes through; misaligned or
+    * underivable names fail loudly naming `PRAGMA PositionalUnionAll`).
+    * `UNION` (distinct) dedupes the overlap of the two branches; the
+    * USING join coalesces the key; the framed window sums integer cents —
+    * all three constructs are Spark-grammar pass-throughs, which is
+    * exactly what a compatibility shim wants.
+    */
+  def y16YqlSetops(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    YqlFrontend.run(spark,
+      """
+      $o =
+      select o_custkey as ck, o_orderkey as okey,
+             cast(Math::Round(o_totalprice * 100.0) as Int64) as cents
+        from orders where o_totalprice >= 150000.0
+      union
+      select o_custkey as ck, o_orderkey as okey,
+             cast(Math::Round(o_totalprice * 100.0) as Int64) as cents
+        from orders where o_orderkey % 7 = 0;
+
+      $c = (select c_custkey as ck, c_name as cname from customer);
+
+      select ck, cname, okey, cents,
+             sum(cents) over (partition by ck order by okey
+                              rows between 2 preceding and current row) as run3_cents
+        from $o join $c using (ck)
+        order by ck, okey limit 600;
+      """).get
+  }
+
+  val y16Oracle: String =
+    """WITH o AS (
+      |  SELECT o_custkey AS ck, o_orderkey AS okey,
+      |         CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+      |  FROM orders WHERE o_totalprice >= 150000.0
+      |  UNION
+      |  SELECT o_custkey, o_orderkey, CAST(round(o_totalprice * 100.0) AS BIGINT)
+      |  FROM orders WHERE o_orderkey % 7 = 0),
+      |c AS (SELECT c_custkey AS ck, c_name AS cname FROM customer)
+      |SELECT ck, cname, okey, cents,
+      |       CAST(sum(cents) OVER (PARTITION BY ck ORDER BY okey
+      |                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS run3_cents
+      |FROM o JOIN c USING (ck)
+      |ORDER BY ck, okey LIMIT 600""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "y16_yql_setops" -> (y16YqlSetops _),
     "y15_yql_startof" -> (y15YqlStartOf _),
     "y14_yql_modules" -> (y14YqlModules _),
     "y1_yql_project" -> (y1YqlProject _),
@@ -483,6 +532,7 @@ object YqlTextQueries {
     "y13_yql_maxby" -> (y13YqlMaxBy _))
 
   val oracles: Map[String, String] = Map(
+    "y16_yql_setops" -> y16Oracle,
     "y15_yql_startof" -> y15Oracle,
     "y14_yql_modules" -> y14Oracle,
     "y1_yql_project" -> y1Oracle,

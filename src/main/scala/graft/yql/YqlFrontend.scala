@@ -920,6 +920,113 @@ object YqlFrontend {
     ts
   }
 
+  // ------------------------------------------------------- set-op audit
+
+  /** Notch 14 guard: YQL set operations (`UNION [ALL]`, `INTERSECT`,
+    * `EXCEPT`) combine columns BY NAME, Spark's positionally. When every
+    * branch's output-name list is derivable from the text and the lists
+    * agree in order, the two semantics coincide and the text passes
+    * through untouched (`JOIN … USING` and explicit `ROWS BETWEEN`
+    * frames pass through the same way — Spark's grammar IS the YQL
+    * shape for those). Anything else fails loudly, naming YQL's own
+    * `PRAGMA PositionalUnionAll` as the opt-in to positional semantics —
+    * never silently computing a different bag than YQ would.
+    *
+    * Runs on RAW statement tokens, before rewrites: the EXCLUSION JOIN
+    * rewrite emits an internal `UNION ALL` over `a.*` branches that must
+    * not be audited, and `SELECT * WITHOUT` becomes a Spark `EXCEPT (…)`
+    * that is not a set operation.
+    */
+  private def auditSetOps(ts: Vector[String]): Unit = {
+    val ops = Set("union", "intersect", "except")
+    def isOpAt(i: Int): Boolean = ops.contains(ts(i).toLowerCase) && {
+      var j = i + 1
+      if (j < ts.length && (ts(j).equalsIgnoreCase("all") || ts(j).equalsIgnoreCase("distinct"))) j += 1
+      j < ts.length && (ts(j).equalsIgnoreCase("select") ||
+        (ts(j) == "(" && j + 1 < ts.length && ts(j + 1).equalsIgnoreCase("select")))
+    }
+    // recurse into every parenthesized group (subqueries hold set ops too)
+    var i = 0
+    var depth = 0
+    var groupStart = -1
+    val cuts = Vector.newBuilder[Int]
+    while (i < ts.length) {
+      ts(i) match {
+        case "(" => if (depth == 0) groupStart = i; depth += 1
+        case ")" =>
+          depth -= 1
+          if (depth == 0 && groupStart >= 0) { auditSetOps(ts.slice(groupStart + 1, i)); groupStart = -1 }
+        case _ => if (depth == 0 && isOpAt(i)) cuts += i
+      }
+      i += 1
+    }
+    val cutIdx = cuts.result()
+    if (cutIdx.isEmpty) return
+    val starts = 0 +: cutIdx.map { c =>
+      var j = c + 1
+      if (ts(j).equalsIgnoreCase("all") || ts(j).equalsIgnoreCase("distinct")) j += 1
+      j
+    }
+    val branches = starts.zip(cutIdx :+ ts.length).map { case (s, e) => ts.slice(s, e) }
+    val names = branches.map(branchOutputNames)
+    def fail(why: String): Nothing = throw new IllegalArgumentException(
+      s"YQL: set operations combine columns by NAME in YQL but positionally in this engine; $why — " +
+        "alias every branch's columns identically (then the semantics coincide), " +
+        "or set PRAGMA PositionalUnionAll to opt into positional semantics")
+    if (names.exists(_.isEmpty))
+      fail("a branch's output names are not derivable from the text (star or unaliased expression)")
+    val ref = names.head.get.map(_.toLowerCase)
+    if (!names.forall(_.get.map(_.toLowerCase) == ref))
+      fail(s"branch output names differ: ${names.map(_.get.mkString("(", ", ", ")")).mkString(" vs ")}")
+  }
+
+  /** Syntactically derive a set-op branch's output-name list: the select
+    * items up to the depth-0 FROM/clause keyword, each named by its last
+    * depth-0 `AS alias`, a bare column reference, or `t.col`. `*` and
+    * unaliased expressions return None (engines auto-name those
+    * differently — underivable, so the audit must fail).
+    */
+  private def branchOutputNames(branch0: Vector[String]): Option[Vector[String]] = {
+    var b = branch0
+    while (b.length > 2 && b.head == "(" && b.last == ")" && {
+      var d = 0; var balanced = true
+      for (j <- b.indices.dropRight(1)) { if (b(j) == "(") d += 1 else if (b(j) == ")") d -= 1; if (d == 0 && j > 0) balanced = false }
+      balanced
+    }) b = b.slice(1, b.length - 1)
+    if (b.isEmpty || !b.head.equalsIgnoreCase("select")) return None
+    var items = Vector.empty[Vector[String]]
+    var cur = Vector.newBuilder[String]
+    var depth = 0
+    var i = 1
+    if (i < b.length && b(i).equalsIgnoreCase("distinct")) i += 1
+    val clauseEnd = Set("from", "where", "group", "order", "having", "limit", "window")
+    var done = false
+    while (i < b.length && !done) {
+      val t = b(i)
+      if (t == "(") { depth += 1; cur += t }
+      else if (t == ")") { depth -= 1; cur += t }
+      else if (depth == 0 && t == ",") { items :+= cur.result(); cur = Vector.newBuilder[String] }
+      else if (depth == 0 && clauseEnd.contains(t.toLowerCase)) done = true
+      else cur += t
+      i += 1
+    }
+    items :+= cur.result()
+    def strip(t: String) = if (t.startsWith("`")) t.substring(1, t.length - 1) else t
+    val names = items.map { it =>
+      var asIdx = -1
+      var d = 0
+      for (j <- it.indices) {
+        if (it(j) == "(") d += 1 else if (it(j) == ")") d -= 1
+        else if (d == 0 && it(j).equalsIgnoreCase("as") && j + 1 < it.length) asIdx = j
+      }
+      if (asIdx >= 0 && isIdent(strip(it(asIdx + 1)))) Some(strip(it(asIdx + 1)))
+      else if (it.length == 1 && isIdent(strip(it.head))) Some(strip(it.head))
+      else if (it.length == 3 && it(1) == "." && isIdent(strip(it(2)))) Some(strip(it(2)))
+      else None
+    }
+    if (names.forall(_.isDefined)) Some(names.map(_.get)) else None
+  }
+
   // ------------------------------------------------------------ translate
 
   /** The translated script: one Spark SQL text, plus the insert target when
@@ -946,6 +1053,11 @@ object YqlFrontend {
                 params: Map[String, Any] = Map.empty): YqlScript = {
     val stmts = splitStatements(tokenize(text))
     require(stmts.nonEmpty, "YQL: empty script")
+
+    // YQL's own switch to positional set-operation semantics (the audit's
+    // documented escape hatch); other pragmas remain engine-tuning no-ops
+    val positionalSetOps = stmts.exists(s => s.head.equalsIgnoreCase("pragma") &&
+      s.length >= 2 && s(1).equalsIgnoreCase("positionalunionall"))
 
     val paramTokens = params.map { case (k, v) => k -> literal(v) }
     var cteNames = Vector.empty[String]            // subquery bindings, in order
@@ -995,9 +1107,11 @@ object YqlFrontend {
         // DECLARE $p AS T; — parameters arrive pre-typed via `params`
       else if (isSubqueryBinding(s)) {
         val n = s(0).drop(1)
+        if (!positionalSetOps) auditSetOps(s.slice(3, s.length - 1))
         cteBodies += n -> render(body(s.slice(3, s.length - 1)))
         cteNames :+= n
       } else if (isExprBinding(s)) {
+        if (!positionalSetOps) auditSetOps(s.drop(2))
         exprBindings += s(0).drop(1) -> body(s.drop(2))
       } else finals :+= s
     }
@@ -1023,6 +1137,7 @@ object YqlFrontend {
         require(cols.forall(isIdent), s"YQL: bad INSERT column list: ${cols.mkString(" ")}")
         (Some(InsertTarget(target, cols, truncate)), fin.drop(close + 1))
       } else (None, fin)
+    if (!positionalSetOps) auditSetOps(selectTokens)
 
     val cte =
       if (cteNames.isEmpty) ""

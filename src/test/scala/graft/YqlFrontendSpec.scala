@@ -551,4 +551,60 @@ class YqlFrontendSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("Substring"))
   }
+
+  test("notch 14: set ops pass when branch names align; misalignment fails naming the pragma") {
+    // aligned names: positional ≡ by-name → passes through, UNION dedupes
+    val ok = YqlFrontend.run(spark,
+      """select 1 as a, 'x' as b union select 1 as a, 'x' as b
+        |union select 2 as a, 'y' as b;""".stripMargin).get
+    assert(ok.count() == 2)
+
+    // YQL combines by NAME; swapped names would positionally compute a
+    // different bag — must fail loudly, not silently diverge from YQ
+    val mis = intercept[IllegalArgumentException] {
+      YqlFrontend.run(spark, "select 1 as a, 2 as b union all select 20 as b, 10 as a;")
+    }
+    assert(mis.getMessage.contains("PositionalUnionAll") && mis.getMessage.contains("NAME"))
+
+    // a star branch is underivable from the text — same loud failure
+    val star = intercept[IllegalArgumentException] {
+      YqlFrontend.run(spark,
+        "select * from (select 1 as a) union all select 2 as a;")
+    }
+    assert(star.getMessage.contains("not derivable"))
+
+    // YQL's own escape: PRAGMA PositionalUnionAll opts into positional
+    val pos = YqlFrontend.run(spark,
+      """pragma PositionalUnionAll;
+        |select 1 as a, 2 as b union all select 20 as b, 10 as a;""".stripMargin).get
+    assert(pos.collect().map(r => (r.getInt(0), r.getInt(1))).toSet ==
+      Set((1, 2), (20, 10))) // positional: second branch lands under (a, b)
+
+    // audit reaches set ops nested in derived tables and bindings
+    val nested = intercept[IllegalArgumentException] {
+      YqlFrontend.run(spark,
+        "select a from (select 1 as a union all select 2 as zz) t;")
+    }
+    assert(nested.getMessage.contains("differ"))
+  }
+
+  test("notch 14: INTERSECT/EXCEPT texts and JOIN USING + ROWS BETWEEN pass through") {
+    val ix = YqlFrontend.run(spark,
+      """select 1 as a union all select 2 as a intersect select 2 as a;""").get
+    // ANSI precedence: INTERSECT binds tighter — (1 ∪ (2 ∩ 2)) = {1, 2}
+    assert(ix.collect().map(_.getInt(0)).toSet == Set(1, 2))
+    val ex = YqlFrontend.run(spark,
+      "select 1 as a union all select 2 as a except select 2 as a;").get
+    assert(ex.collect().map(_.getInt(0)).toSet == Set(1))
+
+    // JOIN … USING coalesces the key; explicit ROWS frame bounds the sum
+    val j = YqlFrontend.run(spark,
+      """$l = (select 1 as k, 10 as v union all select 2 as k, 20 as v);
+        |$r = (select 1 as k, 'a' as tag union all select 2 as k, 'b' as tag);
+        |select k, tag,
+        |       sum(v) over (order by k rows between 1 preceding and current row) as rsum
+        |  from $l join $r using (k) order by k;""".stripMargin).get.collect()
+    assert(j.map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1, "a", 10L), (2, "b", 30L)))
+  }
 }
