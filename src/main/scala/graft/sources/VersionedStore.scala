@@ -75,8 +75,43 @@ final class VersionedStore(val base: String) {
     spark.read.parquet(versionDir(v).toString)
   }
 
+  /** TIME-TRAVEL read: the snapshot as of version `v`. Nearly free given
+    * the layout — snapshots are immutable directories, so `readAsOf(N)`
+    * is just a scan of `v=N` — but only COMMITTED history is addressable:
+    * a `v=K` above the live pointer is a crashed or in-flight writer's
+    * directory, not history, and a vacuumed version is gone (vacuum's
+    * `keep` is the time-travel horizon as well as the reader grace
+    * window). Both refusals are loud.
+    */
+  def readAsOf(spark: SparkSession, v: Long): DataFrame = {
+    val live = currentVersion(spark)
+    require(v > 0 && v <= live,
+      s"$base: version $v was never committed (live is $live)")
+    require(fs(spark).exists(versionDir(v)),
+      s"$base: version $v has been vacuumed (keep a longer horizon to time-travel further)")
+    spark.read.parquet(versionDir(v).toString)
+  }
+
+  /** Committed versions still present on disk — the addressable
+    * time-travel history (orphans above the pointer excluded).
+    */
+  def versions(spark: SparkSession): Seq[Long] = {
+    val live = currentVersion(spark)
+    versionsOnDisk(spark).filter(v => v > 0 && v <= live)
+  }
+
   /** Write `df` as the next snapshot and atomically publish it.
     * Returns the committed version.
+    *
+    * CONCURRENCY: this verb is LAST-WRITER-WINS — the pointer publish is
+    * a single small-object write, and when two writers race, whichever
+    * flip lands last is live; the other snapshot remains on disk as
+    * readable history (no corruption, no partial state) but its content
+    * is silently superseded. That is the right contract when each write
+    * is a full replacement snapshot from an upstream source of truth
+    * (the cooling export). For read-modify-write cycles — where losing
+    * the race means losing an UPDATE, not just a redundant copy — use
+    * [[writeIf]], the compare-and-swap form.
     */
   def write(spark: SparkSession, df: DataFrame): Long = {
     val f = fs(spark)
@@ -86,6 +121,48 @@ final class VersionedStore(val base: String) {
     df.write.parquet(versionDir(next).toString)
     commitPointer(f, next)
     next
+  }
+
+  /** Optimistic-concurrency write (the CAS form): publish a snapshot
+    * BUILT ON `expectedVersion`, or refuse if another writer committed on
+    * that version first. Returns the new version, or None if the race was
+    * lost (the caller re-reads the new current and retries its transform —
+    * the standard optimistic loop).
+    *
+    * Protocol: the snapshot directory is written first (expensive, safe —
+    * orphans are never resolved); the COMMIT RIGHT on `expectedVersion`
+    * is then claimed by atomically creating `_claims/claim-<expected>`
+    * with create-if-absent semantics — exactly one writer building on a
+    * given version can win that create (atomic on HDFS; on S3 the same
+    * primitive is a conditional PUT with If-None-Match, GA since 2024;
+    * local-FS create is check-then-create, fine for tests). Only the
+    * claim winner flips `_current`, so a read-modify-write cycle can
+    * never silently drop a committed update. A post-claim currentVersion
+    * re-check closes the one hole vacuum could open (a pruned claim file
+    * for an already-superseded version being re-claimed): a stale claim
+    * sees current ≠ expected and aborts. Losers delete their snapshot
+    * directory (it would otherwise sit as an orphan until [[vacuum]]).
+    */
+  def writeIf(spark: SparkSession, df: DataFrame, expectedVersion: Long): Option[Long] = {
+    val f = fs(spark)
+    if (currentVersion(spark) != expectedVersion) return None // cheap pre-check
+    val next = (versionsOnDisk(spark) :+ expectedVersion).max + 1
+    df.write.parquet(versionDir(next).toString)
+    val claim = new Path(base, s"_claims/claim-$expectedVersion")
+    val claimed =
+      try {
+        f.mkdirs(new Path(base, "_claims"))
+        val out = f.create(claim, false) // create-if-absent: the CAS
+        try out.write(next.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!claimed || currentVersion(spark) != expectedVersion) {
+      f.delete(versionDir(next), true)
+      None
+    } else {
+      commitPointer(f, next)
+      Some(next)
+    }
   }
 
   /** Object-store-safe compaction: rewrite the live snapshot into
@@ -136,6 +213,14 @@ final class VersionedStore(val base: String) {
     val doomed = versionsOnDisk(spark).filter(v =>
       (v < live - (keep - 1).max(0)) || v > live)
     doomed.foreach(v => f.delete(versionDir(v), true))
+    // prune claim files STRICTLY below live only: a claim at/above live may
+    // be held by an in-flight writeIf whose post-claim re-check depends on
+    // it staying unique; claims below live are unreachable (a resurrection
+    // attempt fails the current==expected re-check)
+    FsUtil.listDir(spark, new Path(base, "_claims").toString)
+      .map(_.stripPrefix("claim-")).collect { case s if s.forall(_.isDigit) => s.toLong }
+      .filter(_ < live)
+      .foreach(v => f.delete(new Path(base, s"_claims/claim-$v"), false))
     doomed
   }
 

@@ -106,4 +106,58 @@ class VersionedStoreSpec extends AnyFunSuite {
     assert(messages(e).exists(m => m.contains("v=1") || m.toLowerCase.contains("not exist")),
       s"expected a missing-snapshot failure, got: $e")
   }
+
+  test("time-travel: readAsOf(N) stays pinned while N+1 publishes; orphans and vacuumed history refuse") {
+    import spark.implicits._
+    val st = freshStore()
+    st.write(spark, (1 to 100).toDF("n"))
+    st.write(spark, (1 to 50).toDF("n"))
+    // read v=1 WHILE v=3 publishes: the as-of frame must keep serving v=1
+    val asOf1 = st.readAsOf(spark, 1L)
+    assert(asOf1.count() == 100)
+    st.write(spark, (1 to 7).toDF("n"))
+    assert(asOf1.count() == 100, "as-of reader must not see the concurrent publish")
+    assert(st.readAsOf(spark, 2L).count() == 50)
+    assert(st.read(spark).count() == 7)
+    assert(st.versions(spark) == Seq(1L, 2L, 3L))
+
+    // orphan above the pointer is NOT addressable history
+    (1 to 5).toDF("n").write.parquet(s"${st.base}/v=9")
+    val orphan = intercept[IllegalArgumentException](st.readAsOf(spark, 9L))
+    assert(orphan.getMessage.contains("never committed"))
+    assert(st.versions(spark) == Seq(1L, 2L, 3L))
+
+    // vacuum shrinks the horizon loudly
+    st.vacuum(spark, keep = 2)
+    val gone = intercept[IllegalArgumentException](st.readAsOf(spark, 1L))
+    assert(gone.getMessage.contains("vacuumed"))
+    assert(st.readAsOf(spark, 2L).count() == 50)
+  }
+
+  test("writeIf: concurrent publishers on the same base version — exactly one wins") {
+    import spark.implicits._
+    val st = freshStore()
+    st.write(spark, (1 to 10).toDF("n"))
+
+    // two writers both read current=1 and race their commits
+    val a = st.writeIf(spark, (1 to 20).toDF("n"), expectedVersion = 1L)
+    val b = st.writeIf(spark, (1 to 30).toDF("n"), expectedVersion = 1L)
+    assert(a.contains(2L), "first claimant commits")
+    assert(b.isEmpty, "second claimant on the same base must lose, not overwrite")
+    assert(st.read(spark).count() == 20)
+    // the loser's snapshot directory is cleaned up, not left as an orphan
+    assert(!new java.io.File(s"${st.base}/v=3").exists)
+
+    // the loser retries the optimistic loop from the NEW current and wins
+    val retry = st.writeIf(spark, (1 to 30).toDF("n"), expectedVersion = st.currentVersion(spark))
+    assert(retry.contains(3L))
+    assert(st.read(spark).count() == 30)
+
+    // stale expectation pre-checks out immediately
+    assert(st.writeIf(spark, (1 to 5).toDF("n"), expectedVersion = 1L).isEmpty)
+
+    // plain write remains last-writer-wins on top of the CAS history
+    assert(st.write(spark, (1 to 4).toDF("n")) == 4L)
+    assert(st.read(spark).count() == 4)
+  }
 }
