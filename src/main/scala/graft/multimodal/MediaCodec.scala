@@ -90,6 +90,49 @@ final class MediaCodec {
     finally ais.close()
   }
 
+  /** Decode EVERY frame of a real animated GIF to grayscale pixels — a
+    * genuine multi-image ImageIO read (`getNumImages(true)` + per-index
+    * `read(i)`), not a container split. Gray values are mapped through
+    * the frame's color model (`getRGB & 0xff`), never read as raw palette
+    * indices — an indexed GIF's sample IS the palette index, and nothing
+    * guarantees identity ordering. Frames written by [[MediaGen.gifBytes]]
+    * are full-size non-deltas, so each `read(i)` stands alone; a GIF
+    * whose frames were delta-composed would need dispose-method
+    * compositing here — out of scope, and `require`d against via the
+    * per-frame dimension check.
+    */
+  def decodeGifFrames(bytes: Array[Byte]): Vector[(Int, Int, Array[Int])] = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    val readers = ImageIO.getImageReaders(iis)
+    require(readers.hasNext, s"no ImageIO reader for payload (${bytes.length} bytes)")
+    val reader = readers.next()
+    try {
+      reader.setInput(iis, false, true)
+      val n = reader.getNumImages(true)
+      require(n > 0, "empty GIF sequence")
+      val w0 = reader.getWidth(0)
+      val h0 = reader.getHeight(0)
+      (0 until n).map { i =>
+        val img = reader.read(i)
+        val w = img.getWidth
+        val h = img.getHeight
+        require(w == w0 && h == h0,
+          s"frame $i is ${w}x$h, not ${w0}x$h0 — delta-composed GIFs are not supported")
+        val px = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { px(y * w + x) = img.getRGB(x, y) & 0xff; x += 1 }
+          y += 1
+        }
+        (w, h, px)
+      }.toVector
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
+  }
+
   /** Split a length-prefixed frame container (see [[MediaGen.videoBytes]])
     * into its encoded frames. Strict: a truncated container throws rather
     * than silently dropping the tail.

@@ -161,4 +161,41 @@ object MediaGen {
     dos.flush()
     baos.toByteArray
   }
+
+  /** A REAL animated GIF: one image-sequence stream written with the JDK
+    * GIF writer, every frame a FULL (non-delta) 8-bit grayscale image
+    * whose pixels follow [[grayPixel]] per frame seed. 256 gray levels
+    * fit GIF's 8-bit palette exactly, so the round-trip is lossless —
+    * `MultimodalSpec` pins per-frame pixel equality against the formula.
+    * This is the m-family's genuine multi-frame container (m4's fixture);
+    * the length-prefixed [[videoBytes]] remains as the demuxer-free
+    * MJPEG-style shape.
+    */
+  def gifBytes(frameSeeds: Seq[Long], w: Int, h: Int): Array[Byte] = {
+    val writers = ImageIO.getImageWritersByFormatName("gif")
+    require(writers.hasNext, "no ImageIO writer for gif")
+    val writer = writers.next()
+    val baos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frameSeeds.foreach { s =>
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, grayPixel(s, x, y)); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    baos.toByteArray
+  }
 }

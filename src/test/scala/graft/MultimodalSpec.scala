@@ -119,6 +119,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames(0).toSeq == frames(2).toSeq)
   }
 
+  test("animated GIF: real multi-frame bytes, every frame decoded pixel-exactly") {
+    val codec = new MediaCodec()
+    val seeds = Seq(100L, 200L, 300L, 100L)
+    val bytes = MediaGen.gifBytes(seeds, 16, 12)
+    // genuine GIF container: magic header + the NETSCAPE-free multi-image stream
+    assert(bytes.take(6).map(_.toChar).mkString == "GIF89a" ||
+      bytes.take(6).map(_.toChar).mkString == "GIF87a",
+      s"not a GIF header: ${bytes.take(6).toSeq}")
+
+    val frames = codec.decodeGifFrames(bytes)
+    assert(frames.length == seeds.length, "every frame of the sequence must decode")
+    frames.zip(seeds).foreach { case ((w, h, px), seed) =>
+      assert(w == 16 && h == 12)
+      // EVERY pixel of EVERY frame equals the generator formula — the
+      // 256-level gray palette round-trips losslessly through the codec
+      for (y <- 0 until h; x <- 0 until w)
+        assert(px(y * w + x) == MediaGen.grayPixel(seed, x, y),
+          s"pixel ($x,$y) of seed-$seed frame")
+    }
+    // repeated seed → identical decoded frames (the m4 dedup signal)
+    assert(frames(0)._3.toSeq == frames(3)._3.toSeq)
+    assert(frames(0)._3.toSeq != frames(1)._3.toSeq)
+
+    // corrupt payloads fail loudly
+    intercept[IllegalArgumentException](codec.decodeGifFrames(Array[Byte](1, 2, 3)))
+  }
+
   test("thumbnail is nearest-neighbor on decoded pixels (hand case)") {
     val codec = new MediaCodec()
     // 4x4 image, thumbnail 2x2 picks pixels at (0,0),(2,0),(0,2),(2,2)
