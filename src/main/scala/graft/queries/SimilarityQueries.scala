@@ -371,7 +371,9 @@ object SimilarityQueries {
     val q = Tables.embeddings(spark, dir).select(col("vec_id"),
       expr(s"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $KmQ) AS BIGINT))")
         .as("qv"))
-    val k = kmKFor(q.count())
+    // k from the manifest row count (parquet footers, driver-side) — the
+    // former q.count() here was a full corpus scan per run just to size k
+    val k = kmKFor(Tables.rowCountFromFooters(spark, dir, "embeddings"))
     // init: the k lowest vec_ids, quantized — k·dim ints to the driver
     var cents: Seq[(Int, Array[Long])] = q.where(col("vec_id") < k)
       .orderBy("vec_id").collect()

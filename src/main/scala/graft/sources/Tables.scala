@@ -16,6 +16,28 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Exact row count from parquet FOOTER metadata — driver-side file-meta
+    * reads, no Spark job, no data pages touched. The stand-in for the
+    * table-manifest row count a production catalog carries: sizing
+    * decisions (k selection, partition counts) should read the manifest,
+    * never pay a count() scan over the corpus.
+    */
+  def rowCountFromFooters(spark: SparkSession, dir: String, name: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = p.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath)
+      else Array(p)
+    files.map { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
   /** Normalize `events.ts` to session-zoned TIMESTAMP whatever the driver
     * wrote this round: TIMESTAMP(NANOS) parquet arrives as raw nanos longs
     * (via the `nanosAsLong` legacy flag — Spark's vectorized reader rejects
