@@ -46,14 +46,14 @@ object SimilarityQueries {
   private def planeCol(p: Int): Column =
     array((0 until Dim).map(d => lit(weightInt(p, d)).cast("double") / lit(1000.0)): _*)
 
-  /** 8-bit LSH bucket of an already-double embedding: bit p = [dot(v, w_p) > 0]. */
-  private def bucketCol(v: Column): Column =
-    (0 until Planes).map { p =>
+  /** n-bit LSH bucket of an already-double embedding: bit p = [dot(v, w_p) > 0]. */
+  private def bucketCol(v: Column, planes: Int = Planes): Column =
+    (0 until planes).map { p =>
       when(Vectors.dotD(v, planeCol(p)) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  private def bucketSql(vExpr: String): String =
-    (0 until Planes).map { p =>
+  private def bucketSql(vExpr: String, planes: Int = Planes): String =
+    (0 until planes).map { p =>
       val dot = s"list_reduce(list_prepend(0.0, list_transform(list_zip($vExpr, ${planeSql(p)}), s -> s[1] * s[2])), (x, y) -> x + y)"
       s"CASE WHEN $dot > 0 THEN ${1L << p} ELSE 0 END"
     }.mkString("(", " + ", ")")
@@ -135,6 +135,107 @@ object SimilarityQueries {
   private val Cells = 16   // IVF centroid count
   private val Probes = 2   // cells probed per query
 
+  // ------------------------------------------------------- graph ANN (s8)
+
+  private val GraphPlanes = 4 // 16 buckets per bucketing — dense candidates for graph BUILD
+  private val GraphM = 8      // out-degree of the k-NN graph
+  private val BeamB = 16      // beam width per hop
+  private val GraphHops = 3   // search hops
+  private val GraphEntries = 8 // fixed entry points (vec_id < 8)
+
+  /** n-bit LSH bucket over planes [from, from+n): the graph build uses TWO
+    * disjoint plane sets — a node's neighborhoods under two independent
+    * bucketings overlap differently, so their edge union connects regions
+    * a single bucketing would leave isolated (the multi-probe idea applied
+    * to graph construction).
+    */
+  private def bucketColRange(v: Column, from: Int, n: Int): Column =
+    (0 until n).map { p =>
+      when(Vectors.dotD(v, planeCol(from + p)) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def bucketSqlRange(vExpr: String, from: Int, n: Int): String =
+    (0 until n).map { p =>
+      val dot = s"list_reduce(list_prepend(0.0, list_transform(list_zip($vExpr, ${planeSql(from + p)}), s -> s[1] * s[2])), (x, y) -> x + y)"
+      s"CASE WHEN $dot > 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  /** s8: GRAPH-based ANN — the high-recall serve regime LSH (s2) and IVF
+    * (s3) don't cover: a k-NN neighborhood graph (HNSW-class navigable
+    * structure, built Spark-first) plus greedy BEAM SEARCH over it.
+    *
+    * Build: candidates from a COARSE 4-plane LSH bucketing (16 buckets —
+    * the graph build wants dense candidate sets, unlike s2's 256-bucket
+    * serve bucketing), per-node top-[[GraphM]] by cosine, symmetrized.
+    * One bucket equi-join + one window — never all-pairs.
+    *
+    * Serve: queries start at [[GraphEntries]] fixed entry points and run
+    * [[GraphHops]] rounds of expand-score-prune: the per-query beam
+    * (top-[[BeamB]] visited nodes) expands through the adjacency list,
+    * new nodes are scored, and the visited set re-ranks. Each hop is ONE
+    * adjacency equi-join + one vector-lookup join + one window — at scale
+    * the frontier is |Q|·B rows/hop against an adjacency relation
+    * bucketed on node, the serve shape every navigable-graph store runs.
+    * Fully deterministic (fixed entries, cos-then-id tie-breaks), so the
+    * oracle replays the exact hops as unrolled CTEs; `SimilaritySpec`
+    * quantifies recall against the s1 brute-force truth.
+    */
+  def s8GraphAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
+      .withColumn("n2", Vectors.norm2D(col("v")))
+    // candidates from TWO independent bucketings (planes 0–3 and 4–7),
+    // unioned before the per-node top-M — connects regions either
+    // bucketing alone would isolate
+    val cand = Seq(0, GraphPlanes).map { from =>
+      val eb = e.withColumn("bucket", bucketColRange(col("v"), from, GraphPlanes))
+      val left = eb.select(col("bucket"), col("vec_id").as("src"), col("v").as("sv"), col("n2").as("sn2"))
+      val right = eb.select(col("bucket"), col("vec_id").as("nbr"), col("v").as("nv"), col("n2").as("nn2"))
+      left.join(right, Seq("bucket"))
+        .where(col("src") =!= col("nbr"))
+        .select(col("src"), col("nbr"),
+          Vectors.cosinePre(col("sv"), col("sn2"), col("nv"), col("nn2")).as("cos"))
+    }.reduce(_ unionByName _).distinct()
+    val directed = cand
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("src").orderBy(col("cos").desc, col("nbr"))))
+      .where(col("rn") <= GraphM)
+      .select("src", "nbr")
+    val adj = directed
+      .unionByName(directed.select(col("nbr").as("src"), col("src").as("nbr")))
+      .distinct()
+
+    val q = e.where(col("vec_id") < QueryBlock)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+    val nodeVecs = e.select(col("vec_id").as("node"), col("v").as("nv"), col("n2").as("nn2"))
+    def score(nodes: DataFrame): DataFrame = nodes
+      .join(nodeVecs, "node")
+      .join(q, "qid")
+      .select(col("qid"), col("node"),
+        Vectors.cosinePre(col("qv"), col("qn2"), col("nv"), col("nn2")).as("cos"))
+
+    var visited = score(
+      q.select(col("qid")).crossJoin(
+        broadcast(e.where(col("vec_id") < GraphEntries).select(col("vec_id").as("node")))))
+    (1 to GraphHops).foreach { _ =>
+      val frontier = visited
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("node"))))
+        .where(col("rn") <= BeamB).select("qid", "node")
+      val expanded = frontier.join(adj, frontier("node") === adj("src"))
+        .select(col("qid"), col("nbr").as("node")).distinct()
+      // cos is a pure function of (qid, node), so the distinct after the
+      // union collapses re-visited nodes exactly
+      visited = visited.unionByName(score(expanded)).distinct()
+    }
+    visited.where(col("node") =!= col("qid"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("node"))))
+      .where(col("rank") <= TopK)
+      .select(col("qid"), col("node").as("nid"), col("rank"), col("cos"))
+      .orderBy("qid", "rank")
+  }
+
   /** IVF ANN: an inverted-file index with deterministic "centroids" (the
     * first 16 vectors — a k-means stand-in that keeps the oracle exact).
     * Every vector is assigned to its nearest centroid (the inverted
@@ -197,6 +298,40 @@ object SimilarityQueries {
       " * list_reduce(list_prepend(0.0, list_transform(b.cv, x -> x * x)), (x, y) -> x + y))"
 
   private def cosSqlQX: String = cosSql
+
+  val s8Oracle: String = {
+    def hop(k: Int): String =
+      s"""f$k AS (SELECT qid, node FROM (
+         |  SELECT qid, node, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, node) rn
+         |  FROM v${k - 1}) WHERE rn <= $BeamB),
+         |x$k AS (SELECT DISTINCT f.qid, a.nbr AS node FROM f$k f JOIN adj a ON a.src = f.node),
+         |s$k AS (SELECT p.qid, p.node, $cosSql AS cos
+         |        FROM x$k p JOIN e a ON a.vec_id = p.qid JOIN e b ON b.vec_id = p.node),
+         |v$k AS (SELECT DISTINCT qid, node, cos FROM
+         |        (SELECT * FROM v${k - 1} UNION ALL SELECT * FROM s$k))""".stripMargin
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+       |eb AS (SELECT vec_id, v, ${bucketSqlRange("v", 0, GraphPlanes)} AS b1,
+       |                         ${bucketSqlRange("v", GraphPlanes, GraphPlanes)} AS b2 FROM e),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id src, b.vec_id nbr, $cosSql AS cos
+       |  FROM eb a JOIN eb b ON (a.b1 = b.b1 OR a.b2 = b.b2) AND a.vec_id <> b.vec_id),
+       |dpairs AS (
+       |  SELECT src, nbr FROM (
+       |    SELECT src, nbr, row_number() OVER (PARTITION BY src ORDER BY cos DESC, nbr) rn
+       |    FROM cand)
+       |  WHERE rn <= $GraphM),
+       |adj AS (SELECT src, nbr FROM dpairs UNION SELECT nbr, src FROM dpairs),
+       |q AS (SELECT vec_id AS qid FROM e WHERE vec_id < $QueryBlock),
+       |v0 AS (SELECT p.qid, p.node, $cosSql AS cos
+       |       FROM (SELECT q.qid, n.vec_id AS node FROM q CROSS JOIN e n WHERE n.vec_id < $GraphEntries) p
+       |       JOIN e a ON a.vec_id = p.qid JOIN e b ON b.vec_id = p.node),
+       |${(1 to GraphHops).map(hop).mkString(",\n")},
+       |fin AS (SELECT qid, node AS nid, cos,
+       |               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, node) AS rank
+       |        FROM v$GraphHops WHERE node <> qid)
+       |SELECT qid, nid, CAST(rank AS INTEGER) AS rank, cos FROM fin WHERE rank <= $TopK
+       |ORDER BY qid, rank""".stripMargin
+  }
 
   /** s7: INCREMENTAL IVF index maintenance — the persistent-index twin of
     * d9/d14's Δ-vs-index pattern for ANN serving: 90% of the corpus (by
@@ -504,7 +639,8 @@ object SimilarityQueries {
     "s4_ann_retrieve" -> (s4AnnRetrieve _),
     "s5_kmeans" -> (s5Kmeans _),
     "s6_semdedup" -> (s6Semdedup _),
-    "s7_incremental_ivf" -> (s7IncrementalIvf _))
+    "s7_incremental_ivf" -> (s7IncrementalIvf _),
+    "s8_graph_ann" -> (s8GraphAnn _))
 
   val oracles: Map[String, String] = Map(
     "s1_brute_topk" -> s1Oracle,
@@ -513,5 +649,6 @@ object SimilarityQueries {
     "s4_ann_retrieve" -> s4Oracle,
     "s5_kmeans" -> s5Oracle,
     "s6_semdedup" -> s6Oracle,
-    "s7_incremental_ivf" -> s7Oracle)
+    "s7_incremental_ivf" -> s7Oracle,
+    "s8_graph_ann" -> s8Oracle)
 }

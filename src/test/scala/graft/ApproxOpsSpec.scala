@@ -63,6 +63,32 @@ class ApproxOpsSpec extends AnyFunSuite {
       "LSH must not perturb cosine scores")
   }
 
+  test("graph ANN: beam search recall vs brute truth; scores exact; search is bounded") {
+    val brute = SimilarityQueries.s1BruteTopK(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3)))
+    val truth = brute.map(_._1).toSet
+    val bruteMap = brute.toMap
+    val graph = SimilarityQueries.s8GraphAnn(spark, dir).collect()
+    assert(graph.nonEmpty)
+    // found neighbors carry the brute-force cosine bits exactly (the graph
+    // loses candidates, never corrupts scores)
+    graph.foreach { r =>
+      bruteMap.get((r.getLong(0), r.getLong(1))).foreach(b =>
+        assert(r.getDouble(3) == b, "graph search must not perturb cosine scores"))
+    }
+    // recall@5 floor: near-random synthetic embeddings are the WORST case
+    // for a navigable graph (no cluster structure to navigate), so the
+    // bound is a floor, not a target; it must at least beat blind chance
+    // by a wide margin and should be ≥ the s2 LSH serve path's regime
+    val hit = graph.map(r => (r.getLong(0), r.getLong(1))).count(truth)
+    val recall = hit.toDouble / truth.size
+    assert(recall >= 0.3, s"graph ANN recall@5 = $recall")
+    // serve-cost contract: the search touches ≤ entries + hops·beam·degree
+    // nodes per query — candidates bounded by the graph, never the corpus
+    val perQuery = graph.groupBy(_.getLong(0))
+    assert(perQuery.values.forall(_.length <= 5))
+  }
+
   test("approx percentiles land between exact neighbor percentiles") {
     import org.apache.spark.sql.functions._
     val approx = graft.queries.StatQueries.x5ApproxPercentilesCore(spark, dir).collect()
