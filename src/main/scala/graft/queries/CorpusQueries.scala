@@ -396,7 +396,9 @@ object CorpusQueries {
     * (d1's keep-first rule) → MinHash-LSH near-dedup (d3's banded
     * candidates + exact-Jaccard verify, drop the larger id of each
     * confirmed pair) → quality gate (token floor + t9's add-one-smoothed
-    * bigram LM score against an in-corpus reference split) →
+    * bigram LM score, gated RELATIVE to the corpus-wide average — an
+    * absolute floor is corpus-dependent because smoothing divides by
+    * (c + V) and V grows with the corpus) →
     * decontamination (v2's 8-gram overlap with the eval split, eval docs
     * excluded from the training corpus) → temperature-flattened source
     * mixing (n8's integer-ppm √-rates over the SURVIVING corpus) →
@@ -435,10 +437,27 @@ object CorpusQueries {
     // tokenize ONCE; shingles, LM bigrams, and decontamination grams all read this
     val toks = tracked(s1
       .select(col("doc_id"), col("source"), Text.tokens(col("text")).as("tk")).cache())
-    // stage 2 — MinHash-LSH near-dedup over the exact-dedup survivors
-    val sh0 = toks.select(col("doc_id"), explode(Text.shingles(col("tk"))).as("shingle"))
+    // stage 2 — MinHash-LSH near-dedup over the exact-dedup survivors.
+    // The boilerplate cap is RELATIVE (≥ 2% of the corpus, floor 100): a
+    // fixed absolute cap is corpus-dependent — at the 100× probe a df=100
+    // cap dropped 98% of all shingle instances (duplicate families alone
+    // push shared shingles to df ≈ 90·base_df) and LSH recall collapsed.
+    // Corpus size comes from the manifest (parquet footers), not a scan;
+    // at the gate SFs the floor binds, so oracle outputs are unchanged.
+    // 5-gram shingles, not d3's gate-scale 3-grams: at the 100× probe the
+    // 3-gram document-frequency tail (27k shingles in 200–2242 docs) let
+    // common shingles capture the minhash MINIMA corpus-wide — signatures
+    // collapsed (every candidate pair matched all 6 bands at jaccard 0.01)
+    // and near-dedup recall died. Longer shingles are the production
+    // answer (real MinHash dedup runs 9–13-grams): the 5-gram df tail is
+    // 550 shingles ≤ 371 docs at the same density, so minima stay
+    // document-specific and bands separate families.
+    val ShingleW = 5
+    val dfCap = math.max(ShingleDfCap.toLong,
+      Tables.rowCountFromFooters(spark, dir, "documents") / 50)
+    val sh0 = toks.select(col("doc_id"), explode(Text.shingles(col("tk"), ShingleW)).as("shingle"))
       .select(col("doc_id"), Text.md5Long(col("shingle")).as("sh64"))
-    val dfc = sh0.groupBy("sh64").agg(count(lit(1)).as("df")).where(col("df") <= ShingleDfCap)
+    val dfc = sh0.groupBy("sh64").agg(count(lit(1)).as("df")).where(col("df") <= dfCap)
     val sh = tracked(sh0.join(dfc, "sh64").select("doc_id", "sh64").cache())
     val hashed = sh
       .withColumn("h32", col("sh64").bitwiseAND(lit(0xFFFFFFFFL)))
@@ -454,11 +473,32 @@ object CorpusQueries {
     }: _*)
     val bands = sig.select(col("doc_id"), explode(bandArr).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
-    val cand = bands.as("a").join(bands.as("b"), Seq("band", "key"))
+    // band-BUCKET cap: a band key shared by thousands of docs is
+    // boilerplate collision, not dup signal (common shingles dominate the
+    // minhash minimum), and its bucket alone would contribute Θ(bucket²)
+    // pairs — the standard LSH-dedup skew guard; true families (≪ cap)
+    // keep all their bands
+    val bandSizes = bands.groupBy("band", "key").agg(count(lit(1)).as("bn"))
+    val bandsKept = bands.join(bandSizes.where(col("bn") <= 1000), Seq("band", "key"))
+    val cand = bandsKept.as("a").join(bandsKept.as("b"), Seq("band", "key"))
       .where(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("nb"))
+    // BOUNDED verification: per candidate `db`, verify only the 3 partners
+    // matching it in the MOST bands (ties to smallest id). A duplicate
+    // FAMILY is band-identical, so raw candidates are cliques — Θ(family²)
+    // pairs; at the 100× probe the shingle-intersection verify exploded to
+    // ~10⁹ rows and OOM'd, and smallest-id-only selection let cross-family
+    // 1-band collisions crowd out true partners. Band-match count is the
+    // similarity estimate LSH already computed — a dup doc matches its
+    // family in ~every band — so recall survives while verify work is
+    // ≤ 3·n pairs regardless of duplication density.
+    val candTop = cand
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("db").orderBy(col("nb").desc, col("da"))))
+      .where(col("crn") <= 3).select("da", "db")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand
+    val inter = candTop
       .join(sh.as("x"), col("x.doc_id") === col("da"))
       .join(sh.as("y"), col("y.doc_id") === col("db") && col("y.sh64") === col("x.sh64"))
       .groupBy("da", "db").agg(count(lit(1)).as("i"))
@@ -467,7 +507,9 @@ object CorpusQueries {
       .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
       .where(col("i") * lit(1.0) / (col("na") + col("nb") - col("i")) >= 0.5)
       .select(col("db").as("doc_id")).distinct()
-    val s2 = toks.join(neardup, Seq("doc_id"), "left_anti")
+    // persisted: the LM stage (tok2/big), the quality join (s3), and the
+    // decontamination grams all read the deduped survivor relation
+    val s2 = tracked(toks.join(neardup, Seq("doc_id"), "left_anti").cache())
     // stage 3 — quality gate: token floor + t9 LM score ≥ 30M ppb/bigram
     val tok2 = s2.where(size(col("tk")) >= 2)
     val big = tok2.select(col("doc_id"),
@@ -489,12 +531,27 @@ object CorpusQueries {
           (coalesce(col("c"), lit(0L)) + col("v"))).cast("long").as("ppb"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("ppb").as("score_ppb"))
+    // RELATIVE LM gate: keep docs whose per-bigram average clears 90% of
+    // the corpus-wide average. An absolute ppb floor is corpus-dependent —
+    // add-one smoothing divides by (c + V), and V grows with the corpus,
+    // deflating every score uniformly (the 100× probe measured all avgs
+    // collapsing from 28–41M to 16–22M ppb: a fixed 30M floor emptied the
+    // corpus). Integer division on both engines keeps the compare exact.
+    val lmTot = lm.agg(sum("score_ppb").as("tot_s"), sum("n_bigrams").as("tot_n"))
     val s3 = s2.select(col("doc_id"), col("source"), size(col("tk")).cast("long").as("n_tokens"))
       .join(lm, "doc_id")
-      .where(col("n_tokens") >= 20 && col("score_ppb") >= col("n_bigrams") * lit(30000000L))
+      .crossJoin(broadcast(lmTot)) // 1-row scalar, benign
+      .where(col("n_tokens") >= 20 &&
+        expr("score_ppb DIV n_bigrams") * 10 >= expr("tot_s DIV tot_n") * 9)
       .select("doc_id", "source", "n_tokens")
-    // stage 4 — decontamination: 8-gram overlap with the eval split (id ≡ 0 mod 11)
-    val grams = toks.select(col("doc_id"), explode(Text.shingles(col("tk"), NGram)).as("gram"))
+    // stage 4 — decontamination: 8-gram overlap with the eval split
+    // (id ≡ 0 mod 11), drawn from the DEDUPED corpus (s2): an eval split
+    // over the raw corpus would include near-dup replicas, and every
+    // keeper sharing its family's grams would be "contaminated" — at the
+    // 100× probe that wiped the corpus to zero. Real pipelines hold the
+    // eval set out of the deduplicated corpus (or use an external
+    // benchmark set), never the raw crawl.
+    val grams = s2.select(col("doc_id"), explode(Text.shingles(col("tk"), NGram)).as("gram"))
     val ev = grams.where(col("doc_id") % 11 === 0).select("gram").distinct()
     val contaminated = grams.where(col("doc_id") % 11 =!= 0)
       .join(ev, "gram").select("doc_id").distinct()
@@ -552,10 +609,11 @@ object CorpusQueries {
        |  FROM corpus),
        |s1 AS (SELECT doc_id, source, text FROM d WHERE rn = 1),
        |toks AS (SELECT doc_id, source, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') tk FROM s1),
-       |sh_all AS (SELECT doc_id, unnest(list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in range(1, len(tk) - 1)])) AS shingle
-       |           FROM toks WHERE len(tk) >= 3),
+       |sh_all AS (SELECT doc_id, unnest(list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] for i in range(1, len(tk) - 3)])) AS shingle
+       |           FROM toks WHERE len(tk) >= 5),
        |sh AS (SELECT doc_id, shingle FROM sh_all
-       |       WHERE shingle IN (SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) <= $ShingleDfCap)),
+       |       WHERE shingle IN (SELECT shingle FROM sh_all GROUP BY shingle
+       |                         HAVING count(*) <= greatest($ShingleDfCap, (SELECT count(*) FROM documents) // 50))),
        |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
        |h AS (SELECT doc_id, shingle, j,
        |        ((('0x' || substr(md5(shingle), 1, 15))::BIGINT & 4294967295) * ($As[j + 1]) + ($Bs[j + 1])) % $MersenneP hv
@@ -563,10 +621,16 @@ object CorpusQueries {
        |sig AS (SELECT doc_id, j, min(hv) m FROM h GROUP BY 1, 2),
        |bands AS (SELECT doc_id, j // $BandRows AS band, string_agg(m::VARCHAR, ',' ORDER BY j) AS key
        |          FROM sig GROUP BY doc_id, j // $BandRows),
-       |cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
-       |         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |bsz AS (SELECT band, key, count(*) AS bn FROM bands GROUP BY 1, 2),
+       |bk AS (SELECT bands.* FROM bands JOIN bsz USING (band, key) WHERE bn <= 1000),
+       |cand AS (SELECT a.doc_id da, b.doc_id db, count(*) AS nb
+       |         FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |         GROUP BY 1, 2),
+       |cand_top AS (SELECT da, db FROM (
+       |  SELECT da, db, row_number() OVER (PARTITION BY db ORDER BY nb DESC, da) AS crn FROM cand)
+       |  WHERE crn <= 3),
        |inter AS (SELECT c.da, c.db, count(*) i
-       |          FROM cand c JOIN sh x ON x.doc_id = c.da JOIN sh y ON y.doc_id = c.db AND y.shingle = x.shingle
+       |          FROM cand_top c JOIN sh x ON x.doc_id = c.da JOIN sh y ON y.doc_id = c.db AND y.shingle = x.shingle
        |          GROUP BY 1, 2),
        |neardup AS (SELECT DISTINCT db FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
        |            WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5),
@@ -582,12 +646,13 @@ object CorpusQueries {
        |  FROM big LEFT JOIN ref_big rb ON rb.w1 = big.w1 AND rb.w2 = big.w2
        |       LEFT JOIN ref_ctx rc ON rc.w1 = big.w1 CROSS JOIN vocab),
        |lm AS (SELECT doc_id, count(1) AS n_bigrams, CAST(sum(ppb) AS BIGINT) AS score_ppb FROM scored GROUP BY 1),
+       |lmt AS (SELECT CAST(sum(score_ppb) AS BIGINT) AS tot_s, CAST(sum(n_bigrams) AS BIGINT) AS tot_n FROM lm),
        |s3 AS (
        |  SELECT s2.doc_id, s2.source, CAST(len(s2.tk) AS BIGINT) AS n_tokens
-       |  FROM s2 JOIN lm ON lm.doc_id = s2.doc_id
-       |  WHERE len(s2.tk) >= 20 AND lm.score_ppb >= lm.n_bigrams * 30000000),
+       |  FROM s2 JOIN lm ON lm.doc_id = s2.doc_id CROSS JOIN lmt
+       |  WHERE len(s2.tk) >= 20 AND (lm.score_ppb // lm.n_bigrams) * 10 >= (lmt.tot_s // lmt.tot_n) * 9),
        |grams AS (SELECT doc_id, unnest(list_distinct([$gram8 for i in range(1, len(tk) - ${NGram - 2})])) AS gram
-       |          FROM toks WHERE len(tk) >= $NGram),
+       |          FROM s2 WHERE len(tk) >= $NGram),
        |ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 11 = 0),
        |contaminated AS (SELECT DISTINCT g.doc_id FROM grams g JOIN ev USING (gram) WHERE g.doc_id % 11 <> 0),
        |s4 AS (SELECT s3.* FROM s3 LEFT JOIN contaminated c ON s3.doc_id = c.doc_id
