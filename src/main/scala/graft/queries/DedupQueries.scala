@@ -1141,7 +1141,83 @@ object DedupQueries {
       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, CAST(sum(e - s) AS BIGINT) AS dup_tokens
       |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** d15: segment-level exact dedup with document REWRITE (the CCNet /
+    * RefinedWeb paragraph-dedup shape — reference-era crawl pipelines
+    * drop repeated boilerplate paragraphs corpus-wide, keeping one copy).
+    * The corpus text has no paragraph marks, so the unit is a fixed
+    * 10-token segment: hash every segment, keep only its FIRST occurrence
+    * corpus-wide (earliest doc_id, then position), and re-assemble each
+    * document from its surviving segments. Unlike d10 (which MARKS
+    * repeated spans), d15 produces the cleaned corpus itself — the
+    * destructive form a training-data pipeline actually writes out.
+    *
+    * Scale shape: explode is narrow; the keep-first window shuffles on
+    * md5(segment) — partition size = one duplicate family, bounded by the
+    * re-crawl rate (boilerplate mega-segments are the skew case; rows are
+    * ~100 bytes so even a 10⁶-copy segment is one 100 MB partition, and
+    * AQE splits wider); re-assembly is one doc_id shuffle. Both keys are
+    * fine-grained — linear at 100 TB. Re-assembly cost is Θ(corpus), the
+    * output contract (the rewritten corpus IS the product). The dumped
+    * row carries md5(clean_text), proving byte-exact reconstruction
+    * without shipping the corpus through the oracle compare.
+    */
+  def d15SegmentDedup(spark: SparkSession, dir: String): DataFrame = {
+    val SegW = 10
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val corpus = docs.unionByName( // re-crawl replicas: their segments all lose keep-first
+      docs.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val toks = corpus.select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+    val segs = toks.where(size(col("tk")) >= 1)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, (size(tk) - 1) DIV $SegW),
+           |  g -> named_struct('g', g, 'seg', array_join(slice(tk, g * $SegW + 1, $SegW), ' ')))""".stripMargin)).as("s"))
+      .select(col("doc_id"), col("s.g").as("g"), col("s.seg").as("seg"))
+    val first = segs.withColumn("rn",
+      row_number().over(Window.partitionBy(md5(col("seg"))).orderBy("doc_id", "g")))
+    val rebuilt = first.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(
+          transform(array_sort(collect_list(when(col("rn") === 1, struct(col("g"), col("seg"))))),
+            _.getField("seg")), " ")).as("clean_md5"))
+    corpus.select("doc_id").join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  val d15Oracle: String =
+    """WITH base AS (SELECT doc_id, text FROM documents),
+      |corpus AS (
+      |  SELECT doc_id, text FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM base WHERE doc_id % 5 = 0),
+      |toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') tk
+      |  FROM corpus),
+      |segs AS (
+      |  SELECT doc_id, g, list_aggregate(list_slice(tk, g * 10 + 1, g * 10 + 10), 'string_agg', ' ') AS seg
+      |  FROM toks, LATERAL unnest(range(0, ((len(tk) - 1) // 10) + 1)) AS r(g)
+      |  WHERE len(tk) >= 1),
+      |fs AS (
+      |  SELECT doc_id, g, seg,
+      |         row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, g) AS rn
+      |  FROM segs),
+      |rb AS (
+      |  SELECT doc_id, count(*) AS n_segments,
+      |         sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+      |         md5(coalesce(string_agg(seg, ' ' ORDER BY g) FILTER (WHERE rn = 1), '')) AS clean_md5
+      |  FROM fs GROUP BY doc_id)
+      |SELECT c.doc_id, CAST(coalesce(n_segments, 0) AS BIGINT) AS n_segments,
+      |       CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+      |       coalesce(clean_md5, md5('')) AS clean_md5
+      |FROM corpus c LEFT JOIN rb USING (doc_id) ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d15_segment_dedup" -> (d15SegmentDedup _),
     "d9_incremental_dedup" -> (d9IncrementalDedup _),
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_ngram_jaccard" -> (d2NgramJaccard _),
@@ -1159,6 +1235,7 @@ object DedupQueries {
     "d14_incremental_lsh" -> (d14IncrementalLsh _))
 
   val oracles: Map[String, String] = Map(
+    "d15_segment_dedup" -> d15Oracle,
     "d9_incremental_dedup" -> d9Oracle,
     "d1_exact_dedup" -> d1Oracle,
     "d2_ngram_jaccard" -> d2Oracle,

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
@@ -412,7 +413,119 @@ object TextQueries {
       |            OR regexp_replace(host, '^www\.', '') LIKE '%.io' AS BIGINT) AS blocked
       |FROM u ORDER BY doc_id""".stripMargin
 
+  /** t11: model-based quality scoring in the fastText serving shape —
+    * a linear classifier over hashed bag-of-words features (feature
+    * hashing into 1024 buckets, integer weights). This is how learned
+    * quality filters actually run at corpus scale: no vocabulary join,
+    * just hash → broadcast weight lookup → per-doc sum. Weights here are
+    * derived deterministically from the bucket id (md5) so the oracle is
+    * exact; swapping in trained weights changes one 1024-row relation,
+    * not the plan. Scale shape: token explode is narrow, the per-doc
+    * (doc, bucket) pre-aggregate combines map-side, the weight join is a
+    * 1024-row broadcast, and the final per-doc sum is the only shuffle.
+    */
+  def t11QualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val B = 1024
+    val weights = broadcast(spark.range(B).select(
+      col("id").as("bucket"),
+      (pmod(Text.md5Long(concat(lit("w:"), col("id").cast("string"))), lit(2001L)) - 1000L).as("w")))
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), pmod(Text.md5Long(col("tok")), lit(B.toLong)).as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
+    tf.join(weights, "bucket")
+      .groupBy("doc_id").agg(sum(col("c") * col("w")).as("score"))
+      .select(col("doc_id"), col("score"),
+        (col("score") >= 0).cast("long").as("label"))
+      .orderBy("doc_id")
+  }
+
+  val t11Oracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS tok
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024 AS bucket, count(*) AS c
+      |  FROM tok GROUP BY 1, 2),
+      |w AS (
+      |  SELECT r AS bucket, (('0x' || substr(md5('w:' || r), 1, 15))::BIGINT % 2001) - 1000 AS w
+      |  FROM range(0, 1024) t(r))
+      |SELECT doc_id, CAST(sum(c * w) AS BIGINT) AS score,
+      |       CAST(CAST(sum(c * w) AS BIGINT) >= 0 AS BIGINT) AS label
+      |FROM tf JOIN w USING (bucket) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** t12: BM25 top-k retrieval — the inverted-index scoring a
+    * training-data pipeline runs for retrieval-based decontamination and
+    * eval-set mining. Query terms broadcast against the exploded token
+    * stream; tf/df/dl/avgdl are the classic statistics; k1 = 1.2,
+    * b = 0.75. The idf uses the log-free rational form
+    * (N − df + ½)/(df + ½) so every score is a fixed tree of IEEE double
+    * ops over integers — bit-identical in DuckDB (ln() would differ in
+    * the last ulp between libm and the JVM); per-term scores floor to
+    * integer ppm BEFORE the order-free BIGINT sum. Scale shape: one
+    * narrow explode, a broadcast term join, per-(term,doc) map-side
+    * combine, and a k-row window per query — no all-pairs anything.
+    */
+  def t12Bm25(spark: SparkSession, dir: String): DataFrame = {
+    val qterms = broadcast(spark.createDataFrame(Seq(
+      ("q1", "spark"), ("q1", "join"),
+      ("q2", "window"), ("q2", "sort"), ("q2", "customer"),
+      ("q3", "vector"), ("q3", "stream"))).toDF("qid", "term"))
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("n_toks"))
+    val tf = tok.join(qterms, col("tok") === col("term"))
+      .groupBy("qid", "term", "doc_id").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dft, "term").join(dl, "doc_id")
+      .crossJoin(broadcast(stats)) // 1-row scalar, benign
+      .withColumn("nd", (col("dl") * col("n_docs")).cast("double") / col("n_toks"))
+      .withColumn("idf",
+        (lit(2.0) * col("n_docs") - lit(2.0) * col("df") + lit(1.0)) /
+          (lit(2.0) * col("df") + lit(1.0)))
+      .withColumn("tfn",
+        (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("nd"))))
+      .withColumn("ppm", floor(col("idf") * col("tfn") * lit(1000000.0)).cast("long"))
+    scored.groupBy("qid", "doc_id").agg(sum("ppm").as("score_ppm"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("score_ppm").desc, col("doc_id"))).cast("long"))
+      .where(col("rank") <= 5)
+      .select("qid", "rank", "doc_id", "score_ppm")
+      .orderBy("qid", "rank")
+  }
+
+  val t12Oracle: String =
+    """WITH qt(qid, term) AS (VALUES
+      |  ('q1', 'spark'), ('q1', 'join'),
+      |  ('q2', 'window'), ('q2', 'sort'), ('q2', 'customer'),
+      |  ('q3', 'vector'), ('q3', 'stream')),
+      |tok AS (
+      |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS tok
+      |  FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+      |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS n_toks FROM dl),
+      |tf AS (SELECT qid, term, doc_id, count(*) AS tf
+      |       FROM tok JOIN qt ON tok = term GROUP BY 1, 2, 3),
+      |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |sc AS (
+      |  SELECT qid, doc_id,
+      |         CAST(floor(
+      |           ((2.0::DOUBLE * n_docs - 2.0::DOUBLE * df + 1.0::DOUBLE) / (2.0::DOUBLE * df + 1.0::DOUBLE))
+      |           * ((tf * 2.2::DOUBLE) / (tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * (CAST(dl * n_docs AS DOUBLE) / n_toks))))
+      |           * 1000000.0::DOUBLE) AS BIGINT) AS ppm
+      |  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+      |agg AS (SELECT qid, doc_id, CAST(sum(ppm) AS BIGINT) AS score_ppm FROM sc GROUP BY 1, 2)
+      |SELECT qid, rank, doc_id, score_ppm FROM (
+      |  SELECT qid, doc_id, score_ppm,
+      |         row_number() OVER (PARTITION BY qid ORDER BY score_ppm DESC, doc_id) AS rank
+      |  FROM agg)
+      |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t12_bm25" -> (t12Bm25 _),
+    "t11_quality_classifier" -> (t11QualityClassifier _),
     "t10_url_filter" -> (t10UrlFilter _),
     "t9_lm_score" -> (t9LmScore _),
     "t8_repetition" -> (t8Repetition _),
@@ -425,6 +538,8 @@ object TextQueries {
     "t7_nfc_normalize" -> (t7NfcNormalize _))
 
   val oracles: Map[String, String] = Map(
+    "t12_bm25" -> t12Oracle,
+    "t11_quality_classifier" -> t11Oracle,
     "t10_url_filter" -> t10Oracle,
     "t9_lm_score" -> t9Oracle,
     "t8_repetition" -> t8Oracle,

@@ -258,7 +258,42 @@ object UpsertQueries {
       |SELECT c_custkey, c_mktsegment, o_orderkey, cents, CAST(1 AS BIGINT) AS m
       |FROM a JOIN b USING (c_custkey) ORDER BY o_orderkey""".stripMargin
 
+  /** u8: type-2 SCD history from the order-priority changelog — each
+    * customer's `o_orderpriority` stream becomes versioned dimension rows
+    * via [[graft.operators.Scd2]]. All three passes (last-event-per-day,
+    * no-op collapse, validity stitch) share one Exchange+Sort on
+    * `o_custkey`; the oracle replays the same three window passes as
+    * nested CTEs, proving collapse semantics (not just final attrs)
+    * match.
+    */
+  def u8Scd2History(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Scd2
+    val ev = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority").as("priority"), col("o_orderkey"))
+    Scd2.build(ev, Seq("o_custkey"), "priority", "o_orderdate", "o_orderkey")
+      .orderBy("o_custkey", "valid_from")
+  }
+
+  val u8Oracle: String =
+    """WITH ev AS (
+      |  SELECT o_custkey, o_orderdate, o_orderpriority AS priority, o_orderkey
+      |  FROM orders),
+      |p1 AS (
+      |  SELECT *, lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS nts
+      |  FROM ev),
+      |p1k AS (SELECT * FROM p1 WHERE nts IS NULL OR nts <> o_orderdate),
+      |p2 AS (
+      |  SELECT *, lag(priority) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS pattr
+      |  FROM p1k),
+      |p2k AS (SELECT * FROM p2 WHERE pattr IS NULL OR pattr <> priority)
+      |SELECT o_custkey, priority, o_orderdate AS valid_from,
+      |       lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to,
+      |       lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+      |FROM p2k ORDER BY o_custkey, valid_from""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u8_scd2_history" -> (u8Scd2History _),
     "u7_incremental_join" -> (u7IncrementalJoin _),
     "u6_incremental_distinct" -> (u6IncrementalDistinct _),
     "u1_argmax_aggregator" -> (u1ArgmaxAggregator _),
@@ -268,6 +303,7 @@ object UpsertQueries {
     "u5_incremental_topk" -> (u5IncrementalTopK _))
 
   val oracles: Map[String, String] = Map(
+    "u8_scd2_history" -> u8Oracle,
     "u7_incremental_join" -> u7Oracle,
     "u6_incremental_distinct" -> u6Oracle,
     "u1_argmax_aggregator" -> u1Oracle,
