@@ -125,13 +125,58 @@ object FormatQueries {
       |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** f5: semi-structured VARIANT ingestion — the modern JSON-lake shape
+    * (Spark 4's `VariantType`). Orders become nested JSON payloads,
+    * `parse_json` turns them into a VARIANT column, the column round-trips
+    * through parquet in its binary variant encoding, and typed fields come
+    * back out with `variant_get` path extraction (top-level + nested
+    * object) to drive a plain aggregate. The oracle computes the same
+    * aggregate straight from the original parquet, so a hash match
+    * certifies the whole parse → shred → store → extract path. Values
+    * stay exact (longs, strings): nothing float crosses the text
+    * boundary.
+    *
+    * Scale note: VARIANT parquet is splittable and columnar like any other
+    * column; extraction is per-row expression work inside codegen — no
+    * shuffle is added over the equivalent typed pipeline.
+    */
+  def f5VariantExtract(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("graft-variant")
+    Tables.orders(spark, dir)
+      .select(to_json(struct(
+        col("o_orderkey").as("id"),
+        col("o_orderpriority").as("prio"),
+        struct(col("o_custkey").as("cust"),
+          round(col("o_totalprice") * 100).cast("long").as("cents")).as("payment")))
+        .as("payload"))
+      .select(parse_json(col("payload")).as("v"))
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+      .select(
+        expr("variant_get(v, '$.prio', 'string')").as("prio"),
+        expr("variant_get(v, '$.payment.cents', 'bigint')").as("cents"),
+        expr("variant_get(v, '$.id', 'bigint')").as("id"))
+      .groupBy("prio")
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("total_cents"),
+        max("id").as("max_key"))
+      .orderBy("prio")
+  }
+
+  val f5Oracle: String =
+    """SELECT o_orderpriority AS prio, count(1) AS n_orders,
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+      |       max(o_orderkey) AS max_key
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f5_variant_extract" -> (f5VariantExtract _),
     "f1_csv_roundtrip" -> (f1CsvRoundtrip _),
     "f2_json_roundtrip" -> (f2JsonRoundtrip _),
     "f3_schema_evolution" -> (f3SchemaEvolution _),
     "f4_orc_roundtrip" -> (f4OrcRoundtrip _))
 
   val oracles: Map[String, String] = Map(
+    "f5_variant_extract" -> f5Oracle,
     "f1_csv_roundtrip" -> f1Oracle,
     "f2_json_roundtrip" -> f2Oracle,
     "f3_schema_evolution" -> f3Oracle,
