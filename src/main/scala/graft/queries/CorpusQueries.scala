@@ -457,8 +457,12 @@ object CorpusQueries {
       Tables.rowCountFromFooters(spark, dir, "documents") / 50)
     val sh0 = toks.select(col("doc_id"), explode(Text.shingles(col("tk"), ShingleW)).as("shingle"))
       .select(col("doc_id"), Text.md5Long(col("shingle")).as("sh64"))
-    val dfc = sh0.groupBy("sh64").agg(count(lit(1)).as("df")).where(col("df") <= dfCap)
-    val sh = tracked(sh0.join(dfc, "sh64").select("doc_id", "sh64").cache())
+    // DF cap as ONE window pass over the exploded shingles (shuffle key
+    // sh64 — fine-grained), not a groupBy + self-join re-running the
+    // explode twice; same semantics, one lineage execution
+    val sh = tracked(sh0
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh64")))
+      .where(col("df") <= dfCap).select("doc_id", "sh64").cache())
     val hashed = sh
       .withColumn("h32", col("sh64").bitwiseAND(lit(0xFFFFFFFFL)))
       .select(col("doc_id") +: (0 until MinhashFns).map(j =>
@@ -478,8 +482,11 @@ object CorpusQueries {
     // minhash minimum), and its bucket alone would contribute Θ(bucket²)
     // pairs — the standard LSH-dedup skew guard; true families (≪ cap)
     // keep all their bands
-    val bandSizes = bands.groupBy("band", "key").agg(count(lit(1)).as("bn"))
-    val bandsKept = bands.join(bandSizes.where(col("bn") <= 1000), Seq("band", "key"))
+    // bucket cap as a window over (band, key) — one pass over the
+    // signature pipeline instead of a groupBy + join re-running it
+    val bandsKept = bands
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy("band", "key")))
+      .where(col("bn") <= 1000).drop("bn")
     val cand = bandsKept.as("a").join(bandsKept.as("b"), Seq("band", "key"))
       .where(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
@@ -557,10 +564,15 @@ object CorpusQueries {
       .join(ev, "gram").select("doc_id").distinct()
     val s4 = s3.where(col("doc_id") % 11 =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
-    // stage 5 — temperature mix (α = 0.5 → √-flattened integer-ppm rates) + split
+    // stage 5 — temperature mix (α = 0.5 → √-flattened integer-ppm rates) + split.
+    // The min is a global window over the |sources|-row rollup, NOT a
+    // scalar crossJoin: the broadcast form re-executed the whole
+    // LM+decontamination chain a second time just to build the 1-row min
+    // (each broadcast subtree is its own job) — the single-partition
+    // window is safe at any scale because its input is one row per source.
     val bySrc = s4.groupBy("source").agg(sum("n_tokens").as("src_tokens"))
-    val tmin = bySrc.agg(min("src_tokens").as("min_tokens"))
-    val rates = bySrc.crossJoin(broadcast(tmin)) // 1-row scalar, benign
+    val rates = bySrc
+      .withColumn("min_tokens", min("src_tokens").over(Window.partitionBy()))
       .select(col("source"),
         floor(lit(1000000.0) * sqrt(col("min_tokens") / col("src_tokens")))
           .cast("long").as("rate_ppm"))
