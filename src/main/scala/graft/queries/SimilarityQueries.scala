@@ -201,9 +201,12 @@ object SimilarityQueries {
         Window.partitionBy("src").orderBy(col("cos").desc, col("nbr"))))
       .where(col("rn") <= GraphM)
       .select("src", "nbr")
+    // localCheckpoint: the graph build (bucketed self-join + top-M window)
+    // is re-read by every beam hop — uncut, each hop's join re-executed
+    // the whole construction (the d12 iterative-lineage lesson)
     val adj = directed
       .unionByName(directed.select(col("nbr").as("src"), col("src").as("nbr")))
-      .distinct()
+      .distinct().localCheckpoint(true)
 
     val q = e.where(col("vec_id") < QueryBlock)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
@@ -225,8 +228,9 @@ object SimilarityQueries {
       val expanded = frontier.join(adj, frontier("node") === adj("src"))
         .select(col("qid"), col("nbr").as("node")).distinct()
       // cos is a pure function of (qid, node), so the distinct after the
-      // union collapses re-visited nodes exactly
-      visited = visited.unionByName(score(expanded)).distinct()
+      // union collapses re-visited nodes exactly; the checkpoint keeps
+      // each hop's plan flat instead of re-executing all prior hops
+      visited = visited.unionByName(score(expanded)).distinct().localCheckpoint(true)
     }
     visited.where(col("node") =!= col("qid"))
       .withColumn("rank", row_number().over(
