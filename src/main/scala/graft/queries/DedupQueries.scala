@@ -1161,32 +1161,49 @@ object DedupQueries {
     * row carries md5(clean_text), proving byte-exact reconstruction
     * without shipping the corpus through the oracle compare.
     */
+  private val SegmentW = 10
+
+  /** (id, g, seg) fixed-width token segments of an (id, text) relation —
+    * the unit both d15 (batch) and d16 (incremental) dedup on.
+    */
+  private def segmentRows(docs: DataFrame, idCol: String): DataFrame =
+    docs.select(col(idCol), Text.tokens(col("text")).as("tk"))
+      .where(size(col("tk")) >= 1)
+      .select(col(idCol), explode(expr(
+        s"""transform(sequence(0, (size(tk) - 1) DIV $SegmentW),
+           |  g -> named_struct('g', g, 'seg', array_join(slice(tk, g * $SegmentW + 1, $SegmentW), ' ')))""".stripMargin)).as("s"))
+      .select(col(idCol), col("s.g").as("g"), col("s.seg").as("seg"))
+
+  /** Re-assemble documents from their surviving segments (`keep` flag):
+    * per-doc counters + md5 of the cleaned text. `all` must also carry
+    * every id in `ids` (docs whose every segment dropped still appear,
+    * with an empty clean text).
+    */
+  private def rebuildFromSegments(all: DataFrame, ids: DataFrame, idCol: String): DataFrame = {
+    val rebuilt = all.groupBy(idCol)
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(
+          transform(array_sort(collect_list(when(col("keep"), struct(col("g"), col("seg"))))),
+            _.getField("seg")), " ")).as("clean_md5"))
+    ids.join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+      .orderBy(idCol)
+  }
+
   def d15SegmentDedup(spark: SparkSession, dir: String): DataFrame = {
-    val SegW = 10
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val corpus = docs.unionByName( // re-crawl replicas: their segments all lose keep-first
       docs.where(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-    val toks = corpus.select(col("doc_id"), Text.tokens(col("text")).as("tk"))
-    val segs = toks.where(size(col("tk")) >= 1)
-      .select(col("doc_id"), explode(expr(
-        s"""transform(sequence(0, (size(tk) - 1) DIV $SegW),
-           |  g -> named_struct('g', g, 'seg', array_join(slice(tk, g * $SegW + 1, $SegW), ' ')))""".stripMargin)).as("s"))
-      .select(col("doc_id"), col("s.g").as("g"), col("s.seg").as("seg"))
-    val first = segs.withColumn("rn",
-      row_number().over(Window.partitionBy(md5(col("seg"))).orderBy("doc_id", "g")))
-    val rebuilt = first.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_segments"),
-        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
-        md5(array_join(
-          transform(array_sort(collect_list(when(col("rn") === 1, struct(col("g"), col("seg"))))),
-            _.getField("seg")), " ")).as("clean_md5"))
-    corpus.select("doc_id").join(rebuilt, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
-      .orderBy("doc_id")
+    val marked = segmentRows(corpus, "doc_id")
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(md5(col("seg"))).orderBy("doc_id", "g")))
+      .withColumn("keep", col("rn") === 1)
+    rebuildFromSegments(marked, corpus.select("doc_id"), "doc_id")
   }
 
   val d15Oracle: String =
@@ -1216,7 +1233,87 @@ object DedupQueries {
       |       coalesce(clean_md5, md5('')) AS clean_md5
       |FROM corpus c LEFT JOIN rb USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** d16: INCREMENTAL segment dedup — d15's serve path, the d9/d11/d14
+    * Δ-vs-index pattern at segment granularity. The corpus contributes
+    * only its persisted segment-hash index (distinct md5, membership
+    * only); the crawl increment explodes to segments, drops every segment
+    * the index already knows PLUS within-increment repeats (keep-first
+    * inside the batch), and re-assembles. Cost: O(Δ·segments + one
+    * hash-keyed join against the index) — the corpus text is never
+    * re-read. Increment mix: re-crawls (every segment known → clean text
+    * empties), head+tail splices (the two ALIGNED head segments drop; the
+    * salt shifts the tail off the 10-token grid, so those segments read
+    * as novel — segment-granular dedup is alignment-sensitive by design,
+    * d10/d11 are the unaligned-span complement), and novel salted docs
+    * (nothing drops).
+    */
+  def d16IncrementalSegmentDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val idx = segmentRows(docs, "doc_id").select(md5(col("seg")).as("h")).distinct()
+    val inc = docs.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("in_id"), col("text")) // re-crawl
+      .unionByName(spliceDocs(docs, 0, 2000000L)
+        .select(col("doc_id").as("in_id"), col("text")))
+      .unionByName(docs.where(col("doc_id") % 10 === 7) // genuinely novel
+        .select((col("doc_id") + 3000000L).as("in_id"),
+          concat(md5(concat(lit("novel:"), col("doc_id").cast("string"))),
+            lit(" "), col("text")).as("text")))
+    val marked = segmentRows(inc, "in_id")
+      .withColumn("h", md5(col("seg")))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("h").orderBy("in_id", "g")))
+      .join(idx.withColumn("known", lit(1)), Seq("h"), "left")
+      .withColumn("keep", col("rn") === 1 && col("known").isNull)
+    rebuildFromSegments(marked, inc.select("in_id"), "in_id")
+  }
+
+  val d16Oracle: String =
+    """WITH base AS (SELECT doc_id, text FROM documents),
+      |btoks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') tk
+      |  FROM base),
+      |idx AS (
+      |  SELECT DISTINCT md5(list_aggregate(list_slice(tk, g * 10 + 1, g * 10 + 10), 'string_agg', ' ')) AS h
+      |  FROM btoks, LATERAL unnest(range(0, ((len(tk) - 1) // 10) + 1)) AS r(g)
+      |  WHERE len(tk) >= 1),
+      |inc AS (
+      |  SELECT doc_id + 1000000 AS in_id, text FROM base WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT a.doc_id + 2000000,
+      |         list_aggregate(list_slice(ta.tk, 1, 20), 'string_agg', ' ')
+      |         || ' ' || md5(a.doc_id::VARCHAR) || ' ' ||
+      |         list_aggregate(list_slice(tb.tk, len(tb.tk) - 19, len(tb.tk)), 'string_agg', ' ')
+      |  FROM base a JOIN base b ON b.doc_id = (a.doc_id + 1) % (SELECT max(doc_id) + 1 FROM base),
+      |  LATERAL (SELECT list_filter(regexp_split_to_array(lower(trim(a.text)), '\s+'), x -> x <> '') tk) ta,
+      |  LATERAL (SELECT list_filter(regexp_split_to_array(lower(trim(b.text)), '\s+'), x -> x <> '') tk) tb
+      |  WHERE a.doc_id % 11 = 0 AND len(ta.tk) >= 20 AND len(tb.tk) >= 20
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, md5('novel:' || doc_id) || ' ' || text
+      |  FROM base WHERE doc_id % 10 = 7),
+      |itoks AS (
+      |  SELECT in_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') tk
+      |  FROM inc),
+      |segs AS (
+      |  SELECT in_id, g, list_aggregate(list_slice(tk, g * 10 + 1, g * 10 + 10), 'string_agg', ' ') AS seg
+      |  FROM itoks, LATERAL unnest(range(0, ((len(tk) - 1) // 10) + 1)) AS r(g)
+      |  WHERE len(tk) >= 1),
+      |mk AS (
+      |  SELECT s.in_id, s.g, s.seg,
+      |         row_number() OVER (PARTITION BY md5(seg) ORDER BY in_id, g) AS rn,
+      |         CASE WHEN idx.h IS NOT NULL THEN 1 END AS known
+      |  FROM segs s LEFT JOIN idx ON idx.h = md5(s.seg)),
+      |rb AS (
+      |  SELECT in_id, count(*) AS n_segments,
+      |         sum(CASE WHEN rn = 1 AND known IS NULL THEN 1 ELSE 0 END) AS n_kept,
+      |         md5(coalesce(string_agg(seg, ' ' ORDER BY g) FILTER (WHERE rn = 1 AND known IS NULL), '')) AS clean_md5
+      |  FROM mk GROUP BY in_id)
+      |SELECT i.in_id, CAST(coalesce(n_segments, 0) AS BIGINT) AS n_segments,
+      |       CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+      |       coalesce(clean_md5, md5('')) AS clean_md5
+      |FROM inc i LEFT JOIN rb USING (in_id) ORDER BY in_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d16_incremental_segment_dedup" -> (d16IncrementalSegmentDedup _),
     "d15_segment_dedup" -> (d15SegmentDedup _),
     "d9_incremental_dedup" -> (d9IncrementalDedup _),
     "d1_exact_dedup" -> (d1ExactDedup _),
@@ -1235,6 +1332,7 @@ object DedupQueries {
     "d14_incremental_lsh" -> (d14IncrementalLsh _))
 
   val oracles: Map[String, String] = Map(
+    "d16_incremental_segment_dedup" -> d16Oracle,
     "d15_segment_dedup" -> d15Oracle,
     "d9_incremental_dedup" -> d9Oracle,
     "d1_exact_dedup" -> d1Oracle,

@@ -446,6 +446,50 @@ object StreamingOps extends Serializable {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fold)
   }
 
+  case class Scd2In(key: Long, tsMicros: Long, tie: Long, attr: String)
+  case class Scd2Open(attr: String, validFrom: Long)
+  case class Scd2Closed(key: Long, attr: String, valid_from: Long, valid_to: Long)
+
+  /** Streaming SCD2 — the twin of [[graft.operators.Scd2]]: each key's
+    * open dimension version lives in state (O(keys)); a genuine attribute
+    * change CLOSES the open version (emitted append-only) and opens the
+    * next. Within a batch the fold sorts by (ts, tie) and keeps only the
+    * last event of each instant, exactly the batch operator's per-instant
+    * rule; no-op changes never emit. Contract: strictly increasing ts per
+    * key ACROSS batches (the ingest-order contract every twin here
+    * shares) — same-instant conflicts can only be resolved inside one
+    * batch. The stream emits CLOSED versions; each key's current version
+    * is its state (a batch view unions the two), so emitted rows ≡ the
+    * batch operator's `valid_to IS NOT NULL` rows on any batch split.
+    */
+  def scd2Stream(spark: SparkSession, rows: Dataset[Scd2In]): Dataset[Scd2Closed] = {
+    import spark.implicits._
+    def fold(key: Long, it: Iterator[Scd2In],
+             state: GroupState[Scd2Open]): Iterator[Scd2Closed] = {
+      val sorted = it.toSeq.sortBy(e => (e.tsMicros, e.tie))
+      // last event per instant — the batch operator's pass-1 rule
+      val perInstant = sorted.zipWithIndex.filter { case (e, i) =>
+        i == sorted.length - 1 || sorted(i + 1).tsMicros != e.tsMicros
+      }.map(_._1)
+      var st = state.getOption
+      val out = Seq.newBuilder[Scd2Closed]
+      perInstant.foreach { e =>
+        st match {
+          case Some(s) if s.attr == e.attr => // no-op change: version extends
+          case Some(s) =>
+            out += Scd2Closed(key, s.attr, s.validFrom, e.tsMicros)
+            st = Some(Scd2Open(e.attr, e.tsMicros))
+          case None =>
+            st = Some(Scd2Open(e.attr, e.tsMicros))
+        }
+      }
+      st.foreach(state.update)
+      out.result().iterator
+    }
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fold)
+  }
+
   /** Stream-stream interval join: purchases ⋈ clicks of the same user with
     * `c_ts ∈ [p_ts − 1h, p_ts)`. Watermarks on BOTH sides let Spark evict
     * join state: a click can only match purchases up to 1 h later, so click

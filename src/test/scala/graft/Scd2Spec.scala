@@ -49,6 +49,48 @@ class Scd2Spec extends AnyFunSuite {
     assert(out == Seq(("X", false), ("Y", false), ("X", true)))
   }
 
+  test("streaming SCD2 closed versions == batch operator across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamingOps
+    implicit val sqlCtx = spark.sqlContext
+
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_custkey").as("key"), unix_micros(col("o_orderdate").cast("timestamp")).as("tsMicros"),
+        col("o_orderkey").as("tie"), col("o_orderpriority").as("attr"))
+      .as[StreamingOps.Scd2In].collect().sortBy(e => (e.tsMicros, e.tie))
+    // split at INSTANT boundaries: the cross-batch contract is strictly
+    // increasing ts per key, so one (key, instant) never spans batches
+    val instants = rows.map(_.tsMicros).distinct.sorted
+    val (c1, c2) = (instants(instants.length / 3), instants(2 * instants.length / 3))
+    val b1 = rows.filter(_.tsMicros < c1)
+    val b2 = rows.filter(e => e.tsMicros >= c1 && e.tsMicros < c2)
+    val b3 = rows.filter(_.tsMicros >= c2)
+
+    val mem = MemoryStream[StreamingOps.Scd2In]
+    val q = StreamingOps.scd2Stream(spark, mem.toDS())
+      .writeStream.format("memory").queryName("sscd2").outputMode("append").start()
+    try {
+      mem.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+      mem.addData(b3.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("sscd2").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).sorted
+    val want = Scd2.build(
+        graft.sources.Tables.orders(spark, dir)
+          .select(col("o_custkey").as("key"), col("o_orderdate").cast("timestamp").as("t"),
+            col("o_orderpriority").as("attr"), col("o_orderkey").as("ev")),
+        Seq("key"), "attr", "t", "ev")
+      .where(col("valid_to").isNotNull)
+      .select(col("key"), col("attr"), unix_micros(col("valid_from")), unix_micros(col("valid_to")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).sorted
+    assert(got.length == want.length)
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("plan: the three window passes share a single Exchange and a single Sort") {
     val log = Seq((1L, ts("2024-01-01 00:00:00"), "A", 1L)).toDF("k", "t", "attr", "ev")
     val plan = Scd2.build(log, Seq("k"), "attr", "t", "ev")
