@@ -147,13 +147,64 @@ object IntervalQueries {
       |       cents IS NOT NULL AS observed
       |FROM j ORDER BY acc, day""".stripMargin
 
+  /** r5: per-user interval-UNION coverage — every event opens a 30-minute
+    * activity interval `[ts, ts+30m)`; overlapping intervals merge and
+    * the output is each user's merged-interval count + total covered
+    * time. The classic sweep, expressed scale-right: a running max of
+    * prior interval ends (window) detects island starts, a cumulative sum
+    * numbers the islands (d10's span-merge shape on the time axis). All
+    * three passes share one user-keyed Exchange+Sort; nothing is
+    * data-sized on the driver and nothing self-joins. Tie rows (same
+    * user, same instant) are frame-safe: the island flag lands on
+    * whichever tied row sorts first, but the RANGE-framed cumulative sum
+    * gives peers the same island id, so the merged result is
+    * order-independent.
+    */
+  def r5IntervalUnion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val HalfH = 1800L * 1000000L
+    val iv = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("s"))
+      .withColumn("e", col("s") + lit(HalfH))
+    val w = Window.partitionBy("user_id").orderBy("s", "e")
+    val isl = iv
+      .withColumn("ni",
+        when(col("s") > coalesce(
+          max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(Long.MinValue)), 1L).otherwise(0L))
+      .withColumn("island", sum("ni").over(w)) // default RANGE frame: peers share the island id
+    isl.groupBy("user_id", "island")
+      .agg(min("s").as("i_s"), max("e").as("i_e"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("i_e") - col("i_s")).as("covered_us"))
+      .orderBy("user_id")
+  }
+
+  val r5Oracle: String =
+    """WITH iv AS (SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e FROM events),
+      |m AS (
+      |  SELECT user_id, s, e,
+      |         CASE WHEN s > coalesce(max(e) OVER (PARTITION BY user_id ORDER BY s, e
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -9223372036854775807)
+      |              THEN 1 ELSE 0 END AS ni
+      |  FROM iv),
+      |isl AS (
+      |  SELECT *, sum(ni) OVER (PARTITION BY user_id ORDER BY s, e) AS island FROM m),
+      |g AS (SELECT user_id, island, min(s) AS i_s, max(e) AS i_e FROM isl GROUP BY 1, 2)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+      |       CAST(sum(i_e - i_s) AS BIGINT) AS covered_us
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r5_interval_union" -> (r5IntervalUnion _),
     "r4_gap_fill" -> (r4GapFill _),
     "r1_interval_join" -> (r1IntervalJoin _),
     "r2_nearby_errors" -> (r2NearbyErrors _),
     "r3_overlap_join" -> (r3OverlapJoin _))
 
   val oracles: Map[String, String] = Map(
+    "r5_interval_union" -> r5Oracle,
     "r4_gap_fill" -> r4Oracle,
     "r1_interval_join" -> r1Oracle,
     "r2_nearby_errors" -> r2Oracle,

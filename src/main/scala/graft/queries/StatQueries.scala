@@ -646,7 +646,72 @@ object StatQueries {
       |         AS intercept_micro
       |FROM g ORDER BY l_returnflag""".stripMargin
 
+  /** x16: Mann-Whitney U — the rank-based (nonparametric) two-sample
+    * drift test next to x11's KS: no distribution assumption, exact on
+    * integer cents. Computed from the VALUE HISTOGRAM (x4's scale shape),
+    * never a global row sort: per-value side counts, one ordered window
+    * over the |distinct-values| relation for the below-count, then
+    * doubled average ranks (2·below + ties + 1 — integers, no .5 tie
+    * ranks) roll into DECIMAL(38,0) rank sums (the x14 overflow
+    * discipline: rank sums reach N², past BIGINT at ~10⁹ rows).
+    * U₂ = 2U so everything stays integral; `sum_ok` hash-gates the
+    * U₂ᴬ + U₂ᴮ = 2·nᴬ·nᴮ identity.
+    */
+  def x16MannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables.orders(spark, dir).select(
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"),
+      (col("o_orderkey") % 2).as("side"))
+    val perV = v.groupBy("v").agg(
+      sum(when(col("side") === 0, 1L).otherwise(0L)).as("ca"),
+      sum(when(col("side") === 1, 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    val cum = perV
+      .withColumn("te", col("ca") + col("cb"))
+      .withColumn("cumb", coalesce(sum(col("ca") + col("cb")).over(w), lit(0L)))
+      .withColumn("r2", (col("cumb") * 2 + col("te") + 1).cast("decimal(38,0)"))
+    cum.agg(
+        sum("ca").as("n_a"), sum("cb").as("n_b"),
+        sum(col("ca").cast("decimal(38,0)") * col("r2")).as("rr2a"),
+        sum(col("cb").cast("decimal(38,0)") * col("r2")).as("rr2b"))
+      .select(col("n_a"), col("n_b"),
+        (col("rr2a") - (col("n_a") * (col("n_a") + 1)).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("u2_a"),
+        (col("rr2b") - (col("n_b") * (col("n_b") + 1)).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("u2_b"))
+      .withColumn("sum_ok",
+        (col("u2_a") + col("u2_b") ===
+          (col("n_a") * col("n_b") * 2).cast("decimal(38,0)")).cast("long"))
+  }
+
+  val x16Oracle: String =
+    """WITH v AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v, o_orderkey % 2 AS side
+      |  FROM orders),
+      |pv AS (
+      |  SELECT v, CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |         CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM v GROUP BY 1),
+      |c AS (
+      |  SELECT v, ca, cb, ca + cb AS te,
+      |         CAST(coalesce(sum(ca + cb) OVER (ORDER BY v
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumb
+      |  FROM pv),
+      |a AS (
+      |  SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+      |         CAST(sum(CAST(ca AS DECIMAL(38, 0)) * CAST(cumb * 2 + te + 1 AS DECIMAL(38, 0))) AS DECIMAL(38, 0)) AS rr2a,
+      |         CAST(sum(CAST(cb AS DECIMAL(38, 0)) * CAST(cumb * 2 + te + 1 AS DECIMAL(38, 0))) AS DECIMAL(38, 0)) AS rr2b
+      |  FROM c)
+      |SELECT n_a, n_b,
+      |       CAST(rr2a - CAST(n_a * (n_a + 1) AS DECIMAL(38, 0)) AS DECIMAL(38, 0)) AS u2_a,
+      |       CAST(rr2b - CAST(n_b * (n_b + 1) AS DECIMAL(38, 0)) AS DECIMAL(38, 0)) AS u2_b,
+      |       CAST(CAST(rr2a - CAST(n_a * (n_a + 1) AS DECIMAL(38, 0)) AS DECIMAL(38, 0)) +
+      |            CAST(rr2b - CAST(n_b * (n_b + 1) AS DECIMAL(38, 0)) AS DECIMAL(38, 0)) =
+      |            CAST(n_a * n_b * 2 AS DECIMAL(38, 0)) AS BIGINT) AS sum_ok
+      |FROM a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x16_mann_whitney" -> (x16MannWhitney _),
     "x15_regression" -> (x15Regression _),
     "x14_correlation" -> (x14Correlation _),
     "x13_chi_square" -> (x13ChiSquare _),
@@ -664,6 +729,7 @@ object StatQueries {
     "x8_snapshot_diff" -> (x8SnapshotDiff _))
 
   val oracles: Map[String, String] = Map(
+    "x16_mann_whitney" -> x16Oracle,
     "x15_regression" -> x15Oracle,
     "x14_correlation" -> x14Oracle,
     "x13_chi_square" -> x13Oracle,
