@@ -27,7 +27,7 @@ object Bench {
 
     val warmDir = "/root/testdata/sf0.001"
     selected.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      try fn(spark, warmDir).queryExecution.toRdd.count() catch { case _: Throwable => () }
     }
     // drop warmup-scale cached intermediates before measuring: they'd
     // hold executor memory for the whole measured pass otherwise
@@ -41,7 +41,13 @@ object Bench {
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch {
+        // materialize the FULL result (toRdd executes the query's own
+        // physical plan), never df.count(): the count() fast path lets the
+        // optimizer prune every per-row projection and even whole
+        // unique-key left joins whose output cardinality is derivable from
+        // the scans — projection-shaped queries (t1-t7, d15/d16's
+        // id-restore tail) were being timed as bare parquet scan-counts
+        val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true } catch {
           case t: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${t.getClass.getSimpleName}: ${t.getMessage}")
             false

@@ -145,7 +145,10 @@ object ScaleProbe {
   private val QueryTimeoutSec: Int =
     sys.env.getOrElse("SPARK_GRAFT_PROBE_TIMEOUT_SEC", "300").toInt
 
-  /** Min-of-`reps` wall-clock of `fn(spark, dir).count()` plus the result
+  /** Min-of-`reps` wall-clock of materializing the FULL result
+    * (`toRdd.count()` — df.count()'s fast path lets the optimizer prune
+    * per-row projections and unique-key left joins, timing
+    * projection-shaped queries as bare scan-counts) plus the result
     * cardinality; None on failure/timeout. Rows disambiguate the ratio
     * analysis: a candidate-driven operator (near-dup pairs) legitimately
     * costs Θ(output), so runtime ratio ≈ row ratio is linear-in-work even
@@ -171,7 +174,7 @@ object ScaleProbe {
       queries.DedupQueries.unpersistShared()
       val attempt = Future {
         spark.sparkContext.setJobGroup(s"probe-$name", name, interruptOnCancel = true)
-        try fn(spark, dir).count() finally spark.sparkContext.clearJobGroup()
+        try fn(spark, dir).queryExecution.toRdd.count() finally spark.sparkContext.clearJobGroup()
       }
       try { val n = Await.result(attempt, QueryTimeoutSec.seconds)
             runs += (((System.nanoTime() - t0) / 1e9, n)) }
@@ -343,7 +346,60 @@ object ScaleProbe {
     Files.write(Paths.get("target/bench_zipf.json"), line.getBytes("UTF-8"))
   }
 
+  /** `--segskew [nDocs] [hotPct]`: d15 keep-first-window skew stress — the
+    * boilerplate mega-segment case (a cookie-banner/header segment shared
+    * by a large fraction of the corpus). The keep-first window partitions
+    * by md5(segment), so a segment in hotPct% of docs puts nDocs·hotPct%
+    * rows into ONE window partition. The claim under test (d15 Scaladoc):
+    * rows are tiny (hash, doc, pos), so even a million-copy segment is
+    * one modest partition, not a cliff. Measures the REAL d15 pipeline
+    * ([[queries.DedupQueries.segmentRows]] → window → rebuild) on a
+    * uniform corpus vs the same corpus with the hot header, at
+    * cluster-scale task granularity, and reports the hot-bucket row
+    * count alongside both wall-clocks.
+    */
+  private def segSkew(spark: SparkSession, nDocs: Long, hotPct: Int): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    spark.conf.set("spark.sql.shuffle.partitions", 512) // cluster-scale granularity
+    // 40-token docs: a 10-token header (hot: the SAME boilerplate;
+    // cold: doc-unique) + 30 doc-unique tokens, all md5-derived
+    def body(salt: String) = concat_ws(" ", (0 until 10).map(i =>
+      md5(concat(lit(s"$salt$i:"), col("id").cast("string")))): _*)
+    def corpus(pct: Int) = spark.range(nDocs).select(col("id").as("doc_id"),
+      concat_ws(" ",
+        when(pmod(hash(col("id"), lit(3)), lit(100)) < pct,
+          lit((1 to 10).map(i => s"boiler$i").mkString(" "))).otherwise(body("h")),
+        body("b"), body("c"), body("d")).as("text"))
+    def run(docs: org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val marked = queries.DedupQueries.segmentRows(docs, "doc_id")
+        .withColumn("rn",
+          row_number().over(Window.partitionBy(md5(col("seg"))).orderBy("doc_id", "g")))
+        .withColumn("keep", col("rn") === 1)
+      queries.DedupQueries.rebuildFromSegments(marked, docs.select("doc_id"), "doc_id")
+        .queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def minOf(docs: org.apache.spark.sql.DataFrame) = (1 to 2).map(_ => run(docs)).min
+    val uniform = minOf(corpus(0))
+    val hot = minOf(corpus(hotPct))
+    val hotRows = nDocs * hotPct / 100
+    val line =
+      s"""{"metric":"segskew_probe","n_docs":$nDocs,"hot_pct":$hotPct,""" +
+      s""""hot_bucket_rows":$hotRows,"uniform_sec":$uniform,"hot_sec":$hot}"""
+    println(line)
+    Files.createDirectories(Paths.get("target"))
+    Files.write(Paths.get("target/bench_segskew.json"), line.getBytes("UTF-8"))
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--segskew")) {
+      val spark = GraftSession.prepare(GraftSession.local("graft-segskew"))
+      val nDocs = if (args.length > 1) args(1).toLong else 2000000L
+      val hotPct = if (args.length > 2) args(2).toInt else 50
+      segSkew(spark, nDocs, hotPct)
+      spark.stop(); return
+    }
     if (args.headOption.contains("--zipfskew")) {
       val spark = GraftSession.prepare(GraftSession.local("graft-zipfskew"))
       val nEdges = if (args.length > 1) args(1).toLong else 5000000L
@@ -368,7 +424,7 @@ object ScaleProbe {
 
     // JIT/codegen warmup at the smallest SF so base timings are steady-state
     probed.foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => () }
+      try fn(spark, "/root/testdata/sf0.001").queryExecution.toRdd.count() catch { case _: Throwable => () }
     }
     queries.DedupQueries.unpersistShared()
 

@@ -1166,7 +1166,7 @@ object DedupQueries {
   /** (id, g, seg) fixed-width token segments of an (id, text) relation —
     * the unit both d15 (batch) and d16 (incremental) dedup on.
     */
-  private def segmentRows(docs: DataFrame, idCol: String): DataFrame =
+  private[graft] def segmentRows(docs: DataFrame, idCol: String): DataFrame =
     docs.select(col(idCol), Text.tokens(col("text")).as("tk"))
       .where(size(col("tk")) >= 1)
       .select(col(idCol), explode(expr(
@@ -1179,7 +1179,7 @@ object DedupQueries {
     * every id in `ids` (docs whose every segment dropped still appear,
     * with an empty clean text).
     */
-  private def rebuildFromSegments(all: DataFrame, ids: DataFrame, idCol: String): DataFrame = {
+  private[graft] def rebuildFromSegments(all: DataFrame, ids: DataFrame, idCol: String): DataFrame = {
     val rebuilt = all.groupBy(idCol)
       .agg(count(lit(1)).as("n_segments"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
