@@ -29,8 +29,8 @@ object SimilarityQueries {
 
   private val Dim = 64
   private val Planes = 8
-  private val TopK = 5
-  private val QueryBlock = 50 // vec_id < 50 are the query vectors
+  private[graft] val TopK = 5
+  private[graft] val QueryBlock = 50 // vec_id < 50 are the query vectors
 
   /** Deterministic hyperplane weight w(p,d) ∈ [-1, 1]: md5-derived integer
     * in [-1000, 1000] divided by 1000 — exactly the arithmetic the oracle
@@ -132,8 +132,8 @@ object SimilarityQueries {
        |SELECT qid, nid, CAST(rank AS INTEGER) AS rank, cos FROM ranked WHERE rank <= $TopK
        |ORDER BY qid, rank""".stripMargin
 
-  private val Cells = 16   // IVF centroid count
-  private val Probes = 2   // cells probed per query
+  private[graft] val Cells = 16   // IVF centroid count
+  private[graft] val Probes = 2   // cells probed per query
 
   // ------------------------------------------------------- graph ANN (s8)
 
@@ -248,13 +248,34 @@ object SimilarityQueries {
     * the probe is an equi-join on cell id — the IVF trade: recall vs the
     * fraction of lists touched.
     */
-  def s3IvfTopK(spark: SparkSession, dir: String): DataFrame = {
-    graft.GraftSession.prepare(spark)
-    val e = Tables.embeddings(spark, dir)
+  /** (vec_id, v, n2) widened embeddings — shared by s3 and the streaming
+    * IVF serve twin. */
+  private[graft] def ivfEmb(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
       .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
       .withColumn("n2", Vectors.norm2D(col("v")))
-    val cents = e.where(col("vec_id") < Cells)
+
+  /** (cid, cv, cn2) deterministic IVF centroids (first [[Cells]] vectors). */
+  private[graft] def ivfCents(spark: SparkSession, dir: String): DataFrame =
+    ivfEmb(spark, dir).where(col("vec_id") < Cells)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
+
+  /** (vec_id, v, n2, cid) nearest-centroid inverted-list assignment —
+    * the static side the streaming serve twin joins against. */
+  private[graft] def ivfAssigned(spark: SparkSession, dir: String): DataFrame = {
+    val cents = ivfCents(spark, dir)
+    ivfEmb(spark, dir).join(broadcast(cents))
+      .withColumn("ccos", Vectors.cosinePre(col("v"), col("n2"), col("cv"), col("cn2")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))))
+      .where(col("crank") === 1)
+      .select(col("vec_id"), col("v"), col("n2"), col("cid"))
+  }
+
+  def s3IvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.prepare(spark)
+    val e = ivfEmb(spark, dir)
+    val cents = ivfCents(spark, dir)
 
     // nearest-centroid assignment (rank 1) and per-query probe list (rank <= Probes)
     def cellRank(of: DataFrame, idCol: String) = of.join(broadcast(cents))

@@ -446,6 +446,52 @@ object StreamingOps extends Serializable {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fold)
   }
 
+  case class VecQuery(qid: Long, qv: Array[Double], qn2: Double)
+  case class ServeHit(qid: Long, rank: Int, nid: Long, cos: Double)
+
+  /** Streaming ANN serving — the s3 IVF probe path on a stream of query
+    * vectors (the RAG-serving shape): probe-cell selection is a STATELESS
+    * per-row map against the broadcast centroid array (k·dim metadata —
+    * the same state every distributed k-means keeps), candidates come
+    * from a stateless stream-static equi-join against the persisted
+    * inverted lists, and the per-query top-k folds in
+    * `flatMapGroupsWithState` (a query's candidates all derive from its
+    * one input row, so they co-arrive in one micro-batch and the fold
+    * emits immediately — no cross-batch state). Cell ranking replicates
+    * `graft_dot` op-for-op (same index order, same IEEE doubles,
+    * `Math.sqrt` correctly rounded), so results are BIT-IDENTICAL to the
+    * batch operator — the spec asserts full equality including cosines.
+    */
+  def ivfServeStream(spark: SparkSession, queries: Dataset[VecQuery],
+                     cents: Array[(Long, Array[Double], Double)],
+                     assigned: DataFrame, probes: Int, topK: Int): Dataset[ServeHit] = {
+    import spark.implicits._
+    def cosS(a: Array[Double], n2a: Double, b: Array[Double], n2b: Double): Double = {
+      val n = math.min(a.length, b.length)
+      var s = 0.0; var i = 0
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s / math.sqrt(n2a * n2b)
+    }
+    val probed = queries.flatMap { q =>
+      cents.map { case (cid, cv, cn2) => (cid, cosS(q.qv, q.qn2, cv, cn2)) }
+        .sortBy { case (cid, c) => (-c, cid) }
+        .take(probes)
+        .map { case (cid, _) => (q.qid, q.qv, q.qn2, cid) }
+    }.toDF("qid", "qv", "qn2", "cid")
+    val scored = probed.join(assigned, Seq("cid"))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("cos", graft.functions.Vectors.cosinePre(
+        col("qv"), col("qn2"), col("v"), col("n2")))
+      .select(col("qid"), col("vec_id").as("nid"), col("cos"))
+      .as[(Long, Long, Double)]
+    def fold(qid: Long, it: Iterator[(Long, Long, Double)],
+             state: GroupState[Boolean]): Iterator[ServeHit] =
+      it.toSeq.sortBy { case (_, nid, c) => (-c, nid) }.take(topK)
+        .iterator.zipWithIndex.map { case ((_, nid, c), i) => ServeHit(qid, i + 1, nid, c) }
+    scored.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fold)
+  }
+
   case class Scd2In(key: Long, tsMicros: Long, tie: Long, attr: String)
   case class Scd2Open(attr: String, validFrom: Long)
   case class Scd2Closed(key: Long, attr: String, valid_from: Long, valid_to: Long)

@@ -321,6 +321,41 @@ class StreamingSpec extends AnyFunSuite {
     index.unpersist()
   }
 
+  test("streaming IVF serve == batch s3 probes, bit-exact cosines, across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.queries.SimilarityQueries
+    implicit val sqlCtx = spark.sqlContext
+
+    val cents = SimilarityQueries.ivfCents(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val assigned = SimilarityQueries.ivfAssigned(spark, sfDir).cache()
+    assigned.count() // materialize the static side once, not per micro-batch
+    val qs = SimilarityQueries.ivfEmb(spark, sfDir)
+      .where(col("vec_id") < SimilarityQueries.QueryBlock)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+      .as[StreamingOps.VecQuery].collect().sortBy(_.qid)
+    val (b1, b2) = qs.splitAt(qs.length / 2)
+
+    val mem = MemoryStream[StreamingOps.VecQuery]
+    val q = StreamingOps.ivfServeStream(spark, mem.toDS(), cents, assigned,
+        SimilarityQueries.Probes, SimilarityQueries.TopK)
+      .writeStream.format("memory").queryName("sivf").outputMode("append").start()
+    try {
+      mem.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("sivf").select("qid", "rank", "nid", "cos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted
+    val want = SimilarityQueries.s3IvfTopK(spark, sfDir)
+      .select(col("qid"), col("rank").cast("int"), col("nid"), col("cos")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted
+    assigned.unpersist()
+    assert(got.nonEmpty)
+    assert(got.toSeq == want.toSeq) // bit-exact, cosines included
+  }
+
   test("streaming sequence packing == batch n9 across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
