@@ -523,7 +523,54 @@ object TextQueries {
       |  FROM agg)
       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  /** t13: literal-phrase search — corpus forensics (find every document
+    * containing an exact phrase: contamination tracing, takedown lookups,
+    * quote attribution) done scale-right. A full-scan `contains()` reads
+    * 100 TB per query; instead the phrase's word bigrams probe the
+    * corpus's bigram inverted index (broadcast phrase-bigrams equi-join +
+    * candidate docs = those matching ALL bigrams), and only candidates
+    * pay the exact `contains` verify on normalized text. The oracle is a
+    * plain LIKE over every doc, so the hash match proves the index path
+    * loses nothing. At scale the bigram index is the persisted artifact
+    * (t9/v1 word-count shape); per query the work is |phrase bigrams|
+    * index probes + the candidate verify.
+    */
+  def t13PhraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val phrases = Seq("table part", "spark join", "window sort key")
+    val phraseBigrams = phrases.flatMap { p =>
+      val w = p.split(" ")
+      w.sliding(2).map(b => (p, b.mkString(" "), w.length - 1))
+    }
+    val pb = broadcast(spark.createDataFrame(phraseBigrams).toDF("phrase", "bigram", "n_needed"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.normText(col("text")).as("norm"))
+    val bigrams = docs
+      .select(col("doc_id"), col("norm"), explode(expr(
+        """transform(sequence(1, size(split(norm, ' ')) - 1),
+          |  i -> concat(element_at(split(norm, ' '), i), ' ', element_at(split(norm, ' '), i + 1)))""".stripMargin))
+        .as("bigram"))
+    val cand = bigrams.join(pb, "bigram")
+      .groupBy("phrase", "doc_id", "n_needed")
+      .agg(count_distinct(col("bigram")).as("n_hit"))
+      .where(col("n_hit") === col("n_needed"))
+    cand.join(docs, "doc_id")
+      // space-padded: token-sequence match, not substring ("stable part"
+      // must not match "table part" — the bigram index is token-level, so
+      // substring semantics would make it miss what the oracle finds)
+      .where(expr("contains(concat(' ', norm, ' '), concat(' ', phrase, ' '))"))
+      .select(col("phrase"), col("doc_id"))
+      .orderBy("phrase", "doc_id")
+  }
+
+  val t13Oracle: String =
+    """WITH p(phrase) AS (VALUES ('table part'), ('spark join'), ('window sort key')),
+      |d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents)
+      |SELECT phrase, doc_id
+      |FROM p JOIN d ON position(' ' || phrase || ' ' IN ' ' || norm || ' ') > 0
+      |ORDER BY phrase, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t13_phrase_search" -> (t13PhraseSearch _),
     "t12_bm25" -> (t12Bm25 _),
     "t11_quality_classifier" -> (t11QualityClassifier _),
     "t10_url_filter" -> (t10UrlFilter _),
@@ -538,6 +585,7 @@ object TextQueries {
     "t7_nfc_normalize" -> (t7NfcNormalize _))
 
   val oracles: Map[String, String] = Map(
+    "t13_phrase_search" -> t13Oracle,
     "t12_bm25" -> t12Oracle,
     "t11_quality_classifier" -> t11Oracle,
     "t10_url_filter" -> t10Oracle,
