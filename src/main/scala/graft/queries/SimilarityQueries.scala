@@ -382,7 +382,10 @@ object SimilarityQueries {
     import graft.operators.IvfIndex
     val e = Tables.embeddings(spark, dir)
     val isInc = pmod(Text.md5Long(concat(lit("s7:"), col("vec_id").cast("string"))), lit(10L)) === 0
-    val idxPath = s"${sys.props("java.io.tmpdir")}/graft_s7_${math.abs(dir.hashCode)}"
+    // per-application suffix: two concurrent sessions (bench + gate) get
+    // disjoint rehearsal index dirs instead of racing delete/build/serve
+    val idxPath = s"${sys.props("java.io.tmpdir")}/graft_s7_${math.abs(dir.hashCode)}_" +
+      spark.sparkContext.applicationId
     // dynamic partition overwrite only replaces partitions the build writes
     // into — wipe the rehearsal path so a rerun can't keep stale appends
     graft.sources.FsUtil.delete(spark, idxPath)

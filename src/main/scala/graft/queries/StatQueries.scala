@@ -648,14 +648,27 @@ object StatQueries {
 
   /** x16: Mann-Whitney U — the rank-based (nonparametric) two-sample
     * drift test next to x11's KS: no distribution assumption, exact on
-    * integer cents. Computed from the VALUE HISTOGRAM (x4's scale shape),
-    * never a global row sort: per-value side counts, one ordered window
-    * over the |distinct-values| relation for the below-count, then
-    * doubled average ranks (2·below + ties + 1 — integers, no .5 tie
+    * integer cents. Computed from the VALUE HISTOGRAM, never a global row
+    * sort — and unlike x11's fixed-bin windows, the distinct-value
+    * relation here GROWS with data, so the below-count is a two-phase
+    * distributed cumulative sum (the textbook parallel prefix): values
+    * range-bucket by `v DIV 2¹⁶` (cents of a price — the bucket count is
+    * bounded by the VALUE DOMAIN, ~⌈max_price·100/65536⌉, not by row
+    * count), phase 1 runs the within-bucket running sum + bucket totals
+    * over one partitionBy(bucket) Exchange+Sort, phase 2 prefixes the
+    * tiny bucket-totals rollup (the only ordered-unpartitioned window,
+    * over ≤ ~10³ rows by design) and broadcasts the offsets back. Exact —
+    * no binning of the statistic itself.
+    *
+    * Doubled average ranks (2·below + ties + 1 — integers, no .5 tie
     * ranks) roll into DECIMAL(38,0) rank sums (the x14 overflow
-    * discipline: rank sums reach N², past BIGINT at ~10⁹ rows).
-    * U₂ = 2U so everything stays integral; `sum_ok` hash-gates the
-    * U₂ᴬ + U₂ᴮ = 2·nᴬ·nᴮ identity.
+    * discipline: rank sums reach N², past BIGINT at ~10⁹ rows); the
+    * n·(n+1) and 2·nᴬ·nᴮ identity terms are multiplied AS decimals
+    * (18,0)×(18,0) so they cannot wrap before the cast either. U₂ = 2U
+    * keeps everything integral; `sum_ok` hash-gates U₂ᴬ + U₂ᴮ = 2·nᴬ·nᴮ.
+    * U₂ itself is ≤ 2·nᴬ·nᴮ — emitted as BIGINT (exact to ~3·10⁹ rows per
+    * side; past that widen the emit type, the internal sums already
+    * carry it).
     */
   def x16MannWhitney(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -663,25 +676,42 @@ object StatQueries {
       expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"),
       (col("o_orderkey") % 2).as("side"))
     val perV = v.groupBy("v").agg(
-      sum(when(col("side") === 0, 1L).otherwise(0L)).as("ca"),
-      sum(when(col("side") === 1, 1L).otherwise(0L)).as("cb"))
-    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    val cum = perV
+        sum(when(col("side") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("cb"))
       .withColumn("te", col("ca") + col("cb"))
-      .withColumn("cumb", coalesce(sum(col("ca") + col("cb")).over(w), lit(0L)))
-      .withColumn("r2", (col("cumb") * 2 + col("te") + 1).cast("decimal(38,0)"))
+      .withColumn("bkt", expr("v DIV 65536"))
+    // phase 1: running sum within each value-range bucket
+    val wIn = Window.partitionBy("bkt").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val within = perV
+      .withColumn("cin", coalesce(sum("te").over(wIn), lit(0L)))
+    // phase 2: prefix the bucket totals (domain-bounded rollup — the only
+    // ordered-unpartitioned window) and broadcast the offsets back
+    val bOff = perV.groupBy("bkt").agg(sum("te").as("bt"))
+      .withColumn("boff", coalesce(
+        sum("bt").over(Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("bkt", "boff")
+    val cum = within.join(broadcast(bOff), "bkt")
+      .withColumn("r2", (col("cin") + col("boff")).cast("decimal(38,0)") * 2
+        + col("te").cast("decimal(38,0)") + 1)
+    def sq(c: Column): Column = c.cast("decimal(18,0)")
     cum.agg(
         sum("ca").as("n_a"), sum("cb").as("n_b"),
         sum(col("ca").cast("decimal(38,0)") * col("r2")).as("rr2a"),
         sum(col("cb").cast("decimal(38,0)") * col("r2")).as("rr2b"))
       .select(col("n_a"), col("n_b"),
-        (col("rr2a") - (col("n_a") * (col("n_a") + 1)).cast("decimal(38,0)"))
-          .cast("decimal(38,0)").as("u2_a"),
-        (col("rr2b") - (col("n_b") * (col("n_b") + 1)).cast("decimal(38,0)"))
-          .cast("decimal(38,0)").as("u2_b"))
+        (col("rr2a") - sq(col("n_a")) * sq(col("n_a") + 1)).as("u2a_d"),
+        (col("rr2b") - sq(col("n_b")) * sq(col("n_b") + 1)).as("u2b_d"))
       .withColumn("sum_ok",
-        (col("u2_a") + col("u2_b") ===
-          (col("n_a") * col("n_b") * 2).cast("decimal(38,0)")).cast("long"))
+        (col("u2a_d") + col("u2b_d") ===
+          sq(col("n_a")) * sq(col("n_b")) * 2).cast("long"))
+      .select(col("n_a"), col("n_b"),
+        // BIGINT at the emit boundary: raw DECIMAL(38,0) output columns
+        // were the battery's one environment-sensitive hash surface
+        col("u2a_d").cast("long").as("u2_a"),
+        col("u2b_d").cast("long").as("u2_b"),
+        col("sum_ok"))
   }
 
   val x16Oracle: String =
@@ -703,11 +733,11 @@ object StatQueries {
       |         CAST(sum(CAST(cb AS DECIMAL(38, 0)) * CAST(cumb * 2 + te + 1 AS DECIMAL(38, 0))) AS DECIMAL(38, 0)) AS rr2b
       |  FROM c)
       |SELECT n_a, n_b,
-      |       CAST(rr2a - CAST(n_a * (n_a + 1) AS DECIMAL(38, 0)) AS DECIMAL(38, 0)) AS u2_a,
-      |       CAST(rr2b - CAST(n_b * (n_b + 1) AS DECIMAL(38, 0)) AS DECIMAL(38, 0)) AS u2_b,
-      |       CAST(CAST(rr2a - CAST(n_a * (n_a + 1) AS DECIMAL(38, 0)) AS DECIMAL(38, 0)) +
-      |            CAST(rr2b - CAST(n_b * (n_b + 1) AS DECIMAL(38, 0)) AS DECIMAL(38, 0)) =
-      |            CAST(n_a * n_b * 2 AS DECIMAL(38, 0)) AS BIGINT) AS sum_ok
+      |       CAST(rr2a - CAST(n_a AS DECIMAL(18, 0)) * CAST(n_a + 1 AS DECIMAL(18, 0)) AS BIGINT) AS u2_a,
+      |       CAST(rr2b - CAST(n_b AS DECIMAL(18, 0)) * CAST(n_b + 1 AS DECIMAL(18, 0)) AS BIGINT) AS u2_b,
+      |       CAST((rr2a - CAST(n_a AS DECIMAL(18, 0)) * CAST(n_a + 1 AS DECIMAL(18, 0))) +
+      |            (rr2b - CAST(n_b AS DECIMAL(18, 0)) * CAST(n_b + 1 AS DECIMAL(18, 0))) =
+      |            CAST(n_a AS DECIMAL(18, 0)) * CAST(n_b AS DECIMAL(18, 0)) * 2 AS BIGINT) AS sum_ok
       |FROM a""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

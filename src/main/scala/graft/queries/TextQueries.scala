@@ -545,6 +545,10 @@ object TextQueries {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), Text.normText(col("text")).as("norm"))
     val bigrams = docs
+      // a one-token (or empty) doc has no bigrams and can never match a
+      // multi-word phrase; without this guard sequence(1, 0) descends to
+      // [1, 0] and element_at(arr, 0) throws on the first such doc
+      .where(size(split(col("norm"), " ")) >= 2)
       .select(col("doc_id"), col("norm"), explode(expr(
         """transform(sequence(1, size(split(norm, ' ')) - 1),
           |  i -> concat(element_at(split(norm, ' '), i), ' ', element_at(split(norm, ' '), i + 1)))""".stripMargin))

@@ -129,37 +129,65 @@ final class VersionedStore(val base: String) {
     * lost (the caller re-reads the new current and retries its transform —
     * the standard optimistic loop).
     *
-    * Protocol: the snapshot directory is written first (expensive, safe —
-    * orphans are never resolved); the COMMIT RIGHT on `expectedVersion`
-    * is then claimed by atomically creating `_claims/claim-<expected>`
-    * with create-if-absent semantics — exactly one writer building on a
-    * given version can win that create (atomic on HDFS; on S3 the same
+    * Protocol (staged — no shared path is ever touched before the claim):
+    * the snapshot is written to a PRIVATE staging directory
+    * `_staging/<uuid>` first (expensive, safe — a path no other writer or
+    * reader ever resolves); the COMMIT RIGHT on `expectedVersion` is then
+    * claimed by atomically creating `_claims/claim-<expected>` with
+    * create-if-absent semantics — exactly one writer building on a given
+    * version can win that create (atomic on HDFS; on S3 the same
     * primitive is a conditional PUT with If-None-Match, GA since 2024;
-    * local-FS create is check-then-create, fine for tests). Only the
-    * claim winner flips `_current`, so a read-modify-write cycle can
-    * never silently drop a committed update. A post-claim currentVersion
-    * re-check closes the one hole vacuum could open (a pruned claim file
-    * for an already-superseded version being re-claimed): a stale claim
-    * sees current ≠ expected and aborts. Losers delete their snapshot
-    * directory (it would otherwise sit as an orphan until [[vacuum]]).
+    * local-FS create is check-then-create, fine for tests). ONLY the
+    * claim winner allocates the final `v=K` (after winning, so two racers
+    * can never compute the same K from a pre-claim listing), renames its
+    * staging dir into place, and flips `_current`. Losers delete only
+    * their own staging directory — never a `v=K` path, so a loser's
+    * cleanup can never touch the winner's published snapshot. A
+    * post-claim currentVersion re-check closes the one hole vacuum could
+    * open (a pruned claim file for an already-superseded version being
+    * re-claimed): a stale claim sees current ≠ expected and aborts.
     */
   def writeIf(spark: SparkSession, df: DataFrame, expectedVersion: Long): Option[Long] = {
-    val f = fs(spark)
     if (currentVersion(spark) != expectedVersion) return None // cheap pre-check
-    val next = (versionsOnDisk(spark) :+ expectedVersion).max + 1
-    df.write.parquet(versionDir(next).toString)
+    val staging = stageSnapshot(spark, df)
+    claimAndPublish(spark, staging, expectedVersion)
+  }
+
+  /** writeIf step 1: materialize the snapshot under a writer-private
+    * staging path. Package-private so the spec can interleave two
+    * writers' stage/publish steps deterministically.
+    */
+  private[graft] def stageSnapshot(spark: SparkSession, df: DataFrame): Path = {
+    val staging = new Path(base, s"_staging/${java.util.UUID.randomUUID()}")
+    df.write.parquet(staging.toString)
+    staging
+  }
+
+  /** writeIf step 2: claim the commit right on `expectedVersion`; on win,
+    * allocate the next version, move staging into place, flip the
+    * pointer. On loss, delete ONLY the caller's staging dir.
+    */
+  private[graft] def claimAndPublish(
+      spark: SparkSession, staging: Path, expectedVersion: Long): Option[Long] = {
+    val f = fs(spark)
     val claim = new Path(base, s"_claims/claim-$expectedVersion")
     val claimed =
       try {
         f.mkdirs(new Path(base, "_claims"))
         val out = f.create(claim, false) // create-if-absent: the CAS
-        try out.write(next.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
+        try out.write(staging.getName.getBytes(StandardCharsets.UTF_8)) finally out.close()
         true
       } catch { case _: java.io.IOException => false }
     if (!claimed || currentVersion(spark) != expectedVersion) {
-      f.delete(versionDir(next), true)
+      f.delete(staging, true)
       None
     } else {
+      // safe to allocate + list now: we hold the only commit right on
+      // `expected`, and plain write()s are last-writer-wins by contract
+      // (don't mix write and writeIf on one table in the same cycle)
+      val next = (versionsOnDisk(spark) :+ expectedVersion).max + 1
+      require(f.rename(staging, versionDir(next)),
+        s"could not publish staged snapshot $staging as v=$next")
       commitPointer(f, next)
       Some(next)
     }
@@ -221,6 +249,10 @@ final class VersionedStore(val base: String) {
       .map(_.stripPrefix("claim-")).collect { case s if s.forall(_.isDigit) => s.toLong }
       .filter(_ < live)
       .foreach(v => f.delete(new Path(base, s"_claims/claim-$v"), false))
+    // crashed writeIf staging dirs (never resolved by any reader; the
+    // single-maintainer contract above means none of these is in flight)
+    FsUtil.listDir(spark, new Path(base, "_staging").toString)
+      .foreach(d => f.delete(new Path(base, s"_staging/$d"), true))
     doomed
   }
 

@@ -160,4 +160,34 @@ class VersionedStoreSpec extends AnyFunSuite {
     assert(st.write(spark, (1 to 4).toDF("n")) == 4L)
     assert(st.read(spark).count() == 4)
   }
+
+  test("writeIf: TRUE interleaving — both racers stage before either claims; loser cleanup never touches the winner") {
+    import spark.implicits._
+    val st = freshStore()
+    st.write(spark, (1 to 10).toDF("n"))
+
+    // the race the sequential test can't see: both writers pass the
+    // pre-check and fully materialize their snapshots BEFORE either
+    // claims — with a shared pre-claim version allocation both would
+    // write into the same v=2 and the loser's delete would destroy the
+    // winner's published snapshot
+    val stageA = st.stageSnapshot(spark, (1 to 20).toDF("n"))
+    val stageB = st.stageSnapshot(spark, (1 to 30).toDF("n"))
+    val b = st.claimAndPublish(spark, stageB, expectedVersion = 1L) // B claims first
+    val a = st.claimAndPublish(spark, stageA, expectedVersion = 1L) // A loses, cleans up
+    assert(b.contains(2L), "claim winner publishes")
+    assert(a.isEmpty, "post-stage claimant on the same base loses")
+    assert(st.read(spark).count() == 30, "winner's snapshot intact after loser cleanup")
+    assert(st.readAsOf(spark, 2L).count() == 30)
+    // loser's staging is gone; winner's staging was renamed into place
+    assert(!new java.io.File(s"${st.base}/_staging/${stageA.getName}").exists)
+    assert(!new java.io.File(s"${st.base}/_staging/${stageB.getName}").exists)
+
+    // a crashed writer's abandoned staging dir is GC'd by vacuum
+    val orphan = st.stageSnapshot(spark, (1 to 5).toDF("n"))
+    assert(new java.io.File(orphan.toString).exists)
+    st.write(spark, (1 to 7).toDF("n"))
+    st.vacuum(spark, keep = 2)
+    assert(!new java.io.File(orphan.toString).exists, "vacuum GCs crashed staging dirs")
+  }
 }
