@@ -62,7 +62,7 @@ object ScaleProbe {
         val p = Paths.get(baseDir, s"$t.parquet")
         s"$t:${Files.getLastModifiedTime(p).toMillis}:${Files.size(p)}"
       }.mkString(",")
-    val stamp = s"v4 factor=$factor base=$baseDir src=$srcStamp"
+    val stamp = s"v5 factor=$factor base=$baseDir src=$srcStamp"
     if (Files.exists(marker) && new String(Files.readAllBytes(marker)) == stamp) return
     Files.createDirectories(out)
 
@@ -117,13 +117,26 @@ object ScaleProbe {
     // parts/suppliers stay the base dims (facts grow faster than
     // dimensions — the realistic shape, and it keeps dim joins
     // broadcast-sized at any factor). Same customer base ⇒ factor× orders
-    // per customer.
+    // per customer. VALUE columns get a deterministic ±0.50 cent jitter on
+    // replicas r>0 — rekeying only the id copies every price verbatim, so
+    // distinct-VALUE cardinality would stay flat at any factor and a probe
+    // could never see an operator whose cost grows with the value domain
+    // (x16's per-distinct-cents relation was exactly that blind spot).
     val scaled = Set("documents", "embeddings", "events", "orders", "lineitem")
+    val valueJitter = Map(
+      "orders" -> Seq("o_totalprice"),
+      "lineitem" -> Seq("l_extendedprice"))
     Seq("orders" -> "o_orderkey", "lineitem" -> "l_orderkey").foreach { case (t, key) =>
       val link = out.resolve(s"$t.parquet")
       if (Files.isSymbolicLink(link)) Files.delete(link) // pre-v3 layout linked it
-      spreadOut(Tables.load(spark, baseDir, t)).crossJoin(reps)
+      val rekeyed = spreadOut(Tables.load(spark, baseDir, t)).crossJoin(reps)
         .withColumn(key, col(key) * factor + col("r"))
+      valueJitter(t).foldLeft(rekeyed) { (df, c) =>
+        df.withColumn(c, when(col("r") === 0, col(c)).otherwise(
+          round(col(c) +
+            (pmod(hash(col(key), col("r"), lit(c)), lit(101)) - lit(50)).cast("double") / 100.0,
+            2)))
+      }
         .drop("r")
         .repartition(math.max(8, factor))
         .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
@@ -392,7 +405,84 @@ object ScaleProbe {
     Files.write(Paths.get("target/bench_segskew.json"), line.getBytes("UTF-8"))
   }
 
+  /** `--doclen [lenFactor] [baseDir]`: document-LENGTH scale axis. The
+    * ×factor probe grows doc COUNT; fixture docs stay short, so everything
+    * that explodes per token — t13 bigrams, d10/d15 span and segment
+    * relations, v8 chunks, v10's shingle stage — was only ever measured at
+    * fixture length. This mode splices each doc with its `lenFactor`
+    * ring-neighbors (doc i ← texts of docs i..i+len−1 mod n, order-exact
+    * via a struct sort) so tokens-per-doc grow ×lenFactor at constant doc
+    * count, then times the explode-heavy t/d/v queries on base vs long.
+    * Linear-in-tokens operators should ratio ≈ lenFactor; anything past
+    * 2× lenFactor is the finding.
+    */
+  private def docLen(spark: SparkSession, baseDir: String, lenFactor: Int): Unit = {
+    val outDir = s"target/sfprobe/len$lenFactor"
+    val out = Paths.get(outDir)
+    val marker = out.resolve("_PROBE_OK")
+    val stamp = s"doclen v1 len=$lenFactor base=$baseDir"
+    if (!(Files.exists(marker) && new String(Files.readAllBytes(marker)) == stamp)) {
+      Files.createDirectories(out)
+      val n = Tables.rowCountFromFooters(spark, baseDir, "documents")
+      val docs = Tables.documents(spark, baseDir)
+      docs.select(col("doc_id"), col("lang"), col("source"),
+          explode(sequence(lit(0L), lit(lenFactor - 1L))).as("k"))
+        .withColumn("src_id", pmod(col("doc_id") + col("k"), lit(n)))
+        .join(docs.select(col("doc_id").as("src_id"), col("text")), "src_id")
+        .groupBy("doc_id", "lang", "source")
+        .agg(expr("array_join(transform(array_sort(collect_list(struct(k, text))), s -> s.text), ' ')")
+          .as("text"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+      Tables.names.filter(_ != "documents").foreach { t =>
+        val link = out.resolve(s"$t.parquet")
+        if (!Files.exists(link, LinkOption.NOFOLLOW_LINKS))
+          Files.createSymbolicLink(link, Paths.get(baseDir, s"$t.parquet").toAbsolutePath)
+      }
+      Files.write(marker, stamp.getBytes("UTF-8"))
+    }
+
+    val probeList = Seq(
+      "t1_token_stats", "t4_fingerprint", "t8_repetition", "t9_lm_score",
+      "t12_bm25", "t13_phrase_search", "d3_minhash_lsh", "d10_span_dedup",
+      "d15_segment_dedup", "v6_sequence_pack", "v8_chunk", "v10_pipeline")
+    val rows = probeList.map { name =>
+      val fn = SparkEntry.queries(name)
+      val base = time(spark, baseDir, name, fn, reps = 2)
+      queries.DedupQueries.unpersistShared()
+      val long = time(spark, outDir, name, fn, reps = 2)
+      queries.DedupQueries.unpersistShared()
+      println(f"[doclen] $name%-22s base=${base.map(_._1).getOrElse(Double.NaN)}%7.2fs " +
+        f"len$lenFactor=${long.map(_._1).getOrElse(Double.NaN)}%7.2fs " +
+        f"ratio=${(for (b <- base; l <- long) yield l._1 / b._1).getOrElse(Double.NaN)}%6.2f")
+      (name, base, long)
+    }
+    val qjson = rows.map { case (name, b, l) =>
+      val ratio = for (bb <- b; ll <- l) yield ll._1 / bb._1
+      s""""$name":{"base":${b.map(_._1).getOrElse(-1.0)},"long":${l.map(_._1).getOrElse(-1.0)},""" +
+        s""""ratio":${ratio.getOrElse(-1.0)}}"""
+    }.mkString("{", ",", "}")
+    val superlinear = rows.collect {
+      case (n, Some((bt, _)), Some((lt, _))) if lt / bt > lenFactor * 2.0 && lt > 2.0 =>
+        "\"" + n + "\""
+    }.mkString("[", ",", "]")
+    val line = s"""{"metric":"doclen_probe","len_factor":$lenFactor,"base":"$baseDir",""" +
+      s""""queries":$qjson,"superlinear":$superlinear}"""
+    println(line)
+    Files.createDirectories(Paths.get("target"))
+    Files.write(Paths.get("target/bench_doclen.json"), line.getBytes("UTF-8"))
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--doclen")) {
+      val spark = GraftSession.prepare(GraftSession.local("graft-doclen"))
+      val lenFactor = if (args.length > 1) args(1).toInt else 10
+      val base = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+      docLen(spark, base, lenFactor)
+      spark.stop(); return
+    }
     if (args.headOption.contains("--segskew")) {
       val spark = GraftSession.prepare(GraftSession.local("graft-segskew"))
       val nDocs = if (args.length > 1) args(1).toLong else 2000000L

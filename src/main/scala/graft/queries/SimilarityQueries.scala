@@ -418,6 +418,72 @@ object SimilarityQueries {
        |SELECT qid, nid, CAST(rank AS INTEGER) AS rank, cos FROM fin WHERE rank <= $TopK
        |ORDER BY qid, rank""".stripMargin
 
+  /** How many ADC candidates per query survive into the exact re-rank —
+    * the IVFPQ recall knob. ADC ranks are exact integer arithmetic
+    * (deterministic), and the measured zero-loss covers are 64 (sf0.01)
+    * and 192 (sf0.1) with the trained codebooks; 256 gates both with
+    * deterministic margin. At gate corpus sizes this approaches the
+    * probed-list size (16 fixed cells keep lists small), so the
+    * candidate-pruning VALUE of PQ is pinned separately: `IvfIndexSpec`
+    * asserts the recall floor at reRank=32 and the codes-vs-vectors
+    * compression ratio; production tuning holds reRank constant while
+    * cells grow ∝ n (list size stays bounded, reRank ≪ list never
+    * inverts).
+    */
+  private val PqReRank = 256
+
+  /** s9: IVFPQ — the memory-bound ANN serving shape. [[s7IncrementalIvf]]'s
+    * on-disk index stores raw vectors in its inverted lists, which at
+    * 10⁹–10¹¹ vectors makes the PAYLOAD the memory bound; here
+    * [[graft.operators.IvfIndex.buildPq]] adds product-quantized codes
+    * (M=8 subspaces × 16 codewords over the unit vector — 8 ints/vector
+    * vs 64 doubles) in the same `cid=` partition layout, and
+    * [[graft.operators.IvfIndex.queryPq]] serves by asymmetric distance:
+    * per-query LUT (M·Ks doubles) + the codegen'd `graft_adc` sum per
+    * candidate, with ONLY the per-query top-[[PqReRank]] ADC survivors
+    * touching raw vectors for the exact cosine re-rank.
+    *
+    * The oracle is the EXACT IVF serve (same centroids, every probed-list
+    * member scored exactly) — a hash match therefore certifies the ADC
+    * candidate stage loses nothing at gate scale: the compressed scan +
+    * re-rank returns byte-identical answers to the uncompressed index.
+    */
+  def s9IvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IvfIndex
+    val e = Tables.embeddings(spark, dir)
+    val idxPath = s"${sys.props("java.io.tmpdir")}/graft_s9_${math.abs(dir.hashCode)}_" +
+      spark.sparkContext.applicationId
+    graft.sources.FsUtil.delete(spark, idxPath)
+    val idx = IvfIndex.buildPq(spark, e, idxPath, cells = Cells, lloydIters = 0)
+    val queries = e.where(col("vec_id") < QueryBlock)
+      .select(col("vec_id").as("qid"), Vectors.toDouble(col("embedding")).as("v"))
+    idx.queryPq(spark, queries, probes = Probes, topK = TopK, reRank = PqReRank)
+      .orderBy("qid", "rank")
+  }
+
+  /** Exact-IVF oracle over md5-seeded centroids (the s7 shape, full
+    * corpus): what a lossless compressed serve must reproduce.
+    */
+  val s9Oracle: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+       |seeds AS (SELECT vec_id, v, md5('ivf:' || CAST(vec_id AS VARCHAR)) AS h FROM e ORDER BY h LIMIT $Cells),
+       |c AS (SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS INT) AS cid, v AS cv FROM seeds),
+       |ranked_cells AS (
+       |  SELECT a.vec_id, b.cid, $cosSqlAB AS ccos,
+       |         row_number() OVER (PARTITION BY a.vec_id ORDER BY $cosSqlAB DESC, b.cid) AS crank
+       |  FROM e a CROSS JOIN c b),
+       |assigned AS (SELECT vec_id, cid FROM ranked_cells WHERE crank = 1),
+       |probes AS (SELECT vec_id AS qid, cid FROM ranked_cells WHERE crank <= $Probes AND vec_id < $QueryBlock),
+       |scored AS (
+       |  SELECT p.qid, x.vec_id nid, $cosSqlQX AS cos
+       |  FROM probes p JOIN assigned x ON p.cid = x.cid AND x.vec_id <> p.qid
+       |  JOIN e a ON a.vec_id = p.qid JOIN e b ON b.vec_id = x.vec_id),
+       |fin AS (
+       |  SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |  FROM scored)
+       |SELECT qid, nid, CAST(rank AS INTEGER) AS rank, cos FROM fin WHERE rank <= $TopK
+       |ORDER BY qid, rank""".stripMargin
+
   /** s4: retrieval hydration — the RAG shape: ANN top-k ids joined back to
     * the document store for text snippets. The k·|queries| hit list is
     * tiny next to the corpus, so the hydrate join broadcasts the hits and
@@ -668,7 +734,8 @@ object SimilarityQueries {
     "s5_kmeans" -> (s5Kmeans _),
     "s6_semdedup" -> (s6Semdedup _),
     "s7_incremental_ivf" -> (s7IncrementalIvf _),
-    "s8_graph_ann" -> (s8GraphAnn _))
+    "s8_graph_ann" -> (s8GraphAnn _),
+    "s9_ivfpq" -> (s9IvfPq _))
 
   val oracles: Map[String, String] = Map(
     "s1_brute_topk" -> s1Oracle,
@@ -678,5 +745,6 @@ object SimilarityQueries {
     "s5_kmeans" -> s5Oracle,
     "s6_semdedup" -> s6Oracle,
     "s7_incremental_ivf" -> s7Oracle,
-    "s8_graph_ann" -> s8Oracle)
+    "s8_graph_ann" -> s8Oracle,
+    "s9_ivfpq" -> s9Oracle)
 }

@@ -125,4 +125,43 @@ class IvfIndexSpec extends AnyFunSuite {
     val gotReb = IvfIndex.load(rebuiltBase).query(spark, queries, probes = 2, topK = TopK)
     assert(gotInc.exceptAll(gotReb).isEmpty && gotReb.exceptAll(gotInc).isEmpty)
   }
+
+  test("IVFPQ: codes compress the serving scan ≥ 4×; ADC recall floor at reRank=32; candidate scan never reads raw vectors") {
+    val pqBase = Files.createTempDirectory("graft-ivfpq").toString + "/idx"
+    val idx = IvfIndex.buildPq(spark, Tables.embeddings(spark, dir), pqBase,
+      cells = 16, lloydIters = 0)
+
+    // compression: the ADC stage's resident set (codes/) vs the raw lists
+    def dirBytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length else 0L
+      walk(new java.io.File(p))
+    }
+    val ratio = dirBytes(s"$pqBase/codes").toDouble / dirBytes(s"$pqBase/assignments")
+    assert(ratio < 0.25, s"codes/ should be ≥ 4× smaller than the raw lists, got $ratio")
+
+    // recall floor in the genuinely-pruning regime (reRank=32 ≪ probed
+    // lists): the trained-codebook ADC ordering must keep most of the
+    // exact-within-probed-cells top-k. Near-random synthetic embeddings
+    // are PQ's worst case — the bound is a floor, not a target.
+    val exact = idx.query(spark, queries, probes = 2, topK = TopK).select("qid", "nid")
+    val pq32 = idx.queryPq(spark, queries, probes = 2, topK = TopK, reRank = 32)
+      .select("qid", "nid")
+    val recall = pq32.intersect(exact).count().toDouble / exact.count()
+    assert(recall >= 0.6, s"ADC recall@$TopK at reRank=32 = $recall")
+
+    // with reRank covering the probed lists, PQ+re-rank IS the exact serve
+    val pqFull = idx.queryPq(spark, queries, probes = 2, topK = TopK, reRank = 1 << 20)
+    val exactFull = idx.query(spark, queries, probes = 2, topK = TopK)
+    assert(pqFull.exceptAll(exactFull).isEmpty && exactFull.exceptAll(pqFull).isEmpty)
+
+    // the ADC candidate stage must scan codes only — no raw-vector column
+    // in any scan below the ADC rank filter (the whole memory-bound point)
+    val plan = idx.queryPq(spark, queries, probes = 2, topK = TopK, reRank = 32)
+      .queryExecution.sparkPlan.toString
+    val codesScans = plan.linesIterator.filter(_.contains("/codes")).toSeq
+    assert(codesScans.nonEmpty && codesScans.forall(!_.contains("v#")),
+      s"codes scan must not read raw vectors:\n${codesScans.mkString("\n")}")
+  }
 }
