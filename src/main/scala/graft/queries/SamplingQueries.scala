@@ -449,7 +449,58 @@ object SamplingQueries {
       |       min(doc_id) AS first_doc, max(rate_ppm) AS rate_ppm
       |FROM kept GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** n12: n9's greedy sequence packing with the budget in LEARNED BPE
+    * tokens instead of whitespace tokens — the form a real training
+    * pipeline runs (whitespace counts mis-state budgets 1.3–1.7× by
+    * language; here the corpus packs into materially different bins —
+    * `n_ws` rides along so the delta per doc is visible in the gated
+    * output). Same one-Exchange-per-shard fold as n9; the only addition
+    * is the broadcast type→subword-count join from
+    * [[graft.operators.Bpe]]. The oracle replays BPE training end-to-end
+    * (t14's CTEs), then the same recursive greedy fold as n9.
+    */
+  def n12BpePack(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Bpe
+    val W = 256L
+    val S = 8L
+    val merges = Bpe.train(spark, dir)
+    val toks = Bpe.docTokens(spark, dir, merges)
+    val docs = toks.select(col("doc_id"),
+      pmod(Text.md5Long(concat(lit("n9s:"), col("doc_id").cast("string"))), lit(S))
+        .cast("int").as("shard"),
+      col("n_bpe").as("n_tokens"))
+    packLinear(docs.withColumn("bin0", lit(0L)).withColumn("used0", lit(W + 1)), W, S.toInt)
+      .withColumnRenamed("n_tokens", "n_bpe")
+      .join(toks.select(col("doc_id"), col("n_ws")), "doc_id")
+      .select("doc_id", "shard", "bin", "n_bpe", "n_ws")
+      .orderBy("shard", "bin", "doc_id")
+  }
+
+  val n12Oracle: String = {
+    val bpe = graft.operators.Bpe.oracleCtes().stripPrefix("WITH ")
+    s"""WITH RECURSIVE $bpe,
+       |dt AS MATERIALIZED (
+       |  SELECT dw.doc_id,
+       |         CAST(('0x' || substr(md5('n9s:' || CAST(dw.doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS INT) AS shard,
+       |         CAST(sum(tt.n_sym) AS BIGINT) AS n_tokens,
+       |         CAST(count(*) AS BIGINT) AS n_ws
+       |  FROM dw JOIN tt USING (w) GROUP BY 1),
+       |t AS MATERIALIZED (SELECT doc_id, shard, n_tokens, n_ws,
+       |       row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM dt),
+       |rec AS (
+       |  SELECT shard, rn, doc_id, n_tokens, n_ws, CAST(1 AS BIGINT) AS bin, n_tokens AS used
+       |  FROM t WHERE rn = 1
+       |  UNION ALL
+       |  SELECT t.shard, t.rn, t.doc_id, t.n_tokens, t.n_ws,
+       |         CASE WHEN r.used + t.n_tokens <= 256 THEN r.bin ELSE r.bin + 1 END,
+       |         CASE WHEN r.used + t.n_tokens <= 256 THEN r.used + t.n_tokens ELSE t.n_tokens END
+       |  FROM rec r JOIN t ON t.shard = r.shard AND t.rn = r.rn + 1)
+       |SELECT doc_id, shard, bin, n_tokens AS n_bpe, n_ws FROM rec
+       |ORDER BY shard, bin, doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "n12_bpe_pack" -> (n12BpePack _),
     "n6_bottomk_sample" -> (n6BottomKSample _),
     "n7_shard_shuffle" -> (n7ShardShuffle _),
     "n8_temperature_mix" -> (n8TemperatureMix _),
@@ -463,6 +514,7 @@ object SamplingQueries {
     "n5_train_val_test" -> (n5TrainValTest _))
 
   val oracles: Map[String, String] = Map(
+    "n12_bpe_pack" -> n12Oracle,
     "n6_bottomk_sample" -> n6Oracle,
     "n7_shard_shuffle" -> n7Oracle,
     "n8_temperature_mix" -> n8Oracle,

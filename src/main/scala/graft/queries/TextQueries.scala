@@ -573,7 +573,52 @@ object TextQueries {
       |FROM p JOIN d ON position(' ' || phrase || ' ' IN ' ' || norm || ' ') > 0
       |ORDER BY phrase, doc_id""".stripMargin
 
+  /** t14: corpus-trained deterministic BPE — per-doc whitespace vs
+    * subword token counts under [[graft.operators.Bpe.Rounds]] learned
+    * merges. The oracle replays the ENTIRE training (16 unrolled merge
+    * rounds over the word-type relation, greedy-replace application) plus
+    * the encode join, so a hash match certifies the tokenizer end-to-end:
+    * same merge table, same greedy segmentation, same budgets. This is
+    * the number every mix/pack/chunk budget should consume instead of
+    * whitespace counts (they differ 1.3–1.7× by language).
+    */
+  def t14Bpe(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Bpe
+    val merges = Bpe.train(spark, dir)
+    Bpe.docTokens(spark, dir, merges).orderBy("doc_id")
+  }
+
+  val t14Oracle: String =
+    s"""${graft.operators.Bpe.oracleCtes()}
+       |SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_ws, CAST(sum(tt.n_sym) AS BIGINT) AS n_bpe
+       |FROM dw JOIN tt USING (w) GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  /** t15: the learned BPE merge table itself — rank, merged symbol, and
+    * the winning pair count per round. Hash-gating the vocab directly
+    * (not just its downstream counts) pins the tie-break contract.
+    */
+  def t15BpeVocab(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Bpe
+    val spark2 = spark; import spark2.implicits._
+    Bpe.train(spark, dir).zipWithIndex
+      .map { case ((a, b, c), i) => (i + 1, a + b, c) }
+      .toDF("rank", "merged", "pair_cnt")
+      .orderBy("rank")
+  }
+
+  val t15Oracle: String = {
+    val branches = (1 to graft.operators.Bpe.Rounds).map { k =>
+      s"SELECT CAST($k AS INTEGER) AS rank, a || b AS merged, CAST(c AS BIGINT) AS pair_cnt FROM b$k"
+    }.mkString("\n  UNION ALL ")
+    s"""${graft.operators.Bpe.oracleCtes()}
+       |SELECT * FROM (
+       |  $branches
+       |) ORDER BY rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t15_bpe_vocab" -> (t15BpeVocab _),
+    "t14_bpe" -> (t14Bpe _),
     "t13_phrase_search" -> (t13PhraseSearch _),
     "t12_bm25" -> (t12Bm25 _),
     "t11_quality_classifier" -> (t11QualityClassifier _),
@@ -589,6 +634,8 @@ object TextQueries {
     "t7_nfc_normalize" -> (t7NfcNormalize _))
 
   val oracles: Map[String, String] = Map(
+    "t15_bpe_vocab" -> t15Oracle,
+    "t14_bpe" -> t14Oracle,
     "t13_phrase_search" -> t13Oracle,
     "t12_bm25" -> t12Oracle,
     "t11_quality_classifier" -> t11Oracle,
