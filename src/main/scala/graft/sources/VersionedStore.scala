@@ -256,6 +256,67 @@ final class VersionedStore(val base: String) {
     doomed
   }
 
+  /** EXTERNAL-READABLE export: emit the committed, still-addressable
+    * history as a minimal Delta-protocol transaction log
+    * (`_delta_log/<version-20-digits>.json`, one JSON action per line —
+    * the shape defined by the public Delta transaction-log spec,
+    * implementable with zero dependencies). Each graft snapshot becomes
+    * one log version: `remove` actions for the superseded snapshot's
+    * files, `add` actions (relative path, size, modificationTime) for the
+    * new ones, plus `metaData` carrying the snapshot's Spark schema JSON —
+    * which IS Delta's `schemaString` format. Delta versions are 0-based,
+    * so exported version i maps to the i-th addressable graft version.
+    *
+    * This makes the cooled boundary (the reference's Object Storage side,
+    * /root/reference/img/YQLink2.png) consumable outside graft: any
+    * reader that replays adds-minus-removes gets the exact live file
+    * list, and an external Delta reader sees a conforming table whose
+    * data files are the untouched `v=K` parquet. The export is derived
+    * state — regenerate after commits/vacuum (vacuumed versions are not
+    * exportable: their files are gone, so the log starts at the oldest
+    * addressable snapshot).
+    */
+  def exportDeltaLog(spark: SparkSession): Unit = {
+    val f = fs(spark)
+    val vs = versions(spark)
+    require(vs.nonEmpty, s"$base has no committed version to export")
+    val logDir = new Path(base, "_delta_log")
+    f.delete(logDir, true)
+    f.mkdirs(logDir)
+    val tableId = java.util.UUID.nameUUIDFromBytes(base.getBytes(StandardCharsets.UTF_8)).toString
+    def jq(s: String): String = // minimal JSON string quoting
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    var prev: Seq[org.apache.hadoop.fs.FileStatus] = Nil
+    vs.zipWithIndex.foreach { case (v, i) =>
+      val files = f.listStatus(versionDir(v)).filter(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+        .sortBy(_.getPath.getName).toSeq
+      val schemaJson = spark.read.parquet(versionDir(v).toString).schema.json
+      def rel(s: org.apache.hadoop.fs.FileStatus) = s"v=$v/${s.getPath.getName}"
+      val sb = new StringBuilder
+      if (i == 0)
+        sb ++= """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" + "\n"
+      sb ++= s"""{"metaData":{"id":"$tableId","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${jq(schemaJson)},"partitionColumns":[],"configuration":{},"createdTime":0}}""" + "\n"
+      prev.foreach { p =>
+        val pv = p.getPath.getParent.getName.stripPrefix("v=")
+        sb ++= s"""{"remove":{"path":${jq(s"v=$pv/${p.getPath.getName}")},"dataChange":true}}""" + "\n"
+      }
+      files.foreach { s =>
+        sb ++= s"""{"add":{"path":${jq(rel(s))},"partitionValues":{},"size":${s.getLen},""" +
+          s""""modificationTime":${s.getModificationTime},"dataChange":true}}""" + "\n"
+      }
+      val out = f.create(new Path(logDir, f"$i%020d.json"), true)
+      try out.write(sb.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      prev = files
+    }
+  }
+
   /** The atomic publish. POSIX/HDFS: write sibling + atomic rename. On
     * S3A this same code degrades to copy+delete of a BYTES-SIZED object —
     * still effectively atomic because the visible transition is the
