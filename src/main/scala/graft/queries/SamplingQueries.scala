@@ -264,7 +264,7 @@ object SamplingQueries {
     * scaling. `seed` carries the incremental form's per-shard
     * (open bin, fill) start state (joined in as columns).
     */
-  private[queries] def packLinear(docs: DataFrame, w: Long, nShards: Int): DataFrame = {
+  private[graft] def packLinear(docs: DataFrame, w: Long, nShards: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
