@@ -129,18 +129,12 @@ final class IvfIndex private (val base: String) {
 
     // per-query LUT: ‖q̂_m − cw_{m,c}‖² for every (m, c), flattened row-major —
     // M·Ks doubles computed once per query row, before the candidate join
+    // (the graft_pq_dists kernel — same flattened-codebook loop as encode)
     val cb = IvfIndex.readCodebooks(spark, base)
     // same quantized-unit domain the codes were trained/encoded in
     val qu = transform(col("qv"), x => round(x / sqrt(col("qn2")) * lit(10000.0)))
-    val lutExpr = array(cb.flatMap { case (subs, mi) =>
-      val ds = subs(0).length
-      val us = slice(qu, mi * ds + 1, ds)
-      val un2 = Vectors.dotD(us, us)
-      subs.map { cw =>
-        un2 + lit(cw.map(x => x * x).sum) -
-          lit(2.0) * Vectors.dotD(us, array(cw.map(lit(_)): _*))
-      }
-    }: _*)
+    val lutExpr = call_function("graft_pq_dists", qu,
+      typedLit(cb.map(_._1).flatMap(_.flatMap(_.toSeq)).toSeq), lit(cb.length))
 
     val cand = probed.withColumn("lut", lutExpr)
       .join(pruned("codes"), Seq("cid")).where(col("vec_id") =!= col("qid"))
@@ -219,24 +213,18 @@ object IvfIndex {
   private def unitQ: Column =
     transform(col("v"), x => round(x / sqrt(col("n2")) * lit(10000.0)))
 
-  /** Per-subspace argmin codes against driver-held codebooks:
-    * ‖û_m − cw‖² expanded to |û_m|² + |cw|² − 2·graft_dot (codegen'd, the
-    * s6 expansion — every term an integer-valued double < 2⁵³, so exact),
-    * ties to the lowest code.
+  /** Per-subspace argmin codes against driver-held codebooks — the
+    * [[graft.functions.PqCodes]] kernel (`graft_pq_encode`): one codegen
+    * loop over the flattened codebook literal, exact integer-valued
+    * squared L2, first-minimum tie-break = lowest code. (The composable
+    * m·ks `least(struct(dist, c))` tree of `graft_dot(slice(...))` terms
+    * computed the same values but cost ~1.5 s of analysis + Janino
+    * compilation PER TRAINING ROUND — every round is a new codebook,
+    * hence a new compile.)
     */
-  private def codesOf(cb: Array[Array[Array[Double]]], uq: Column): Column = {
-    val ds = cb(0)(0).length
-    array(cb.zipWithIndex.map { case (subs, mi) =>
-      val us = slice(uq, mi * ds + 1, ds)
-      val un2 = Vectors.dotD(us, us)
-      least(subs.zipWithIndex.map { case (cw, c) =>
-        struct(
-          (un2 + lit(cw.map(x => x * x).sum) -
-            lit(2.0) * Vectors.dotD(us, array(cw.map(lit(_)): _*))).as("d"),
-          lit(c).as("c"))
-      }: _*).getField("c")
-    }: _*)
-  }
+  private def codesOf(cb: Array[Array[Array[Double]]], uq: Column): Column =
+    call_function("graft_pq_encode", uq,
+      typedLit(cb.flatten.flatten.toSeq), lit(cb.length))
 
   /** IVFPQ build: the standard coarse index plus product-quantized codes.
     *
