@@ -61,8 +61,23 @@ final class IvfIndex private (val base: String) {
     val e = increment
       .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
       .withColumn("n2", Vectors.norm2D(col("v")))
-    IvfIndex.assignTo(centroids(spark), e)
-      .write.mode(SaveMode.Append).partitionBy("cid").parquet(s"$base/assignments")
+    val assigned = IvfIndex.assignTo(centroids(spark), e)
+    assigned.write.mode(SaveMode.Append).partitionBy("cid").parquet(s"$base/assignments")
+    // a PQ index must keep codes/ in lockstep or the ADC candidate scan
+    // silently stops seeing appended vectors: encode the increment with
+    // the FROZEN codebooks (same invariant as frozen centroids — append ≡
+    // rebuild-with-same-codebooks; codebook re-training belongs to the
+    // same rebuild trigger as re-centering) and append into the same
+    // cid= partitions
+    if (graft.sources.FsUtil.listDir(spark, base).contains("codebooks")) {
+      val cb = IvfIndex.readCodebooks(spark, base)
+      val flat = cb.map(_._1).flatMap(_.flatMap(_.toSeq))
+      assigned.select(col("vec_id"),
+          call_function("graft_pq_encode", IvfIndex.unitQ,
+            typedLit(flat.toSeq), lit(cb.length)).as("codes"),
+          col("cid"))
+        .write.mode(SaveMode.Append).partitionBy("cid").parquet(s"$base/codes")
+    }
   }
 
   /** Top-k cosine neighbors for `queries` (qid, v ARRAY<DOUBLE>), probing

@@ -740,7 +740,62 @@ object StatQueries {
       |            CAST(n_a AS DECIMAL(18, 0)) * CAST(n_b AS DECIMAL(18, 0)) * 2 AS BIGINT) AS sum_ok
       |FROM a""".stripMargin
 
+  /** x17: one-sided CUSUM control chart over daily revenue — the
+    * SEQUENTIAL drift monitor next to the distributional suite
+    * (TV/KS/PSI/χ²/U compare two static samples; CUSUM detects WHEN a
+    * stream's level shifted): C_t = max(0, C_{t−1} + x_t − target − k),
+    * alarm when C_t > 5k. The recurrence is non-linear (the max-with-0
+    * clamp), so unlike x16 it cannot become a distributed prefix sum —
+    * but it never needs to: the fold runs over the DAILY rollup, whose
+    * cardinality is the date domain (x11's bins-by-design rule), after
+    * one partial-agg shuffle reduces the order stream to one row per
+    * day. target = ⌊Σ/n⌋ and k = target ÷ 20 derive from the same
+    * collected array (no second scan, no scalar-broadcast re-execution),
+    * everything in exact integer cents — the oracle replays the fold as
+    * a recursive CTE over the day-ranked rollup.
+    */
+  def x17CusumDrift(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("tc"))
+    daily.agg(array_sort(collect_list(struct(col("day"), col("tc")))).as("a"))
+      .withColumn("target", expr("aggregate(a, 0L, (s, x) -> s + x.tc) DIV size(a)"))
+      .withColumn("k", expr("target DIV 20"))
+      .select(col("target"), col("k"), explode(expr(
+        """aggregate(a,
+          |  struct(CAST(0 AS BIGINT) AS c, CAST(array() AS array<struct<day:date,tc:bigint,cusum:bigint>>) AS out),
+          |  (acc, x) -> struct(
+          |    greatest(0L, acc.c + x.tc - target - k) AS c,
+          |    concat(acc.out, array(struct(x.day AS day, x.tc AS tc,
+          |      greatest(0L, acc.c + x.tc - target - k) AS cusum))) AS out),
+          |  acc -> acc.out)""".stripMargin)).as("r"))
+      .select(col("r.day").as("day"), col("r.tc").as("total_c"),
+        col("r.cusum").as("cusum"),
+        (col("r.cusum") > col("k") * 5).cast("long").as("alarm"))
+      .orderBy("day")
+  }
+
+  val x17Oracle: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS tc
+      |  FROM orders GROUP BY 1),
+      |rk AS (SELECT day, tc, row_number() OVER (ORDER BY day) AS rn FROM daily),
+      |g AS (SELECT CAST(sum(tc) AS BIGINT) // count(*) AS target,
+      |             (CAST(sum(tc) AS BIGINT) // count(*)) // 20 AS k
+      |      FROM daily),
+      |rec AS (
+      |  SELECT rn, day, tc, greatest(CAST(0 AS BIGINT), tc - g.target - g.k) AS cusum
+      |  FROM rk, g WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.rn, d.day, d.tc, greatest(CAST(0 AS BIGINT), r.cusum + d.tc - g.target - g.k)
+      |  FROM rec r JOIN rk d ON d.rn = r.rn + 1 CROSS JOIN g)
+      |SELECT day, tc AS total_c, cusum,
+      |       CAST(cusum > (SELECT k FROM g) * 5 AS BIGINT) AS alarm
+      |FROM rec ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x17_cusum_drift" -> (x17CusumDrift _),
     "x16_mann_whitney" -> (x16MannWhitney _),
     "x15_regression" -> (x15Regression _),
     "x14_correlation" -> (x14Correlation _),
@@ -759,6 +814,7 @@ object StatQueries {
     "x8_snapshot_diff" -> (x8SnapshotDiff _))
 
   val oracles: Map[String, String] = Map(
+    "x17_cusum_drift" -> x17Oracle,
     "x16_mann_whitney" -> x16Oracle,
     "x15_regression" -> x15Oracle,
     "x14_correlation" -> x14Oracle,

@@ -164,4 +164,25 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(codesScans.nonEmpty && codesScans.forall(!_.contains("v#")),
       s"codes scan must not read raw vectors:\n${codesScans.mkString("\n")}")
   }
+
+  test("IVFPQ append keeps codes/ in lockstep: ADC serve sees the increment, full-reRank PQ ≡ exact") {
+    val e = Tables.embeddings(spark, dir)
+    val isInc = col("vec_id") % 5 === 0
+    val pqBase = Files.createTempDirectory("graft-ivfpq-app").toString + "/idx"
+    val idx = IvfIndex.buildPq(spark, e.where(!isInc), pqBase, cells = 16, lloydIters = 0)
+    idx.append(spark, e.where(isInc))
+
+    // codes were encoded for every appended vector with the frozen codebooks
+    assert(spark.read.parquet(s"$pqBase/codes").count() ==
+      spark.read.parquet(s"$pqBase/assignments").count())
+
+    // PQ serve over the appended index, reRank covering the probed lists,
+    // must equal the exact serve (which IvfIndexSpec already proves ≡ a
+    // frozen-centroid rebuild) — and must be able to RETURN appended ids
+    val pq = idx.queryPq(spark, queries, probes = 2, topK = TopK, reRank = 1 << 20)
+    val exact = idx.query(spark, queries, probes = 2, topK = TopK)
+    assert(pq.exceptAll(exact).isEmpty && exact.exceptAll(pq).isEmpty)
+    assert(pq.where(col("nid") % 5 === 0).count() > 0,
+      "appended vectors never surfaced through the ADC path")
+  }
 }
