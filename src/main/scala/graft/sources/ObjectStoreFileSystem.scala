@@ -1,0 +1,113 @@
+package graft.sources
+
+import java.io.{File, IOException}
+import java.net.URI
+import java.nio.file.{Files, StandardCopyOption}
+
+import org.apache.hadoop.fs.{Path, RawLocalFileSystem}
+
+/** A Hadoop `FileSystem` with OBJECT-STORE semantics (`objstore://`) — the
+  * fault-injection surface VersionedStore's commit protocol is claimed to
+  * survive, so the claim can be wire-tested instead of argued
+  * (the reference's real sink is S3 Object Storage, yq_dag.py:16-19 /
+  * img/YQLink2.png; this repo otherwise only ever meets `file://`).
+  *
+  * Faithful to what modern S3 actually guarantees (strong read-after-write
+  * consistency since 2020 — list lag is NOT emulated because it no longer
+  * exists), and to what it does NOT:
+  *
+  *  - **No rename verb.** `rename(src, dst)` is emulated exactly as S3A
+  *    does it: one server-side COPY per object, then the source objects
+  *    are deleted. Each single-object PUT is atomic (implemented here as
+  *    temp-file + `ATOMIC_MOVE`, mirroring S3's atomic object-replace),
+  *    but the SEQUENCE is not — a crash mid-rename leaves some objects
+  *    copied, some not. An injectable crash point
+  *    ([[ObjectStoreFileSystem.armRenameCrash]]) makes that window
+  *    deterministic for specs: it fires only on renames into the armed
+  *    path prefix, after the configured number of object copies, so
+  *    Spark's own committer renames (which also run through this code)
+  *    are unaffected.
+  *  - **No append.** `append` throws, as on any object store.
+  *
+  * Everything else delegates to [[RawLocalFileSystem]] (objects are plain
+  * local files; `RawLocal` rather than `Local` so no `.crc` shadow files
+  * muddy directory listings). Register with
+  * `hadoopConf.set("fs.objstore.impl", classOf[ObjectStoreFileSystem].getName)`
+  * and address data as `objstore:///abs/path` — Spark's parquet
+  * reader/writer, the committer, and VersionedStore then run unmodified
+  * against rename-less storage.
+  */
+final class ObjectStoreFileSystem extends RawLocalFileSystem {
+  import ObjectStoreFileSystem._
+
+  override def getScheme: String = "objstore"
+  override def getUri: URI = URI.create("objstore:///")
+
+  override def append(p: Path, bufferSize: Int,
+      progress: org.apache.hadoop.util.Progressable): org.apache.hadoop.fs.FSDataOutputStream =
+    throw new IOException("objstore: object stores do not support append")
+
+  /** S3A-shaped rename: copy every object under `src` to its `dst`
+    * counterpart (all copies first), then delete the source tree. Hadoop
+    * rename semantics preserved: existing-directory dst means "move src
+    * INTO dst"; single-object overwrite is an atomic replace (S3 PUT).
+    */
+  override def rename(src: Path, dst: Path): Boolean = {
+    if (!exists(src)) return false
+    val target =
+      if (exists(dst) && getFileStatus(dst).isDirectory) new Path(dst, src.getName)
+      else dst
+    val armed = {
+      val a = crashDstPrefix
+      a != null && target.toUri.getPath.startsWith(a)
+    }
+    var copied = 0
+    def copyTree(s: Path, d: Path): Unit = {
+      if (getFileStatus(s).isDirectory) {
+        mkdirs(d)
+        listStatus(s).sortBy(_.getPath.getName)
+          .foreach(c => copyTree(c.getPath, new Path(d, c.getPath.getName)))
+      } else {
+        if (armed && copied >= crashAfterCopies)
+          throw new IOException(
+            s"objstore: injected crash mid-rename after $copied object copies ($s -> $d)")
+        putObject(pathToFile(s), pathToFile(d))
+        copied += 1
+      }
+    }
+    copyTree(src, target)
+    delete(src, true)
+    true
+  }
+
+  /** One atomic object PUT: bytes land under a hidden temp name, then an
+    * OS-atomic move replaces the destination — no reader ever observes a
+    * truncated or half-written object, exactly S3's per-object guarantee.
+    */
+  private def putObject(src: File, dst: File): Unit = {
+    dst.getParentFile.mkdirs()
+    val tmp = new File(dst.getParentFile, s".put-${java.util.UUID.randomUUID()}")
+    Files.copy(src.toPath, tmp.toPath, StandardCopyOption.REPLACE_EXISTING)
+    Files.move(tmp.toPath, dst.toPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+}
+
+object ObjectStoreFileSystem {
+  @volatile private var crashDstPrefix: String = null
+  @volatile private var crashAfterCopies: Int = Int.MaxValue
+
+  /** Arm the next rename whose destination path starts with `dstPrefix`
+    * to throw after `afterCopies` successful object copies (0 = before
+    * any object lands). Disarm with [[clearFaults]].
+    */
+  def armRenameCrash(dstPrefix: String, afterCopies: Int): Unit = {
+    crashAfterCopies = afterCopies
+    crashDstPrefix = dstPrefix
+  }
+
+  def clearFaults(): Unit = {
+    crashDstPrefix = null
+    crashAfterCopies = Int.MaxValue
+  }
+}

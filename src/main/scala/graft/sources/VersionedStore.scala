@@ -89,15 +89,22 @@ final class VersionedStore(val base: String) {
       s"$base: version $v was never committed (live is $live)")
     require(fs(spark).exists(versionDir(v)),
       s"$base: version $v has been vacuumed (keep a longer horizon to time-travel further)")
+    require(fs(spark).exists(new Path(versionDir(v), "_committed")),
+      s"$base: v=$v is a crashed writer's leftover below live, not committed history")
     spark.read.parquet(versionDir(v).toString)
   }
 
   /** Committed versions still present on disk — the addressable
-    * time-travel history (orphans above the pointer excluded).
+    * time-travel history. Orphans are excluded on BOTH sides of the
+    * pointer: above live (in-flight/crashed allocations) by the pointer
+    * itself, below live (a crashed write later built over) by the
+    * `_committed` marker.
     */
   def versions(spark: SparkSession): Seq[Long] = {
     val live = currentVersion(spark)
-    versionsOnDisk(spark).filter(v => v > 0 && v <= live)
+    val f = fs(spark)
+    versionsOnDisk(spark).filter(v => v > 0 && v <= live &&
+      f.exists(new Path(versionDir(v), "_committed")))
   }
 
   /** Write `df` as the next snapshot and atomically publish it.
@@ -186,11 +193,91 @@ final class VersionedStore(val base: String) {
       // `expected`, and plain write()s are last-writer-wins by contract
       // (don't mix write and writeIf on one table in the same cycle)
       val next = (versionsOnDisk(spark) :+ expectedVersion).max + 1
+      // INTENT record before any shared path is touched: one atomic
+      // small-object PUT naming (staging, next). If this writer dies
+      // anywhere past this line, [[recoverClaims]] can finish the exact
+      // same publish — without it, the allocated K of a crashed winner
+      // is unrecoverable (a partial v=K is indistinguishable from a
+      // plain-write orphan) and the claim on `expected` would block
+      // every CAS writer on that version forever.
+      writeSmall(f, new Path(base, s"_claims/intent-$expectedVersion"),
+        s"${staging.getName}:$next")
       require(f.rename(staging, versionDir(next)),
         s"could not publish staged snapshot $staging as v=$next")
       commitPointer(f, next)
+      f.delete(new Path(base, s"_claims/intent-$expectedVersion"), false)
       Some(next)
     }
+  }
+
+  /** Crash recovery for [[writeIf]] — a SINGLE-MAINTAINER verb (vacuum's
+    * contract: never run concurrently with a live writer). A claim at the
+    * live version whose winner died mid-publish permanently blocks every
+    * CAS writer on that version (vacuum prunes only claims BELOW live, and
+    * the claim create-if-absent can never be re-won), so a maintenance
+    * loop calls this before resuming writes. Returns the version it
+    * completed, if any.
+    *
+    * Every crash window converges:
+    *  - claim exists, no intent: the winner died before touching any
+    *    shared path; its staged snapshot is complete (the claim is only
+    *    created after staging finishes), so recovery performs the same
+    *    allocate → intent → publish sequence the winner would have.
+    *  - intent exists: the target `v=K` is known. The staged files are
+    *    copied into `v=K` with per-object overwrite — idempotent over any
+    *    rename progress the crashed winner made (an object is deleted from
+    *    staging only after every copy landed, so staging ∪ v=K is always
+    *    the complete snapshot) — then the pointer flips.
+    *  - intent exists, staging fully gone: the rename had completed;
+    *    recovery just flips the pointer.
+    *  - pointer already flipped (current ≠ claimed version): the publish
+    *    finished; the stale claim/intent are inert (below live) and left
+    *    for vacuum. Nothing to do.
+    */
+  def recoverClaims(spark: SparkSession): Option[Long] = {
+    val f = fs(spark)
+    val live = currentVersion(spark)
+    val claim = new Path(base, s"_claims/claim-$live")
+    if (!f.exists(claim)) return None
+    val stagingName = readSmall(f, claim)
+    val staging = new Path(base, s"_staging/$stagingName")
+    val intentP = new Path(base, s"_claims/intent-$live")
+    val next =
+      if (f.exists(intentP)) {
+        val s = readSmall(f, intentP)
+        require(s.startsWith(stagingName + ":"),
+          s"$base: intent-$live names staging ${s.takeWhile(_ != ':')}, claim names $stagingName")
+        s.dropWhile(_ != ':').tail.toLong
+      } else {
+        val n = (versionsOnDisk(spark) :+ live).max + 1
+        writeSmall(f, intentP, s"$stagingName:$n")
+        n
+      }
+    if (f.exists(staging)) {
+      f.listStatus(staging).filter(_.isFile).foreach { s =>
+        org.apache.hadoop.fs.FileUtil.copy(f, s.getPath, f,
+          new Path(versionDir(next), s.getPath.getName),
+          false, true, spark.sparkContext.hadoopConfiguration)
+      }
+      f.delete(staging, true)
+    }
+    require(f.exists(versionDir(next)),
+      s"$base: recovery of claim-$live found neither staging $stagingName nor v=$next")
+    commitPointer(f, next)
+    f.delete(intentP, false)
+    Some(next)
+  }
+
+  private def writeSmall(f: FileSystem, p: Path, s: String): Unit = {
+    val out = f.create(p, true)
+    try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  private def readSmall(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+      StandardCharsets.UTF_8).trim
+    finally in.close()
   }
 
   /** Object-store-safe compaction: rewrite the live snapshot into
@@ -238,17 +325,24 @@ final class VersionedStore(val base: String) {
     val live = currentVersion(spark)
     require(live > 0,
       s"$base has no committed version - vacuum would delete in-flight writes")
-    val doomed = versionsOnDisk(spark).filter(v =>
-      (v < live - (keep - 1).max(0)) || v > live)
+    // the keep horizon ranks COMMITTED snapshots, not version numbers —
+    // crashed-writer gaps in the numbering must not eat into the reader /
+    // time-travel grace window. Orphans (no `_committed` marker: crashed
+    // below live, or in-flight-shaped above it) are doomed at any horizon.
+    val keepSet = versionsOnDisk(spark)
+      .filter(v => v <= live && f.exists(new Path(versionDir(v), "_committed")))
+      .sorted.takeRight(keep.max(1)).toSet
+    val doomed = versionsOnDisk(spark).filterNot(keepSet.contains)
     doomed.foreach(v => f.delete(versionDir(v), true))
     // prune claim files STRICTLY below live only: a claim at/above live may
     // be held by an in-flight writeIf whose post-claim re-check depends on
     // it staying unique; claims below live are unreachable (a resurrection
     // attempt fails the current==expected re-check)
-    FsUtil.listDir(spark, new Path(base, "_claims").toString)
-      .map(_.stripPrefix("claim-")).collect { case s if s.forall(_.isDigit) => s.toLong }
-      .filter(_ < live)
-      .foreach(v => f.delete(new Path(base, s"_claims/claim-$v"), false))
+    FsUtil.listDir(spark, new Path(base, "_claims").toString).foreach { n =>
+      val v = n.split("-", 2) // claim-<V> and intent-<V> records alike
+      if (v.length == 2 && v(1).nonEmpty && v(1).forall(_.isDigit) && v(1).toLong < live)
+        f.delete(new Path(base, s"_claims/$n"), false)
+    }
     // crashed writeIf staging dirs (never resolved by any reader; the
     // single-maintainer contract above means none of these is in flight)
     FsUtil.listDir(spark, new Path(base, "_staging").toString)
@@ -322,8 +416,18 @@ final class VersionedStore(val base: String) {
     * still effectively atomic because the visible transition is the
     * single-object copy PUT; a direct overwrite PUT (no temp file) is the
     * native S3 form and an acceptable override there.
+    *
+    * A `_committed` marker lands inside `v=K` BEFORE the flip: the pointer
+    * only tracks the maximum, so without a per-version marker a crashed
+    * writer's partial `v=K` that a LATER successful commit leaves below
+    * live would masquerade as addressable history ([[readAsOf]] would
+    * serve a half-written snapshot as if committed). Marker-then-flip
+    * keeps every window safe: a crash between the two leaves a marked
+    * directory above live, which no reader resolves and [[vacuum]]
+    * removes.
     */
   private def commitPointer(f: FileSystem, v: Long): Unit = {
+    writeSmall(f, new Path(versionDir(v), "_committed"), v.toString)
     val tmp = new Path(base, s"_current.tmp-$v")
     val out = f.create(tmp, true)
     try out.write(v.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()

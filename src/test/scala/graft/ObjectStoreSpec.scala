@@ -1,0 +1,130 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{ObjectStoreFileSystem, VersionedStore}
+
+/** VersionedStore's commit protocol wire-tested against OBJECT-STORE
+  * semantics instead of argued from Scaladoc: `objstore://` has no rename
+  * verb (every rename is per-object atomic copies + deletes, crashable
+  * between any two objects, exactly S3A), no append, and per-object
+  * atomic PUT. The suite drives the full verb set over that surface,
+  * injects crashes into the one multi-object window the CAS publish has,
+  * and proves the recovery verb converges from every window — plus the
+  * marker fix for the crashed-writer-below-live time-travel hazard the
+  * fault injection surfaced.
+  */
+class ObjectStoreSpec extends AnyFunSuite {
+  lazy val spark = {
+    val s = SparkTestSession.spark
+    s.sparkContext.hadoopConfiguration
+      .set("fs.objstore.impl", classOf[ObjectStoreFileSystem].getName)
+    s
+  }
+
+  private def freshStore(): VersionedStore = {
+    val local = Files.createTempDirectory("graft-objstore").toString
+    new VersionedStore(s"objstore://$local/t")
+  }
+
+  private def sumN(st: VersionedStore): Long =
+    st.read(spark).agg(sum("n")).head.getLong(0)
+
+  test("full verb set works on rename-less storage (committer renames degrade to copy+delete)") {
+    import spark.implicits._
+    ObjectStoreFileSystem.clearFaults()
+    val st = freshStore()
+
+    assert(st.write(spark, (1 to 100).toDF("n")) == 1L)
+    assert(sumN(st) == 5050L)
+
+    // CAS write over objstore: stage → claim → intent → copy-publish → flip
+    assert(st.writeIf(spark, (1 to 10).toDF("n"), 1L).contains(2L))
+    assert(sumN(st) == 55L)
+    // stale expected refused
+    assert(st.writeIf(spark, (1 to 3).toDF("n"), 1L).isEmpty)
+
+    // compaction + vacuum + time travel all on the objstore scheme
+    st.compactCurrent(spark)
+    assert(st.readAsOf(spark, 1L).count() == 100)
+    assert(st.vacuum(spark, keep = 1).nonEmpty)
+    assert(sumN(st) == 55L)
+  }
+
+  test("crash mid-publish-rename: pointer never flips, reader keeps old snapshot; recoverClaims completes the publish") {
+    import spark.implicits._
+    ObjectStoreFileSystem.clearFaults()
+    val st = freshStore()
+    st.write(spark, (1 to 100).toDF("n"))
+
+    // stage a MULTI-file snapshot so the rename has a real partial window,
+    // then crash after exactly one object copy lands in v=2
+    val staging = st.stageSnapshot(spark, (1 to 60).toDF("n").repartition(3))
+    val armPrefix = new org.apache.hadoop.fs.Path(st.base).toUri.getPath + "/v="
+    ObjectStoreFileSystem.armRenameCrash(armPrefix, afterCopies = 1)
+    val boom = intercept[Exception] { st.claimAndPublish(spark, staging, 1L) }
+    ObjectStoreFileSystem.clearFaults()
+    assert(boom.getMessage.contains("injected"))
+
+    // acknowledged state unharmed: pointer old, snapshot v=1 fully served
+    assert(st.currentVersion(spark) == 1L)
+    assert(sumN(st) == 5050L)
+    // and the crashed claim blocks a competing CAS writer (claim consumed)
+    assert(st.writeIf(spark, (1 to 5).toDF("n"), 1L).isEmpty)
+
+    // single-maintainer recovery finishes the crashed winner's exact publish
+    assert(st.recoverClaims(spark).contains(2L))
+    assert(st.currentVersion(spark) == 2L)
+    assert(sumN(st) == 1830L)
+    assert(st.read(spark).count() == 60)
+
+    // the CAS lane is unblocked on the NEW version
+    assert(st.writeIf(spark, (1 to 7).toDF("n"), 2L).contains(3L))
+    assert(st.recoverClaims(spark).isEmpty) // nothing pending afterwards
+  }
+
+  test("crash with the intent record lost: recovery re-allocates; the partial v=K is never addressable history") {
+    import spark.implicits._
+    ObjectStoreFileSystem.clearFaults()
+    val st = freshStore()
+    st.write(spark, (1 to 100).toDF("n"))
+
+    val staging = st.stageSnapshot(spark, (1 to 60).toDF("n").repartition(3))
+    val armPrefix = new org.apache.hadoop.fs.Path(st.base).toUri.getPath + "/v="
+    ObjectStoreFileSystem.armRenameCrash(armPrefix, afterCopies = 1)
+    intercept[Exception] { st.claimAndPublish(spark, staging, 1L) }
+    ObjectStoreFileSystem.clearFaults()
+
+    // simulate the pre-intent crash window: claim present, intent never landed
+    val f = new org.apache.hadoop.fs.Path(st.base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(f.delete(new org.apache.hadoop.fs.Path(st.base, "_claims/intent-1"), false))
+
+    // recovery cannot trust the partial v=2 (no intent names it) — it
+    // allocates ABOVE it and publishes the staged snapshot as v=3
+    assert(st.recoverClaims(spark).contains(3L))
+    assert(st.currentVersion(spark) == 3L)
+    assert(sumN(st) == 1830L)
+
+    // the half-copied v=2 now sits BELOW live — the marker keeps it out of
+    // committed history (this was the time-travel hazard) and vacuum may
+    // remove it at any keep horizon
+    assert(st.versions(spark) == Seq(1L, 3L))
+    val bad = intercept[IllegalArgumentException] { st.readAsOf(spark, 2L) }
+    assert(bad.getMessage.contains("crashed writer"))
+    assert(st.vacuum(spark, keep = 2).contains(2L))
+    assert(st.readAsOf(spark, 1L).count() == 100) // keep=2 horizon intact
+  }
+
+  test("append is refused (object stores have no append)") {
+    val f = new org.apache.hadoop.fs.Path("objstore:///")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(
+      s"objstore://${Files.createTempDirectory("graft-objstore")}/x")
+    val out = f.create(p, true); out.write(1); out.close()
+    intercept[java.io.IOException] { f.append(p) }
+  }
+}
