@@ -168,7 +168,38 @@ object FormatQueries {
       |       max(o_orderkey) AS max_key
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** f6: ecosystem-table-format round-trip, certified end-to-end by the
+    * oracle computing from the ORIGINAL parquet: documents land in a
+    * [[graft.sources.VersionedStore]] as two committed snapshots (evens,
+    * then all), the store exports its Delta-shape transaction log WITH
+    * checkpoints, and [[graft.sources.DeltaLogReader]] — which knows only
+    * the public log protocol, not graft's layout — reads both the live
+    * table and the `asOf=0` time-travel snapshot back. A hash match means
+    * the exported log names exactly the right file set at every version.
+    */
+  def f6DeltaRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val st = new graft.sources.VersionedStore(tmp("graft-delta") + "/t")
+    val docs = Tables.documents(spark, dir)
+    st.write(spark, docs.where(col("doc_id") % 2 === 0))
+    st.write(spark, docs)
+    st.exportDeltaLog(spark, checkpointEvery = 1)
+    val full = graft.sources.DeltaLogReader.read(spark, st.base)
+    val v0 = graft.sources.DeltaLogReader.read(spark, st.base, asOf = Some(0L))
+    full.agg(count(lit(1)).cast("long").as("full_docs"),
+        sum(col("n_chars")).cast("long").as("full_chars"))
+      .crossJoin(v0.agg(count(lit(1)).cast("long").as("v0_docs"),
+        sum(col("n_chars")).cast("long").as("v0_chars")))
+  }
+
+  val f6Oracle: String =
+    """SELECT
+      |  (SELECT CAST(count(1) AS BIGINT) FROM documents) AS full_docs,
+      |  (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents) AS full_chars,
+      |  (SELECT CAST(count(1) AS BIGINT) FROM documents WHERE doc_id % 2 = 0) AS v0_docs,
+      |  (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id % 2 = 0) AS v0_chars""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f6_delta_roundtrip" -> (f6DeltaRoundtrip _),
     "f5_variant_extract" -> (f5VariantExtract _),
     "f1_csv_roundtrip" -> (f1CsvRoundtrip _),
     "f2_json_roundtrip" -> (f2JsonRoundtrip _),
@@ -176,6 +207,7 @@ object FormatQueries {
     "f4_orc_roundtrip" -> (f4OrcRoundtrip _))
 
   val oracles: Map[String, String] = Map(
+    "f6_delta_roundtrip" -> f6Oracle,
     "f5_variant_extract" -> f5Oracle,
     "f1_csv_roundtrip" -> f1Oracle,
     "f2_json_roundtrip" -> f2Oracle,

@@ -369,8 +369,19 @@ final class VersionedStore(val base: String) {
     * state — regenerate after commits/vacuum (vacuumed versions are not
     * exportable: their files are gone, so the log starts at the oldest
     * addressable snapshot).
+    *
+    * CHECKPOINTS — the log's own scale story: replaying J JSON versions
+    * is O(total actions in history); at 10⁵ commits that replay, not the
+    * data, becomes the open cost. Per the public Delta layout, every
+    * `checkpointEvery`-th version also writes
+    * `<version>.checkpoint.parquet` — the FULL live state (protocol +
+    * metaData + one `add` per live file) as one parquet — plus the
+    * `_last_checkpoint` pointer file, so a reader loads the newest
+    * checkpoint ≤ its target version and replays only the JSON tail:
+    * O(live files + tail), independent of history length
+    * ([[DeltaLogReader]] proves it by deleting the pre-checkpoint JSONs).
     */
-  def exportDeltaLog(spark: SparkSession): Unit = {
+  def exportDeltaLog(spark: SparkSession, checkpointEvery: Int = 10): Unit = {
     val f = fs(spark)
     val vs = versions(spark)
     require(vs.nonEmpty, s"$base has no committed version to export")
@@ -407,8 +418,59 @@ final class VersionedStore(val base: String) {
       }
       val out = f.create(new Path(logDir, f"$i%020d.json"), true)
       try out.write(sb.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      if (checkpointEvery > 0 && (i + 1) % checkpointEvery == 0)
+        writeCheckpoint(spark, f, logDir, i, tableId, schemaJson,
+          files.map(s => (rel(s), s.getLen, s.getModificationTime)))
       prev = files
     }
+  }
+
+  /** One Delta checkpoint: the full live state at log version `i` as a
+    * single parquet (`<i-20-digits>.checkpoint.parquet`) plus the
+    * `_last_checkpoint` pointer. Spark writes directories, the protocol
+    * wants one exactly-named file — so write to a scratch dir with one
+    * partition and move the part file into place (the move is per-object,
+    * objstore-safe).
+    */
+  private def writeCheckpoint(spark: SparkSession, f: FileSystem, logDir: Path,
+      i: Long, tableId: String, schemaJson: String,
+      files: Seq[(String, Long, Long)]): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val cpSchema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("format", StructType(Seq(StructField("provider", StringType)))),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("createdTime", LongType)))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType))))))
+    val rows: java.util.List[Row] = new java.util.ArrayList[Row]()
+    rows.add(Row(Row(1, 2), null, null))
+    rows.add(Row(null, Row(tableId, Row("parquet"), schemaJson, Seq.empty[String], 0L), null))
+    files.foreach { case (p, sz, mt) =>
+      rows.add(Row(null, null, Row(p, Map.empty[String, String], sz, mt, true)))
+    }
+    val scratch = new Path(logDir, s".cp-tmp-$i")
+    spark.createDataFrame(rows, cpSchema).coalesce(1).write
+      .mode("overwrite").parquet(scratch.toString)
+    val part = f.listStatus(scratch).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file in checkpoint scratch $scratch"))
+    val cp = new Path(logDir, f"$i%020d.checkpoint.parquet")
+    f.delete(cp, false)
+    require(f.rename(part, cp), s"could not publish checkpoint $cp")
+    f.delete(scratch, true)
+    writeSmall(f, new Path(logDir, "_last_checkpoint"),
+      s"""{"version":$i,"size":${rows.size}}""")
   }
 
   /** The atomic publish. POSIX/HDFS: write sibling + atomic rename. On

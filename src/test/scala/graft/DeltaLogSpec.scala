@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{DeltaLogReader, VersionedStore}
+
+/** The exported transaction log read back through the PROTOCOL, not the
+  * layout: [[DeltaLogReader]] replays checkpoint + JSON tail and never
+  * touches `_current` or the `v=K` convention, so these tests certify
+  * that an external Delta-shape reader sees the right table at every
+  * version — and that checkpoints make replay O(tail), proven by deleting
+  * the pre-checkpoint history outright.
+  */
+class DeltaLogSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def freshStore() =
+    new VersionedStore(Files.createTempDirectory("graft-dlog").toString + "/t")
+
+  private def sumN(df: org.apache.spark.sql.DataFrame): Long =
+    df.agg(sum("n")).head.getLong(0)
+
+  test("protocol replay matches the store at every version; asOf time-travels") {
+    import spark.implicits._
+    val st = freshStore()
+    st.write(spark, (1 to 100).toDF("n"))
+    st.write(spark, (1 to 50).toDF("n").repartition(3))
+    st.write(spark, (1 to 7).toDF("n"))
+    st.exportDeltaLog(spark)
+
+    val live = DeltaLogReader.read(spark, st.base)
+    assert(live.schema == st.read(spark).schema)
+    assert(live.count() == 7 && sumN(live) == 28L)
+    // 0-based log versions map onto the addressable 1-based store versions
+    assert(sumN(DeltaLogReader.read(spark, st.base, asOf = Some(0L))) == 5050L)
+    assert(sumN(DeltaLogReader.read(spark, st.base, asOf = Some(1L))) == 1275L)
+    // a version the log does not carry refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      DeltaLogReader.read(spark, st.base, asOf = Some(9L))
+    }
+    assert(e.getMessage.contains("does not exist"))
+  }
+
+  test("checkpoint: written on the interval, read as the seed, replay is O(tail) — pre-checkpoint JSONs deleted") {
+    import spark.implicits._
+    val st = freshStore()
+    (1 to 5).foreach(i => st.write(spark, (1 to i * 10).toDF("n")))
+    st.exportDeltaLog(spark, checkpointEvery = 2) // checkpoints at log v=1, v=3
+
+    val logDir = new java.io.File(s"${st.base}/_delta_log")
+    val cps = logDir.listFiles.map(_.getName).filter(_.endsWith(".checkpoint.parquet")).sorted
+    assert(cps.toSeq == Seq(f"${1L}%020d.checkpoint.parquet", f"${3L}%020d.checkpoint.parquet"),
+      s"expected checkpoints at log versions 1 and 3, got ${cps.toSeq}")
+    val lastCp = new String(Files.readAllBytes(new java.io.File(logDir, "_last_checkpoint").toPath))
+    assert(lastCp.contains("\"version\":3"))
+
+    // replay from the newest checkpoint only: delete the pre-checkpoint
+    // history (JSONs 0-1 and the older checkpoint); the live read and any
+    // asOf at/above the surviving checkpoint must not notice
+    Seq(0, 1).foreach { v =>
+      assert(new java.io.File(logDir, f"$v%020d.json").delete())
+    }
+    assert(new java.io.File(logDir, f"${1L}%020d.checkpoint.parquet").delete())
+    val live = DeltaLogReader.read(spark, st.base) // seeds at cp v=3, replays v=4
+    assert(live.count() == 50 && sumN(live) == 1275L)
+    assert(sumN(DeltaLogReader.read(spark, st.base, asOf = Some(3L))) == 820L)
+
+    // but a version below the surviving checkpoint whose prefix is gone is
+    // a loud gap (JSON 2 exists, 0-1 do not), never a silently partial table
+    val gap = intercept[IllegalArgumentException] {
+      DeltaLogReader.read(spark, st.base, asOf = Some(2L))
+    }
+    assert(gap.getMessage.contains("gap"))
+  }
+
+  test("vacuumed store re-exports a log whose replay still matches the survivors") {
+    import spark.implicits._
+    val st = freshStore()
+    st.write(spark, (1 to 100).toDF("n"))
+    st.write(spark, (1 to 50).toDF("n"))
+    st.write(spark, (1 to 7).toDF("n"))
+    st.vacuum(spark, keep = 2)
+    st.exportDeltaLog(spark, checkpointEvery = 1)
+    assert(sumN(DeltaLogReader.read(spark, st.base)) == 28L)
+    assert(sumN(DeltaLogReader.read(spark, st.base, asOf = Some(0L))) == 1275L)
+  }
+}
