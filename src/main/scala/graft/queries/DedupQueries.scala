@@ -1312,7 +1312,93 @@ object DedupQueries {
       |       coalesce(clean_md5, md5('')) AS clean_md5
       |FROM inc i LEFT JOIN rb USING (in_id) ORDER BY in_id""".stripMargin
 
+  /** d17: RECORD LINKAGE — entity resolution across two registries via
+    * multi-pass blocking + edit-distance verify, the cross-source dedup
+    * shape (same entity, independently keyed and typo'd sources) that
+    * text-content dedup (d1-d16) doesn't cover. Registry B is a
+    * deterministic perturbation of the customer registry: 40% of rows
+    * (md5-selected) get ONE digit of the 9-digit identity string flipped
+    * at an md5-chosen position. Blocking runs TWO passes — digits 1-6 and
+    * digits 7-9 — so any single-position typo breaks at most one key and
+    * the other pass still surfaces the pair (the standard multi-pass
+    * blocking recall argument); candidates are the distinct union of both
+    * equi-joins, verified with `levenshtein ≤ 1` (identical edit-distance
+    * semantics in DuckDB).
+    *
+    * Scale: never all-pairs. Segment widths cap a block at 10³ members
+    * regardless of n (the trailing segment of a dense keyspace), so the
+    * candidate set is ~n·10³·2 — linear in n with the block-size constant
+    * as the recall/cost knob, and each pass is one equi-join shuffle.
+    * The `n_true = n` invariant (every entity re-found despite its typo)
+    * is what the hash gate certifies, alongside the coincidental-neighbor
+    * count the verify stage filters.
+    *
+    * Reference trigger: the reconciliation joins of yq_dag.py:85-96 match
+    * rows across PG and S3 by exact 6-col key; linkage is the same
+    * cross-store match when keys are dirty.
+    */
+  def d17RecordLinkage(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val a = cust.select(col("c_custkey").as("id_a"), col("c_name").as("name_a"))
+    val b = cust
+      .withColumn("h", Text.md5Long(col("c_custkey").cast("string")))
+      .withColumn("digits", expr("substring(c_name, 10, 9)"))
+      .withColumn("p", expr("1 + CAST((h DIV 10) % 9 AS INT)"))
+      .withColumn("newd", expr(
+        "CAST((CAST(substring(digits, p, 1) AS INT) + 1 + CAST((h DIV 90) % 9 AS INT)) % 10 AS STRING)"))
+      .select(col("c_custkey").as("id_b"), expr(
+        "IF(h % 10 < 4, concat('Customer#', substring(digits, 1, p - 1), newd, substring(digits, p + 1)), c_name)")
+        .as("name_b"))
+    def keyed(df: DataFrame, name: String) = df
+      .withColumn("k1", expr(s"substring($name, 10, 6)"))
+      .withColumn("k2", expr(s"substring($name, 16, 3)"))
+    val ka = keyed(a, "name_a"); val kb = keyed(b, "name_b")
+    val cand = ka.join(kb, "k1").select("id_a", "name_a", "id_b", "name_b")
+      .unionAll(ka.join(kb, "k2").select("id_a", "name_a", "id_b", "name_b"))
+      .distinct()
+    cand
+      .withColumn("m", (levenshtein(col("name_a"), col("name_b")) <= 1).cast("long"))
+      .agg(count(lit(1)).cast("long").as("n_candidates"),
+        sum(col("m")).as("n_matched"),
+        sum(when(col("m") === 1 && col("id_a") === col("id_b"), 1L).otherwise(0L)).as("n_true"))
+  }
+
+  val d17Oracle: String =
+    """WITH src AS (
+      |  SELECT c_custkey, c_name,
+      |         ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT AS h,
+      |         substr(c_name, 10, 9) AS digits
+      |  FROM customer),
+      |pb AS (
+      |  SELECT c_custkey, c_name, h, digits,
+      |         1 + CAST((h // 10) % 9 AS INT) AS p,
+      |         CAST((CAST(substr(digits, 1 + CAST((h // 10) % 9 AS INT), 1) AS INT) + 1
+      |               + CAST((h // 90) % 9 AS INT)) % 10 AS VARCHAR) AS newd
+      |  FROM src),
+      |b AS (
+      |  SELECT c_custkey AS id_b,
+      |         CASE WHEN h % 10 < 4
+      |              THEN 'Customer#' || substr(digits, 1, p - 1) || newd || substr(digits, p + 1)
+      |              ELSE c_name END AS name_b
+      |  FROM pb),
+      |a AS (SELECT c_custkey AS id_a, c_name AS name_a FROM customer),
+      |cand AS (
+      |  SELECT DISTINCT id_a, name_a, id_b, name_b FROM (
+      |    SELECT id_a, name_a, id_b, name_b FROM a JOIN b
+      |      ON substr(name_a, 10, 6) = substr(name_b, 10, 6)
+      |    UNION ALL
+      |    SELECT id_a, name_a, id_b, name_b FROM a JOIN b
+      |      ON substr(name_a, 16, 3) = substr(name_b, 16, 3))),
+      |v AS (SELECT id_a, id_b,
+      |             CASE WHEN levenshtein(name_a, name_b) <= 1 THEN 1 ELSE 0 END AS m
+      |      FROM cand)
+      |SELECT CAST(count(1) AS BIGINT) AS n_candidates,
+      |       CAST(sum(m) AS BIGINT) AS n_matched,
+      |       CAST(sum(CASE WHEN m = 1 AND id_a = id_b THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+      |FROM v""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d17_record_linkage" -> (d17RecordLinkage _),
     "d16_incremental_segment_dedup" -> (d16IncrementalSegmentDedup _),
     "d15_segment_dedup" -> (d15SegmentDedup _),
     "d9_incremental_dedup" -> (d9IncrementalDedup _),
@@ -1332,6 +1418,7 @@ object DedupQueries {
     "d14_incremental_lsh" -> (d14IncrementalLsh _))
 
   val oracles: Map[String, String] = Map(
+    "d17_record_linkage" -> d17Oracle,
     "d16_incremental_segment_dedup" -> d16Oracle,
     "d15_segment_dedup" -> d15Oracle,
     "d9_incremental_dedup" -> d9Oracle,
