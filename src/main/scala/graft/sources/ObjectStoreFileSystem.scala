@@ -49,14 +49,18 @@ final class ObjectStoreFileSystem extends RawLocalFileSystem {
 
   /** S3A-shaped rename: copy every object under `src` to its `dst`
     * counterpart (all copies first), then delete the source tree. Hadoop
-    * rename semantics preserved: existing-directory dst means "move src
-    * INTO dst"; single-object overwrite is an atomic replace (S3 PUT).
+    * rename semantics preserved as S3A implements them: existing-directory
+    * dst means "move src INTO dst"; an existing-FILE dst makes rename
+    * return false (S3A checks and refuses — it mimics HDFS, even though a
+    * raw S3 PUT would overwrite; callers needing replace do
+    * delete-then-rename, as [[VersionedStore]]'s pointer commit does).
     */
   override def rename(src: Path, dst: Path): Boolean = {
     if (!exists(src)) return false
     val target =
       if (exists(dst) && getFileStatus(dst).isDirectory) new Path(dst, src.getName)
       else dst
+    if (exists(target) && getFileStatus(target).isFile) return false
     val armed = {
       val a = crashDstPrefix
       a != null && target.toUri.getPath.startsWith(a)
