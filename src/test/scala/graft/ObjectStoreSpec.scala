@@ -119,6 +119,46 @@ class ObjectStoreSpec extends AnyFunSuite {
     assert(st.readAsOf(spark, 1L).count() == 100) // keep=2 horizon intact
   }
 
+  test("structured streaming on objstore://: checkpoint, state store, and sink all on rename-less storage; exactly-once across a restart") {
+    ObjectStoreFileSystem.clearFaults()
+    val local = Files.createTempDirectory("graft-objstream").toString
+    val srcDir = s"objstore://$local/src"
+    val outDir = s"objstore://$local/out"
+    val ck = s"objstore://$local/ck"
+    val sfDir = "/root/testdata/sf0.001"
+    val f = new org.apache.hadoop.fs.Path(srcDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
+    def deliver(name: String): Unit = f.copyFromLocalFile(
+      new org.apache.hadoop.fs.Path(s"$sfDir/events.parquet"),
+      new org.apache.hadoop.fs.Path(s"$srcDir/$name.parquet"))
+
+    def run(): Unit = {
+      val stream = graft.sources.Tables.normalizeEventTs(
+        spark.readStream
+          .schema(graft.streaming.StreamingOps.rawEventSchema(spark, srcDir))
+          .parquet(srcDir))
+      val q = graft.streaming.StreamingOps.dedupEvents(stream, "60 days")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+
+    // offset log, commit log, state store deltas, and the sink's
+    // _spark_metadata manifest all land through objstore's no-rename
+    // semantics; the SAME events redelivered after the restart must be
+    // suppressed by state recovered from the objstore checkpoint
+    deliver("batch1"); run()
+    deliver("batch2"); run()
+
+    val n = spark.read.parquet(s"$sfDir/events.parquet").count()
+    val got = spark.read.parquet(outDir).count()
+    assert(got == n, s"redelivery after restart on objstore duplicated rows: $got vs $n")
+  }
+
   test("append is refused (object stores have no append)") {
     val f = new org.apache.hadoop.fs.Path("objstore:///")
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
