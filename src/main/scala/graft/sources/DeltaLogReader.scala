@@ -32,7 +32,7 @@ object DeltaLogReader {
   private val actionSchema: StructType = StructType.fromDDL(
     """protocol STRUCT<minReaderVersion: INT, minWriterVersion: INT>,
       |metaData STRUCT<id: STRING, schemaString: STRING, partitionColumns: ARRAY<STRING>>,
-      |add STRUCT<path: STRING, size: BIGINT, modificationTime: BIGINT, dataChange: BOOLEAN>,
+      |add STRUCT<path: STRING, partitionValues: MAP<STRING, STRING>, size: BIGINT, modificationTime: BIGINT, dataChange: BOOLEAN>,
       |remove STRUCT<path: STRING, dataChange: BOOLEAN>""".stripMargin.replace("\n", " "))
 
   def read(spark: SparkSession, tableDir: String, asOf: Option[Long] = None): DataFrame = {
@@ -71,33 +71,58 @@ object DeltaLogReader {
 
     // live set: checkpoint seed ∪ tail adds/removes, latest action per
     // path wins (exports never add+remove one path in the same version,
-    // so (path, v) is unique and max_by is exact)
+    // so (path, v) is unique and max_by is exact); each surviving add
+    // carries its partitionValues — partition columns live in the LOG,
+    // not in the data files' footers, per the Delta convention
+    val noPv = lit(null).cast("map<string,string>")
     val seed = cp.map(v => cpDf(v).where(col("add").isNotNull)
-      .select(col("add.path").as("path"), lit(v).as("v"), lit(true).as("alive")))
+      .select(col("add.path").as("path"), lit(v).as("v"), lit(true).as("alive"),
+        col("add.partitionValues").as("pv")))
     val deltas = tailDf.map(raw =>
       raw.where(col("add").isNotNull)
-        .select(col("add.path").as("path"), col("v"), lit(true).as("alive"))
+        .select(col("add.path").as("path"), col("v"), lit(true).as("alive"),
+          col("add.partitionValues").as("pv"))
         .unionAll(raw.where(col("remove").isNotNull)
-          .select(col("remove.path").as("path"), col("v"), lit(false).as("alive"))))
+          .select(col("remove.path").as("path"), col("v"), lit(false).as("alive"), noPv)))
     val live = (seed.toSeq ++ deltas.toSeq).reduce(_ unionAll _)
-      .groupBy("path").agg(max_by(col("alive"), col("v")).as("alive"))
-      .where(col("alive")).select("path")
-      .collect().map(r => new Path(tableDir, r.getString(0)).toString).sorted
+      .groupBy("path").agg(max_by(struct(col("alive"), col("pv")), col("v")).as("last"))
+      .where(col("last.alive")).select(col("path"), col("last.pv").as("pv"))
+      .collect()
+      .map(r => (new Path(tableDir, r.getString(0)).toString,
+        Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty[String, String])))
+      .sortBy(_._1).toSeq
 
-    // declared schema from the newest metaData ≤ upTo: an empty table
-    // still scans typed, and the snapshot's exact schema wins over footer
-    // merging across file vintages
-    val schemaString = tailDf.flatMap {
+    // declared schema + partition columns from the newest metaData ≤ upTo:
+    // an empty table still scans typed, and the snapshot's exact schema
+    // wins over footer merging across file vintages
+    val meta = tailDf.flatMap {
       _.where(col("metaData").isNotNull).orderBy(col("v").desc)
-        .select("metaData.schemaString").limit(1)
-        .collect().headOption.map(_.getString(0))
+        .select("metaData.schemaString", "metaData.partitionColumns").limit(1)
+        .collect().headOption
     }.orElse(cp.flatMap(v => cpDf(v).where(col("metaData").isNotNull)
-      .select("metaData.schemaString").limit(1)
-      .collect().headOption.map(_.getString(0))))
+      .select("metaData.schemaString", "metaData.partitionColumns").limit(1)
+      .collect().headOption))
       .getOrElse(sys.error(s"$tableDir: no metaData action at or below version $upTo"))
-    val schema = DataType.fromJson(schemaString).asInstanceOf[StructType]
+    val schema = DataType.fromJson(meta.getString(0)).asInstanceOf[StructType]
+    val partCols: Seq[String] =
+      Option(meta.getSeq[String](1)).map(_.toSeq).getOrElse(Nil)
+    val dataSchema = StructType(schema.filterNot(fld => partCols.contains(fld.name)))
+
     if (live.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-    else spark.read.schema(schema).parquet(live.toIndexedSeq: _*)
+    else {
+      // one scan per distinct partition tuple, partition columns restored
+      // from the log's partitionValues and cast to the declared types —
+      // never inferred from directory shapes
+      live.groupBy(_._2).toSeq.sortBy(_._1.toSeq.sorted.mkString(","))
+        .map { case (pv, group) =>
+          val df = spark.read.schema(dataSchema).parquet(group.map(_._1): _*)
+          val full = partCols.foldLeft(df) { (acc, c) =>
+            acc.withColumn(c, lit(pv.getOrElse(c, null)).cast(schema(c).dataType))
+          }
+          full.select(schema.fieldNames.toIndexedSeq.map(col): _*)
+        }
+        .reduce(_ unionAll _)
+    }
   }
 }

@@ -120,14 +120,34 @@ final class VersionedStore(val base: String) {
     * the race means losing an UPDATE, not just a redundant copy — use
     * [[writeIf]], the compare-and-swap form.
     */
-  def write(spark: SparkSession, df: DataFrame): Long = {
+  def write(spark: SparkSession, df: DataFrame): Long = write(spark, df, Nil)
+
+  /** Partitioned-snapshot form: the reference's cooled sink IS
+    * hive-partitioned parquet (`pmonth=`/`year=` layouts, ColdStore K1),
+    * so snapshots can carry that layout — `v=K/col=val/part-*.parquet` —
+    * while keeping every commit/time-travel/vacuum guarantee (the pointer
+    * protocol never looks inside a snapshot). The layout is recorded in a
+    * `_partitioning` file inside the snapshot so compaction and the Delta
+    * export read DECLARED partitioning, never sniffed directory shapes.
+    */
+  def write(spark: SparkSession, df: DataFrame, partitionBy: Seq[String]): Long = {
     val f = fs(spark)
     // allocate above every directory on disk, committed or orphaned, so a
     // crashed writer's leftovers are never re-entered
     val next = (versionsOnDisk(spark) :+ currentVersion(spark)).max + 1
-    df.write.parquet(versionDir(next).toString)
+    df.write.partitionBy(partitionBy: _*).parquet(versionDir(next).toString)
+    if (partitionBy.nonEmpty)
+      writeSmall(f, new Path(versionDir(next), "_partitioning"), partitionBy.mkString(","))
     commitPointer(f, next)
     next
+  }
+
+  /** Declared partition columns of a committed snapshot (empty = flat). */
+  def partitioningOf(spark: SparkSession, v: Long): Seq[String] = {
+    val p = new Path(versionDir(v), "_partitioning")
+    val f = fs(spark)
+    if (!f.exists(p)) Nil
+    else readSmall(f, p).split(",").toSeq.filter(_.nonEmpty)
   }
 
   /** Optimistic-concurrency write (the CAS form): publish a snapshot
@@ -154,19 +174,25 @@ final class VersionedStore(val base: String) {
     * open (a pruned claim file for an already-superseded version being
     * re-claimed): a stale claim sees current ≠ expected and aborts.
     */
-  def writeIf(spark: SparkSession, df: DataFrame, expectedVersion: Long): Option[Long] = {
+  def writeIf(spark: SparkSession, df: DataFrame, expectedVersion: Long,
+      partitionBy: Seq[String] = Nil): Option[Long] = {
     if (currentVersion(spark) != expectedVersion) return None // cheap pre-check
-    val staging = stageSnapshot(spark, df)
+    val staging = stageSnapshot(spark, df, partitionBy)
     claimAndPublish(spark, staging, expectedVersion)
   }
 
   /** writeIf step 1: materialize the snapshot under a writer-private
-    * staging path. Package-private so the spec can interleave two
-    * writers' stage/publish steps deterministically.
+    * staging path (with its `_partitioning` record, so the staged tree is
+    * the complete snapshot and publish is pure movement). Package-private
+    * so the spec can interleave two writers' stage/publish steps
+    * deterministically.
     */
-  private[graft] def stageSnapshot(spark: SparkSession, df: DataFrame): Path = {
+  private[graft] def stageSnapshot(spark: SparkSession, df: DataFrame,
+      partitionBy: Seq[String] = Nil): Path = {
     val staging = new Path(base, s"_staging/${java.util.UUID.randomUUID()}")
-    df.write.parquet(staging.toString)
+    df.write.partitionBy(partitionBy: _*).parquet(staging.toString)
+    if (partitionBy.nonEmpty)
+      writeSmall(fs(spark), new Path(staging, "_partitioning"), partitionBy.mkString(","))
     staging
   }
 
@@ -254,11 +280,15 @@ final class VersionedStore(val base: String) {
         n
       }
     if (f.exists(staging)) {
-      f.listStatus(staging).filter(_.isFile).foreach { s =>
-        org.apache.hadoop.fs.FileUtil.copy(f, s.getPath, f,
-          new Path(versionDir(next), s.getPath.getName),
+      // the whole staged TREE (partition subdirs included), per-object
+      // overwrite — idempotent over any progress the crashed rename made
+      def copyTree(s: Path, d: Path): Unit = f.listStatus(s).foreach { st =>
+        val dd = new Path(d, st.getPath.getName)
+        if (st.isDirectory) copyTree(st.getPath, dd)
+        else org.apache.hadoop.fs.FileUtil.copy(f, st.getPath, f, dd,
           false, true, spark.sparkContext.hadoopConfiguration)
       }
+      copyTree(staging, versionDir(next))
       f.delete(staging, true)
     }
     require(f.exists(versionDir(next)),
@@ -289,13 +319,20 @@ final class VersionedStore(val base: String) {
     val f = fs(spark)
     val v = currentVersion(spark)
     require(v > 0, s"$base has no committed version to compact")
-    val bytes = f.listStatus(versionDir(v)).filter(_.isFile)
-      .filterNot(_.getPath.getName.startsWith("_")).map(_.getLen).sum
+    val bytes = f.getContentSummary(versionDir(v)).getLength
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val next = (versionsOnDisk(spark) :+ v).max + 1
-    spark.read.parquet(versionDir(v).toString)
-      .repartition(nOut)
-      .write.parquet(versionDir(next).toString)
+    // a partitioned snapshot compacts within its DECLARED layout: shuffle
+    // on the partition columns so each hive partition lands contiguous,
+    // then re-emit the same partitioning (never flattened)
+    val parts = partitioningOf(spark, v)
+    val src = spark.read.parquet(versionDir(v).toString)
+    val out =
+      if (parts.isEmpty) src.repartition(nOut)
+      else src.repartition(nOut, parts.map(org.apache.spark.sql.functions.col): _*)
+    out.write.partitionBy(parts: _*).parquet(versionDir(next).toString)
+    if (parts.nonEmpty)
+      writeSmall(f, new Path(versionDir(next), "_partitioning"), parts.mkString(","))
     commitPointer(f, next)
     next
   }
@@ -396,31 +433,50 @@ final class VersionedStore(val base: String) {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    var prev: Seq[org.apache.hadoop.fs.FileStatus] = Nil
+    // a data file inside a partitioned snapshot lives at
+    // v=K/col1=val1/.../part-*.parquet: the relative path IS the add.path,
+    // and the col=val components become the add's partitionValues, per the
+    // Delta convention (partition columns live in the log, not in the data
+    // files' footers)
+    def dataFiles(v: Long): Seq[AddFile] = {
+      def walk(p: Path, pv: List[(String, String)]): Seq[AddFile] =
+        f.listStatus(p).toSeq.flatMap { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("_") || n.startsWith(".")) Nil
+          else if (st.isDirectory) {
+            val kv = n.split("=", 2)
+            require(kv.length == 2,
+              s"$base: unexpected non-hive subdirectory $n inside v=$v")
+            walk(st.getPath, pv :+ (kv(0), kv(1)))
+          } else Seq(AddFile(
+            (s"v=$v" +: pv.map { case (k, w) => s"$k=$w" } :+ n).mkString("/"),
+            st.getLen, st.getModificationTime, pv))
+        }
+      walk(versionDir(v), Nil).sortBy(_.rel)
+    }
+    var prev: Seq[AddFile] = Nil
     vs.zipWithIndex.foreach { case (v, i) =>
-      val files = f.listStatus(versionDir(v)).filter(s => s.isFile &&
-        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-        .sortBy(_.getPath.getName).toSeq
+      val files = dataFiles(v)
+      val parts = partitioningOf(spark, v)
       val schemaJson = spark.read.parquet(versionDir(v).toString).schema.json
-      def rel(s: org.apache.hadoop.fs.FileStatus) = s"v=$v/${s.getPath.getName}"
+      val partsJson = parts.map(jq).mkString("[", ",", "]")
       val sb = new StringBuilder
       if (i == 0)
         sb ++= """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" + "\n"
       sb ++= s"""{"metaData":{"id":"$tableId","format":{"provider":"parquet","options":{}},""" +
-        s""""schemaString":${jq(schemaJson)},"partitionColumns":[],"configuration":{},"createdTime":0}}""" + "\n"
+        s""""schemaString":${jq(schemaJson)},"partitionColumns":$partsJson,"configuration":{},"createdTime":0}}""" + "\n"
       prev.foreach { p =>
-        val pv = p.getPath.getParent.getName.stripPrefix("v=")
-        sb ++= s"""{"remove":{"path":${jq(s"v=$pv/${p.getPath.getName}")},"dataChange":true}}""" + "\n"
+        sb ++= s"""{"remove":{"path":${jq(p.rel)},"dataChange":true}}""" + "\n"
       }
       files.foreach { s =>
-        sb ++= s"""{"add":{"path":${jq(rel(s))},"partitionValues":{},"size":${s.getLen},""" +
-          s""""modificationTime":${s.getModificationTime},"dataChange":true}}""" + "\n"
+        val pvJson = s.pv.map { case (k, w) => s"${jq(k)}:${jq(w)}" }.mkString("{", ",", "}")
+        sb ++= s"""{"add":{"path":${jq(s.rel)},"partitionValues":$pvJson,"size":${s.size},""" +
+          s""""modificationTime":${s.mtime},"dataChange":true}}""" + "\n"
       }
       val out = f.create(new Path(logDir, f"$i%020d.json"), true)
       try out.write(sb.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
       if (checkpointEvery > 0 && (i + 1) % checkpointEvery == 0)
-        writeCheckpoint(spark, f, logDir, i, tableId, schemaJson,
-          files.map(s => (rel(s), s.getLen, s.getModificationTime)))
+        writeCheckpoint(spark, f, logDir, i, tableId, schemaJson, parts, files)
       prev = files
     }
   }
@@ -433,8 +489,8 @@ final class VersionedStore(val base: String) {
     * objstore-safe).
     */
   private def writeCheckpoint(spark: SparkSession, f: FileSystem, logDir: Path,
-      i: Long, tableId: String, schemaJson: String,
-      files: Seq[(String, Long, Long)]): Unit = {
+      i: Long, tableId: String, schemaJson: String, parts: Seq[String],
+      files: Seq[AddFile]): Unit = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val cpSchema = StructType(Seq(
@@ -455,9 +511,9 @@ final class VersionedStore(val base: String) {
         StructField("dataChange", BooleanType))))))
     val rows: java.util.List[Row] = new java.util.ArrayList[Row]()
     rows.add(Row(Row(1, 2), null, null))
-    rows.add(Row(null, Row(tableId, Row("parquet"), schemaJson, Seq.empty[String], 0L), null))
-    files.foreach { case (p, sz, mt) =>
-      rows.add(Row(null, null, Row(p, Map.empty[String, String], sz, mt, true)))
+    rows.add(Row(null, Row(tableId, Row("parquet"), schemaJson, parts, 0L), null))
+    files.foreach { a =>
+      rows.add(Row(null, null, Row(a.rel, a.pv.toMap, a.size, a.mtime, true)))
     }
     val scratch = new Path(logDir, s".cp-tmp-$i")
     spark.createDataFrame(rows, cpSchema).coalesce(1).write
@@ -500,3 +556,9 @@ final class VersionedStore(val base: String) {
     }
   }
 }
+
+/** One data file of an exported snapshot: log-relative path, stats, and
+  * the hive partition key/values its directory components carry.
+  */
+private[sources] final case class AddFile(
+    rel: String, size: Long, mtime: Long, pv: Seq[(String, String)])

@@ -76,6 +76,31 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(gap.getMessage.contains("gap"))
   }
 
+  test("partitioned snapshots: export carries partitionValues, protocol read restores partition columns from the log") {
+    import spark.implicits._
+    val st = freshStore()
+    st.write(spark, spark.range(100).select(col("id").as("n"), (col("id") % 4).as("cid")),
+      partitionBy = Seq("cid"))
+    st.write(spark, spark.range(40).select(col("id").as("n"), (col("id") % 2).as("cid")),
+      partitionBy = Seq("cid"))
+    st.exportDeltaLog(spark, checkpointEvery = 1)
+
+    // the log declares the partitioning and each add carries its values
+    val log0 = new String(Files.readAllBytes(
+      new java.io.File(s"${st.base}/_delta_log", "0" * 20 + ".json").toPath))
+    assert(log0.contains(""""partitionColumns":["cid"]"""))
+    assert(log0.contains(""""partitionValues":{"cid":"3"}"""))
+
+    // protocol read ≡ the store's own read, partition column restored with
+    // the declared type and values (from the log, not directory shapes)
+    val live = DeltaLogReader.read(spark, st.base)
+    assert(live.schema == st.read(spark).schema)
+    assert(live.exceptAll(st.read(spark)).isEmpty && st.read(spark).exceptAll(live).isEmpty)
+    assert(live.count() == 40 && live.where(col("cid") === 3).count() == 0)
+    val v0 = DeltaLogReader.read(spark, st.base, asOf = Some(0L))
+    assert(v0.count() == 100 && v0.where(col("cid") === 3).count() == 25)
+  }
+
   test("vacuumed store re-exports a log whose replay still matches the survivors") {
     import spark.implicits._
     val st = freshStore()

@@ -119,6 +119,27 @@ class ObjectStoreSpec extends AnyFunSuite {
     assert(st.readAsOf(spark, 1L).count() == 100) // keep=2 horizon intact
   }
 
+  test("crash mid-publish of a PARTITIONED staged snapshot: recovery reassembles the full partition tree") {
+    import spark.implicits._
+    ObjectStoreFileSystem.clearFaults()
+    val st = freshStore()
+    st.write(spark, (1 to 100).toDF("n"))
+
+    val staging = st.stageSnapshot(spark,
+      spark.range(60).select(col("id").as("n"), (col("id") % 3).as("cid")),
+      partitionBy = Seq("cid"))
+    val armPrefix = new org.apache.hadoop.fs.Path(st.base).toUri.getPath + "/v="
+    ObjectStoreFileSystem.armRenameCrash(armPrefix, afterCopies = 2)
+    intercept[Exception] { st.claimAndPublish(spark, staging, 1L) }
+    ObjectStoreFileSystem.clearFaults()
+    assert(st.currentVersion(spark) == 1L)
+
+    assert(st.recoverClaims(spark).contains(2L))
+    val live = st.read(spark)
+    assert(live.count() == 60 && live.where(col("cid") === 2).count() == 20)
+    assert(st.partitioningOf(spark, 2L) == Seq("cid"))
+  }
+
   test("structured streaming on objstore://: checkpoint, state store, and sink all on rename-less storage; exactly-once across a restart") {
     ObjectStoreFileSystem.clearFaults()
     val local = Files.createTempDirectory("graft-objstream").toString

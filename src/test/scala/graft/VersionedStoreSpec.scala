@@ -52,6 +52,30 @@ class VersionedStoreSpec extends AnyFunSuite {
     assert(st.read(spark).agg(sum("n")).head.getLong(0) == 50005000L)
   }
 
+  test("partitioned snapshots: layout declared + preserved through compaction; time travel intact") {
+    import spark.implicits._
+    val st = freshStore()
+    val v1 = st.write(spark,
+      spark.range(1000).select(col("id").as("n"), (col("id") % 4).as("cid")).repartition(16),
+      partitionBy = Seq("cid"))
+    assert(v1 == 1L && st.partitioningOf(spark, 1L) == Seq("cid"))
+    assert(st.read(spark).where(col("cid") === 2).count() == 250)
+    assert(new java.io.File(s"${st.base}/v=1/cid=3").isDirectory)
+
+    // compaction keeps the DECLARED layout (never flattens) and the content
+    val v2 = st.compactCurrent(spark)
+    assert(st.partitioningOf(spark, v2) == Seq("cid"))
+    assert(new java.io.File(s"${st.base}/v=$v2/cid=3").isDirectory)
+    val a = st.readAsOf(spark, 1L); val b = st.read(spark)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+
+    // partitioned CAS: staged tree (with subdirs) publishes atomically
+    assert(st.writeIf(spark,
+      spark.range(10).select(col("id").as("n"), (col("id") % 2).as("cid")),
+      expectedVersion = v2, partitionBy = Seq("cid")).contains(v2 + 1))
+    assert(st.read(spark).count() == 10 && st.partitioningOf(spark, v2 + 1) == Seq("cid"))
+  }
+
   test("crashed writer leaves an orphan: reads unaffected, version never reused, vacuum GCs it") {
     import spark.implicits._
     val st = freshStore()
