@@ -180,6 +180,33 @@ class ObjectStoreSpec extends AnyFunSuite {
     assert(got == n, s"redelivery after restart on objstore duplicated rows: $got vs $n")
   }
 
+  test("persistent IVF index on objstore://: build, incremental append, and serve are object-store-clean") {
+    ObjectStoreFileSystem.clearFaults()
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.sources.Tables.embeddings(spark, dir)
+    val isInc = col("vec_id") % 7 === 0
+    val localBase = Files.createTempDirectory("graft-ivf-objstore").toString
+    val objBase = s"objstore://$localBase/idx"
+    val refBase = Files.createTempDirectory("graft-ivf-ref").toString + "/idx"
+
+    // build on objstore (committer renames → copies), append the increment
+    val obj = graft.operators.IvfIndex.build(spark, e.where(!isInc), objBase,
+      cells = 16, lloydIters = 0)
+    obj.append(spark, e.where(isInc))
+    // the reference: same data, same deterministic seed, local filesystem
+    val ref = graft.operators.IvfIndex.build(spark, e.where(!isInc), refBase,
+      cells = 16, lloydIters = 0)
+    ref.append(spark, e.where(isInc))
+
+    val q = e.where(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"),
+        graft.functions.Vectors.toDouble(col("embedding")).as("v"))
+    val a = obj.query(spark, q, probes = 3, topK = 5)
+    val b = ref.query(spark, q, probes = 3, topK = 5)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "IVF serve over objstore must be bit-identical to the local build")
+  }
+
   test("append is refused (object stores have no append)") {
     val f = new org.apache.hadoop.fs.Path("objstore:///")
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
