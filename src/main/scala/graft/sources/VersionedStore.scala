@@ -454,11 +454,55 @@ final class VersionedStore(val base: String) {
         }
       walk(versionDir(v), Nil).sortBy(_.rel)
     }
+    // per-file column stats — the log doubles as a FILE-LEVEL INDEX:
+    // numRecords + min/max per orderable leaf column, computed in ONE
+    // distributed pass per version (group rows by input_file_name), so a
+    // skipping reader can prune files at PLANNING time without touching a
+    // footer. Values are rendered as canonical strings and cast back per
+    // the declared schema on the reading side.
+    def withStats(v: Long, files: Seq[AddFile], parts: Seq[String],
+        schema: org.apache.spark.sql.types.StructType): Seq[AddFile] = {
+      import org.apache.spark.sql.types._
+      val statCols = schema.fields.toSeq
+        .filterNot(fd => parts.contains(fd.name))
+        .filter(_.dataType match {
+          case ByteType | ShortType | IntegerType | LongType | FloatType |
+               DoubleType | StringType | DateType | TimestampType => true
+          case _: DecimalType => true
+          case _ => false
+        }).map(_.name)
+      if (statCols.isEmpty) return files
+      import org.apache.spark.sql.functions._
+      val aggCols = statCols.flatMap(c => Seq(
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c")))
+      val rows = spark.read.parquet(versionDir(v).toString)
+        .groupBy(input_file_name().as("__file"))
+        .agg(count(lit(1)).as("__n"), aggCols: _*)
+        .collect()
+      val byFile = rows.map { r =>
+        val mins = statCols.flatMap(c => Option(r.getAs[String](s"__min_$c"))
+          .map(w => s"${jq(c)}:${jq(w)}"))
+        val maxs = statCols.flatMap(c => Option(r.getAs[String](s"__max_$c"))
+          .map(w => s"${jq(c)}:${jq(w)}"))
+        val json = s"""{"numRecords":${r.getAs[Long]("__n")},""" +
+          s""""minValues":${mins.mkString("{", ",", "}")},""" +
+          s""""maxValues":${maxs.mkString("{", ",", "}")}}"""
+        (r.getAs[String]("__file"), json)
+      }
+      files.map { a =>
+        byFile.find(_._1.endsWith("/" + a.rel)) match {
+          case Some((_, json)) => a.copy(stats = json)
+          case None => a // zero-row or unmatched file: no stats, never pruned
+        }
+      }
+    }
     var prev: Seq[AddFile] = Nil
     vs.zipWithIndex.foreach { case (v, i) =>
-      val files = dataFiles(v)
       val parts = partitioningOf(spark, v)
-      val schemaJson = spark.read.parquet(versionDir(v).toString).schema.json
+      val snapSchema = spark.read.parquet(versionDir(v).toString).schema
+      val files = withStats(v, dataFiles(v), parts, snapSchema)
+      val schemaJson = snapSchema.json
       val partsJson = parts.map(jq).mkString("[", ",", "]")
       val sb = new StringBuilder
       if (i == 0)
@@ -470,8 +514,9 @@ final class VersionedStore(val base: String) {
       }
       files.foreach { s =>
         val pvJson = s.pv.map { case (k, w) => s"${jq(k)}:${jq(w)}" }.mkString("{", ",", "}")
+        val statsJson = if (s.stats.isEmpty) "" else s""","stats":${jq(s.stats)}"""
         sb ++= s"""{"add":{"path":${jq(s.rel)},"partitionValues":$pvJson,"size":${s.size},""" +
-          s""""modificationTime":${s.mtime},"dataChange":true}}""" + "\n"
+          s""""modificationTime":${s.mtime},"dataChange":true$statsJson}}""" + "\n"
       }
       val out = f.create(new Path(logDir, f"$i%020d.json"), true)
       try out.write(sb.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
@@ -508,12 +553,14 @@ final class VersionedStore(val base: String) {
         StructField("partitionValues", MapType(StringType, StringType)),
         StructField("size", LongType),
         StructField("modificationTime", LongType),
-        StructField("dataChange", BooleanType))))))
+        StructField("dataChange", BooleanType),
+        StructField("stats", StringType))))))
     val rows: java.util.List[Row] = new java.util.ArrayList[Row]()
     rows.add(Row(Row(1, 2), null, null))
     rows.add(Row(null, Row(tableId, Row("parquet"), schemaJson, parts, 0L), null))
     files.foreach { a =>
-      rows.add(Row(null, null, Row(a.rel, a.pv.toMap, a.size, a.mtime, true)))
+      rows.add(Row(null, null,
+        Row(a.rel, a.pv.toMap, a.size, a.mtime, true, if (a.stats.isEmpty) null else a.stats)))
     }
     val scratch = new Path(logDir, s".cp-tmp-$i")
     spark.createDataFrame(rows, cpSchema).coalesce(1).write
@@ -557,8 +604,11 @@ final class VersionedStore(val base: String) {
   }
 }
 
-/** One data file of an exported snapshot: log-relative path, stats, and
-  * the hive partition key/values its directory components carry.
+/** One data file of an exported snapshot: log-relative path, byte stats,
+  * the hive partition key/values its directory components carry, and the
+  * per-file column-stats JSON (`{"numRecords":…,"minValues":{…},
+  * "maxValues":{…}}`, empty when stats are off).
   */
 private[sources] final case class AddFile(
-    rel: String, size: Long, mtime: Long, pv: Seq[(String, String)])
+    rel: String, size: Long, mtime: Long, pv: Seq[(String, String)],
+    stats: String = "")

@@ -101,6 +101,51 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(v0.count() == 100 && v0.where(col("cid") === 3).count() == 25)
   }
 
+  test("per-file stats in the log drive planning-time file skipping on range-laid-out snapshots") {
+    import spark.implicits._
+    val st = freshStore()
+    // range-sorted layout → near-disjoint per-file n ranges: exactly what
+    // range-compaction / Z-order buys, and what makes log stats selective
+    st.write(spark, spark.range(1000).select(col("id").as("n"))
+      .repartitionByRange(10, col("n")))
+    st.exportDeltaLog(spark)
+
+    val log0 = new String(Files.readAllBytes(
+      new java.io.File(s"${st.base}/_delta_log", "0" * 20 + ".json").toPath))
+    // stats is a STRING field whose content is JSON (the Delta form), so
+    // the inner quotes appear escaped in the log line
+    assert(log0.contains("""\"numRecords\"""") && log0.contains("""\"minValues\":{\"n\""""),
+      s"adds must carry per-file stats:\n${log0.take(500)}")
+
+    val state = DeltaLogReader.resolve(spark, st.base, None)
+    assert(state.live.size == 10)
+    assert(state.live.forall(_.stats != null))
+    val kept = DeltaLogReader.pruneFiles(spark, state, "n", "100", "199")
+    assert(kept.size <= 3 && kept.nonEmpty,
+      s"a 10%-range predicate over a range layout must prune most files, kept ${kept.size}/10")
+
+    // skipping never changes the answer
+    val a = DeltaLogReader.readWhere(spark, st.base, "n", "100", "199")
+    val b = DeltaLogReader.read(spark, st.base).where(col("n").between(100, 199))
+    assert(a.count() == 100 && a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("readWhere prunes partition files via the log's partitionValues") {
+    import spark.implicits._
+    val st = freshStore()
+    st.write(spark, spark.range(400).select(col("id").as("n"), (col("id") % 4).as("cid")),
+      partitionBy = Seq("cid"))
+    st.exportDeltaLog(spark)
+
+    val state = DeltaLogReader.resolve(spark, st.base, None)
+    val kept = DeltaLogReader.pruneFiles(spark, state, "cid", "2", "2")
+    assert(kept.nonEmpty && kept.forall(_.pv("cid") == "2") &&
+      kept.size < state.live.size)
+
+    val a = DeltaLogReader.readWhere(spark, st.base, "cid", "2", "2")
+    assert(a.count() == 100 && a.where(col("cid") =!= 2).count() == 0)
+  }
+
   test("vacuumed store re-exports a log whose replay still matches the survivors") {
     import spark.implicits._
     val st = freshStore()
