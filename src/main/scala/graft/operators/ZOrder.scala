@@ -73,7 +73,17 @@ object ZOrder {
     * sort = global z-order across the file set.
     */
   def writeClustered(df: DataFrame, path: String, xCol: String, yCol: String,
-      nFiles: Int, bits: Int = 8): Unit = {
+      nFiles: Int, bits: Int = 8): Unit =
+    cluster(df, xCol, yCol, nFiles, bits).write.mode("overwrite").parquet(path)
+
+  /** The clustering transform alone — returns `df` range-partitioned and
+    * sorted on z(xCol, yCol), ready for ANY sink (plain parquet via
+    * [[writeClustered]], or a [[graft.sources.VersionedStore]] snapshot,
+    * where the tight per-file x/y ranges make the exported log's
+    * per-file stats maximally selective on BOTH dimensions).
+    */
+  def cluster(df: DataFrame, xCol: String, yCol: String,
+      nFiles: Int, bits: Int = 8): DataFrame = {
     val r = df.agg(
       min(col(xCol).cast("long")), max(col(xCol).cast("long")),
       min(col(yCol).cast("long")), max(col(yCol).cast("long"))).head
@@ -87,6 +97,5 @@ object ZOrder {
       .repartitionByRange(nFiles, col(cZ))
       .sortWithinPartitions(cZ)
       .drop(cZ)
-      .write.mode("overwrite").parquet(path)
   }
 }

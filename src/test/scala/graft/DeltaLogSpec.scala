@@ -130,6 +130,29 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(a.count() == 100 && a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("Z-ordered snapshot + log stats: a narrow predicate on EITHER dimension skips most files") {
+    import spark.implicits._
+    val st = freshStore()
+    val df = spark.range(16384)
+      .select((col("id") % 128).as("x"), (col("id") / 128).cast("long").as("y"))
+    st.write(spark, graft.operators.ZOrder.cluster(df, "x", "y", nFiles = 16))
+    st.exportDeltaLog(spark)
+
+    val state = DeltaLogReader.resolve(spark, st.base, None)
+    assert(state.live.size == 16)
+    // a 1/8-range predicate: with a z-curve layout every file holds a
+    // BOUNDED range in x AND in y, so both dimensions prune (a plain
+    // x-sort would prune x only and keep all 16 files for y)
+    val kx = DeltaLogReader.pruneFiles(spark, state, "x", "0", "15")
+    val ky = DeltaLogReader.pruneFiles(spark, state, "y", "0", "15")
+    assert(kx.size <= 8 && ky.size <= 8,
+      s"z-order must bound both dimensions: x kept ${kx.size}/16, y kept ${ky.size}/16")
+
+    val a = DeltaLogReader.readWhere(spark, st.base, "y", "0", "15")
+    val b = DeltaLogReader.read(spark, st.base).where(col("y").between(0, 15))
+    assert(a.count() == 16 * 128 && a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("readWhere prunes partition files via the log's partitionValues") {
     import spark.implicits._
     val st = freshStore()
