@@ -1166,13 +1166,16 @@ object DedupQueries {
   /** (id, g, seg) fixed-width token segments of an (id, text) relation —
     * the unit both d15 (batch) and d16 (incremental) dedup on.
     */
-  private[graft] def segmentRows(docs: DataFrame, idCol: String): DataFrame =
-    docs.select(col(idCol), Text.tokens(col("text")).as("tk"))
+  private[graft] def segmentRows(docs: DataFrame, idCol: String,
+      carry: Seq[String] = Nil): DataFrame = {
+    val keep = col(idCol) +: carry.map(col)
+    docs.select(keep :+ Text.tokens(col("text")).as("tk"): _*)
       .where(size(col("tk")) >= 1)
-      .select(col(idCol), explode(expr(
+      .select(keep :+ explode(expr(
         s"""transform(sequence(0, (size(tk) - 1) DIV $SegmentW),
-           |  g -> named_struct('g', g, 'seg', array_join(slice(tk, g * $SegmentW + 1, $SegmentW), ' ')))""".stripMargin)).as("s"))
-      .select(col(idCol), col("s.g").as("g"), col("s.seg").as("seg"))
+           |  g -> named_struct('g', g, 'seg', array_join(slice(tk, g * $SegmentW + 1, $SegmentW), ' ')))""".stripMargin)).as("s"): _*)
+      .select(keep :+ col("s.g").as("g") :+ col("s.seg").as("seg"): _*)
+  }
 
   /** Re-assemble documents from their surviving segments (`keep` flag):
     * per-doc counters + md5 of the cleaned text. `all` must also carry
@@ -1312,6 +1315,62 @@ object DedupQueries {
       |       coalesce(clean_md5, md5('')) AS clean_md5
       |FROM inc i LEFT JOIN rb USING (in_id) ORDER BY in_id""".stripMargin
 
+  /** d18: BOILERPLATE removal — the FREQUENCY-based complement to d15's
+    * keep-first dedup, per SOURCE (the CCNet / RefinedWeb per-shard
+    * line-frequency filter): a segment that appears in ≥2 DISTINCT
+    * documents of the same source is template chrome (nav, footer,
+    * license banner) and is removed from EVERY document — d15 preserves
+    * one canonical copy of repeated content; boilerplate has no canonical
+    * copy worth keeping. The production knob is a fraction-of-source-docs
+    * threshold (θ·n_docs, floor 2); this corpus's sources are 25-200 docs,
+    * so the floor binds.
+    *
+    * Scale: segments keyed by (source, md5(seg)) — ONE aggregation and
+    * ONE join on that same fine key (partition = one template family per
+    * source, bounded by the source's re-use rate); `source` rides the
+    * segment rows from the explode, so no segment-to-dim join ever
+    * shuffles. The rewrite proof is d15's: md5(clean_text) in the hashed
+    * output certifies byte-exact reassembly.
+    */
+  def d18BoilerplateRemoval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val segs = segmentRows(docs.select("doc_id", "source", "text"), "doc_id", Seq("source"))
+      .withColumn("h", md5(col("seg")))
+    val boiler = segs.select("source", "h", "doc_id").distinct()
+      .groupBy("source", "h").agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2)
+      .select(col("source"), col("h"), lit(true).as("bp"))
+    val marked = segs.join(boiler, Seq("source", "h"), "left")
+      .withColumn("keep", col("bp").isNull)
+    rebuildFromSegments(marked, docs.select("doc_id"), "doc_id")
+  }
+
+  val d18Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') tk
+      |  FROM documents),
+      |segs AS (
+      |  SELECT doc_id, source, g,
+      |         list_aggregate(list_slice(tk, g * 10 + 1, g * 10 + 10), 'string_agg', ' ') AS seg
+      |  FROM toks, LATERAL unnest(range(0, ((len(tk) - 1) // 10) + 1)) AS r(g)
+      |  WHERE len(tk) >= 1),
+      |bp AS (
+      |  SELECT source, h FROM (SELECT DISTINCT source, md5(seg) AS h, doc_id FROM segs)
+      |  GROUP BY source, h HAVING count(*) >= 2),
+      |fs AS (
+      |  SELECT s.doc_id, s.g, s.seg,
+      |         CASE WHEN bp.h IS NULL THEN 1 ELSE 0 END AS keep
+      |  FROM segs s LEFT JOIN bp ON bp.source = s.source AND bp.h = md5(s.seg)),
+      |rb AS (
+      |  SELECT doc_id, count(*) AS n_segments, sum(keep) AS n_kept,
+      |         md5(coalesce(string_agg(seg, ' ' ORDER BY g) FILTER (WHERE keep = 1), '')) AS clean_md5
+      |  FROM fs GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(coalesce(n_segments, 0) AS BIGINT) AS n_segments,
+      |       CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+      |       coalesce(clean_md5, md5('')) AS clean_md5
+      |FROM documents d LEFT JOIN rb USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** d17: RECORD LINKAGE — entity resolution across two registries via
     * multi-pass blocking + edit-distance verify, the cross-source dedup
     * shape (same entity, independently keyed and typo'd sources) that
@@ -1398,6 +1457,7 @@ object DedupQueries {
       |FROM v""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d18_boilerplate" -> (d18BoilerplateRemoval _),
     "d17_record_linkage" -> (d17RecordLinkage _),
     "d16_incremental_segment_dedup" -> (d16IncrementalSegmentDedup _),
     "d15_segment_dedup" -> (d15SegmentDedup _),
@@ -1418,6 +1478,7 @@ object DedupQueries {
     "d14_incremental_lsh" -> (d14IncrementalLsh _))
 
   val oracles: Map[String, String] = Map(
+    "d18_boilerplate" -> d18Oracle,
     "d17_record_linkage" -> d17Oracle,
     "d16_incremental_segment_dedup" -> d16Oracle,
     "d15_segment_dedup" -> d15Oracle,
