@@ -1384,10 +1384,16 @@ object DedupQueries {
     * equi-joins, verified with `levenshtein ≤ 1` (identical edit-distance
     * semantics in DuckDB).
     *
-    * Scale: never all-pairs. Segment widths cap a block at 10³ members
-    * regardless of n (the trailing segment of a dense keyspace), so the
-    * candidate set is ~n·10³·2 — linear in n with the block-size constant
-    * as the recall/cost knob, and each pass is one equi-join shuffle.
+    * Scale: never all-pairs, and every pass's block size is bounded by
+    * POSITION COUNTING, independent of n: each key drops ONE 3-digit
+    * segment and fixes the other six positions, so a block holds at most
+    * 10³ identities (the dropped segment's value space) — a cap that
+    * holds at any corpus size, unlike a plain prefix/suffix split, whose
+    * suffix pass has fixed block COUNT and therefore n-proportional block
+    * size (quadratic at scale; the first cut of this operator had exactly
+    * that flaw). Compositing each key with a TRUSTED attribute (nation —
+    * the standard block-on-state practice) divides blocks further by its
+    * cardinality. Three equi-join shuffles, candidates ≤ 3·n·10³/|nation|.
     * The `n_true = n` invariant (every entity re-found despite its typo)
     * is what the hash gate certifies, alongside the coincidental-neighbor
     * count the verify stage filters.
@@ -1398,7 +1404,8 @@ object DedupQueries {
     */
   def d17RecordLinkage(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
-    val a = cust.select(col("c_custkey").as("id_a"), col("c_name").as("name_a"))
+    val a = cust.select(col("c_custkey").as("id_a"), col("c_name").as("name_a"),
+      col("c_nationkey").cast("long").as("nat_a"))
     val b = cust
       .withColumn("h", Text.md5Long(col("c_custkey").cast("string")))
       .withColumn("digits", expr("substring(c_name, 10, 9)"))
@@ -1407,13 +1414,18 @@ object DedupQueries {
         "CAST((CAST(substring(digits, p, 1) AS INT) + 1 + CAST((h DIV 90) % 9 AS INT)) % 10 AS STRING)"))
       .select(col("c_custkey").as("id_b"), expr(
         "IF(h % 10 < 4, concat('Customer#', substring(digits, 1, p - 1), newd, substring(digits, p + 1)), c_name)")
-        .as("name_b"))
-    def keyed(df: DataFrame, name: String) = df
-      .withColumn("k1", expr(s"substring($name, 10, 6)"))
-      .withColumn("k2", expr(s"substring($name, 16, 3)"))
-    val ka = keyed(a, "name_a"); val kb = keyed(b, "name_b")
-    val cand = ka.join(kb, "k1").select("id_a", "name_a", "id_b", "name_b")
-      .unionAll(ka.join(kb, "k2").select("id_a", "name_a", "id_b", "name_b"))
+        .as("name_b"), col("c_nationkey").cast("long").as("nat_b"))
+    // drop-one-of-three-segments keys over the 9-digit identity (digits
+    // start at name position 10): any single-position typo falls inside
+    // exactly one dropped segment, so the other two passes still match
+    def keyed(df: DataFrame, name: String, nat: String) = df
+      .withColumn("k1", expr(s"concat($nat, ':', substring($name, 13, 6))"))
+      .withColumn("k2", expr(s"concat($nat, ':', substring($name, 10, 3), substring($name, 16, 3))"))
+      .withColumn("k3", expr(s"concat($nat, ':', substring($name, 10, 6))"))
+    val ka = keyed(a, "name_a", "nat_a"); val kb = keyed(b, "name_b", "nat_b")
+    val cand = Seq("k1", "k2", "k3")
+      .map(k => ka.join(kb, k).select("id_a", "name_a", "id_b", "name_b"))
+      .reduce(_ unionAll _)
       .distinct()
     cand
       .withColumn("m", (levenshtein(col("name_a"), col("name_b")) <= 1).cast("long"))
@@ -1424,12 +1436,12 @@ object DedupQueries {
 
   val d17Oracle: String =
     """WITH src AS (
-      |  SELECT c_custkey, c_name,
+      |  SELECT c_custkey, c_name, c_nationkey,
       |         ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT AS h,
       |         substr(c_name, 10, 9) AS digits
       |  FROM customer),
       |pb AS (
-      |  SELECT c_custkey, c_name, h, digits,
+      |  SELECT c_custkey, c_name, c_nationkey, h, digits,
       |         1 + CAST((h // 10) % 9 AS INT) AS p,
       |         CAST((CAST(substr(digits, 1 + CAST((h // 10) % 9 AS INT), 1) AS INT) + 1
       |               + CAST((h // 90) % 9 AS INT)) % 10 AS VARCHAR) AS newd
@@ -1438,16 +1450,23 @@ object DedupQueries {
       |  SELECT c_custkey AS id_b,
       |         CASE WHEN h % 10 < 4
       |              THEN 'Customer#' || substr(digits, 1, p - 1) || newd || substr(digits, p + 1)
-      |              ELSE c_name END AS name_b
+      |              ELSE c_name END AS name_b,
+      |         CAST(c_nationkey AS BIGINT) AS nat_b
       |  FROM pb),
-      |a AS (SELECT c_custkey AS id_a, c_name AS name_a FROM customer),
+      |a AS (SELECT c_custkey AS id_a, c_name AS name_a,
+      |             CAST(c_nationkey AS BIGINT) AS nat_a
+      |      FROM customer),
       |cand AS (
       |  SELECT DISTINCT id_a, name_a, id_b, name_b FROM (
       |    SELECT id_a, name_a, id_b, name_b FROM a JOIN b
-      |      ON substr(name_a, 10, 6) = substr(name_b, 10, 6)
+      |      ON nat_a = nat_b AND substr(name_a, 13, 6) = substr(name_b, 13, 6)
       |    UNION ALL
       |    SELECT id_a, name_a, id_b, name_b FROM a JOIN b
-      |      ON substr(name_a, 16, 3) = substr(name_b, 16, 3))),
+      |      ON nat_a = nat_b AND substr(name_a, 10, 3) = substr(name_b, 10, 3)
+      |                       AND substr(name_a, 16, 3) = substr(name_b, 16, 3)
+      |    UNION ALL
+      |    SELECT id_a, name_a, id_b, name_b FROM a JOIN b
+      |      ON nat_a = nat_b AND substr(name_a, 10, 6) = substr(name_b, 10, 6))),
       |v AS (SELECT id_a, id_b,
       |             CASE WHEN levenshtein(name_a, name_b) <= 1 THEN 1 ELSE 0 END AS m
       |      FROM cand)
