@@ -1475,7 +1475,87 @@ object DedupQueries {
       |       CAST(sum(CASE WHEN m = 1 AND id_a = id_b THEN 1 ELSE 0 END) AS BIGINT) AS n_true
       |FROM v""".stripMargin
 
+  /** d19: EXACT threshold set-similarity self-join (Jaccard ≥ 1/2) via
+    * prefix + length filtering — the LOSSLESS scale path next to d2's
+    * DF-capped share-any-shingle candidates and d3's probabilistic LSH.
+    * d2 bounds its candidate join by dropping shingles shared by > cap
+    * docs, which silently loses any pair whose entire overlap is hot
+    * shingles; LSH recall is < 1 by construction. Prefix filtering
+    * (Bayardo et al. WWW'07 AllPairs; Xiao et al. WWW'08 PPJoin) keeps
+    * EXACT semantics with a candidate set far below share-any-token:
+    * under any global token order, |A∩B| ≥ α forces the first |A|−α+1
+    * tokens of A to intersect the first |B|−α+1 of B, and Jaccard ≥ τ
+    * gives α = ⌈τ·max(|A|,|B|)⌉ ≥ ⌈τ|x|⌉ for both sides — so indexing
+    * only each doc's first |x| − ⌈τ|x|⌉ + 1 tokens (= ⌊x/2⌋+1 at τ=1/2)
+    * by ASCENDING document frequency joins every qualifying pair while
+    * the join keys are by construction the RAREST tokens (bounded
+    * fan-out — the skew cap falls out of the ordering instead of being
+    * imposed). The length filter τ·|A| ≤ |B| ≤ |A|/τ (integers:
+    * 2·n_b ≥ n_a ∧ 2·n_a ≥ n_b) prunes before the verify join; the
+    * final test 3i ≥ n_a + n_b is the τ=1/2 Jaccard inequality in
+    * integers. The global order ranks by (df, sh64) — the order is
+    * internal to candidate generation, so the oracle (brute-force
+    * share-any-token with NO caps — the semantic definition) proving a
+    * hash match certifies the filter chain lossless.
+    *
+    * Scale: one sh64 shuffle for df counts, one doc_id Exchange+Sort for
+    * the per-doc prefix window (reused by the sizes agg), the prefix
+    * equi-join on rare keys, then verify only candidate pairs (pair ⋈
+    * set joins, linear in candidates·|set|). Never all-pairs; no recall
+    * knob. (Reference reconciliation shape: yq_dag.py:85-96.)
+    */
+  def d19SetSimJoin(spark: SparkSession, dir: String): DataFrame = {
+    val sh = tracked(tokensDf(spark, dir)
+      .select(col("doc_id"), explode(Text.shingles(col("tk"))).as("shingle"))
+      .select(col("doc_id"), Text.md5Long(col("shingle")).as("sh64"))
+      .cache())
+    val dfc = sh.groupBy("sh64").agg(count(lit(1)).as("df"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id").orderBy("df", "sh64")
+    val pre = sh.join(dfc, "sh64")
+      .join(sizes, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= expr("n DIV 2 + 1")) // |x| − ⌈|x|/2⌉ + 1
+      .select(col("doc_id"), col("sh64"), col("n"))
+    val cand = pre.as("a").join(pre.as("b"), Seq("sh64"))
+      .where(col("a.doc_id") < col("b.doc_id") &&
+        col("b.n") * 2 >= col("a.n") && col("a.n") * 2 >= col("b.n"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .distinct()
+    val inter = cand.select("da", "db")
+      .join(sh.select(col("doc_id").as("da"), col("sh64")), "da")
+      .join(sh.select(col("doc_id").as("db"), col("sh64")), Seq("db", "sh64"))
+      .groupBy("da", "db").agg(count(lit(1)).as("i"))
+    cand.join(inter, Seq("da", "db"))
+      .where(col("i") * 3 >= col("na") + col("nb"))
+      .withColumn("jaccard", col("i") * lit(1.0) / (col("na") + col("nb") - col("i")))
+      .select("da", "db", "jaccard")
+      .orderBy("da", "db")
+  }
+
+  /** Brute-force semantic definition, NO caps and NO prefix filter — the
+    * hash match is the losslessness proof for d19's filter chain.
+    */
+  val d19Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') tk
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in range(1, len(tk) - 1)])) AS shingle
+      |  FROM toks WHERE len(tk) >= 3),
+      |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id da, b.doc_id db, count(*) i
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT da, db, i * 1.0 / (sa.n + sb.n - i) AS jaccard
+      |FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+      |WHERE 3 * i >= sa.n + sb.n
+      |ORDER BY da, db""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d19_setsim_join" -> (d19SetSimJoin _),
     "d18_boilerplate" -> (d18BoilerplateRemoval _),
     "d17_record_linkage" -> (d17RecordLinkage _),
     "d16_incremental_segment_dedup" -> (d16IncrementalSegmentDedup _),
@@ -1497,6 +1577,7 @@ object DedupQueries {
     "d14_incremental_lsh" -> (d14IncrementalLsh _))
 
   val oracles: Map[String, String] = Map(
+    "d19_setsim_join" -> d19Oracle,
     "d18_boilerplate" -> d18Oracle,
     "d17_record_linkage" -> d17Oracle,
     "d16_incremental_segment_dedup" -> d16Oracle,

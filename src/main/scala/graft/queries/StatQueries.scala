@@ -87,21 +87,32 @@ object StatQueries {
       |ORDER BY user_id, valid_from, event_id""".stripMargin
 
   /** x3: exact rank-based percentiles (p50/p90/p99) per priority — the
-    * r = ceil(p·n) smallest value, selected by row_number. Engines'
-    * `percentile_cont` implementations interpolate in different float
-    * orders, so the INTEGER rank selection is the cross-engine-stable
-    * percentile; one shuffle + in-partition sort, same envelope as any
-    * window query.
+    * r = ceil(p·n) smallest value. Engines' `percentile_cont`
+    * implementations interpolate in different float orders, so the
+    * INTEGER rank selection is the cross-engine-stable percentile.
+    * Selection runs over the per-(group, value) histogram via
+    * [[cumBelow]]'s two-phase distributed prefix sum — the first cut
+    * ranked ROWS with a window partitioned by the 5 priorities, i.e.
+    * five data-sized single-task sorts (exactly x16's original
+    * scale-killer shape); the histogram form's only ordered windows are
+    * value-domain-bounded. The rank K = ceil(p·n) is evaluated in IEEE
+    * doubles on BOTH engines (matching the oracle's `ceil(0.9 * n)`
+    * bit-for-bit); the value at rank K is the v whose cumulative count
+    * straddles K (cum < K ≤ cum + cnt) — identical to the row-ranked
+    * selection for any tie pattern.
     */
   def x3Percentiles(spark: SparkSession, dir: String): DataFrame = {
-    val cents = round(col("o_totalprice") * 100).cast("long")
-    val w = Window.partitionBy("o_orderpriority").orderBy(col("c"), col("o_orderkey"))
-    val ranked = Tables.orders(spark, dir)
-      .select(col("o_orderpriority"), col("o_orderkey"), cents.as("c"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("o_orderpriority")))
-    def pick(p: Double) = max(when(col("rn") === ceil(lit(p) * col("n")), col("c")))
-    ranked.groupBy("o_orderpriority")
+    val perVc = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("g"),
+        round(col("o_totalprice") * 100).cast("long").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val sizes = perVc.groupBy("g").agg(sum("cnt").as("n"))
+    val cum = cumBelow(perVc, Seq("g"), "cnt").join(broadcast(sizes), "g")
+    def pick(p: Double) = {
+      val k = ceil(lit(p) * col("n")).cast("long")
+      max(when(col("cum") < k && col("cum") + col("cnt") >= k, col("v")))
+    }
+    cum.groupBy(col("g").as("o_orderpriority"))
       .agg(pick(0.5).as("p50_cents"), pick(0.9).as("p90_cents"), pick(0.99).as("p99_cents"))
       .orderBy("o_orderpriority")
   }
@@ -646,6 +657,34 @@ object StatQueries {
       |         AS intercept_micro
       |FROM g ORDER BY l_returnflag""".stripMargin
 
+  /** Two-phase distributed cumulative sum over a VALUE HISTOGRAM, per
+    * group — the shared order-statistics engine under x16 (rank sums),
+    * x3 (exact percentiles) and x18 (median/MAD): given one row per
+    * (group, distinct value v) with an additive weight column, appends
+    * `cum` = the weight total strictly below v within its group, without
+    * ever sorting a data-sized single partition. Phase 1 runs the
+    * within-bucket running sum over one partitionBy(group, v DIV 2¹⁶)
+    * Exchange+Sort (bucket count is bounded by the VALUE DOMAIN, not row
+    * count); phase 2 prefixes the tiny per-group bucket-totals rollup
+    * (the only ordered window with group-only partitioning — ≤ ~10³ rows
+    * per group by domain) and broadcasts the offsets back. Exact integer
+    * arithmetic throughout; all other input columns ride along.
+    */
+  private def cumBelow(perV: DataFrame, grps: Seq[String], w: String): DataFrame = {
+    val withB = perV.withColumn("bkt", expr("v DIV 65536"))
+    val pc = (grps :+ "bkt").map(col)
+    val wIn = Window.partitionBy(pc: _*).orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val within = withB.withColumn("cin", coalesce(sum(w).over(wIn), lit(0L)))
+    val wB = Window.partitionBy(grps.map(col): _*).orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bOff = withB.groupBy(pc: _*).agg(sum(w).as("bt"))
+      .withColumn("boff", coalesce(sum("bt").over(wB), lit(0L)))
+      .select((grps ++ Seq("bkt", "boff")).map(col): _*)
+    within.join(broadcast(bOff), grps :+ "bkt")
+      .withColumn("cum", col("cin") + col("boff"))
+  }
+
   /** x16: Mann-Whitney U — the rank-based (nonparametric) two-sample
     * drift test next to x11's KS: no distribution assumption, exact on
     * integer cents. Computed from the VALUE HISTOGRAM, never a global row
@@ -671,7 +710,6 @@ object StatQueries {
     * carry it).
     */
   def x16MannWhitney(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val v = Tables.orders(spark, dir).select(
       expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"),
       (col("o_orderkey") % 2).as("side"))
@@ -679,21 +717,8 @@ object StatQueries {
         sum(when(col("side") === 0, 1L).otherwise(0L)).as("ca"),
         sum(when(col("side") === 1, 1L).otherwise(0L)).as("cb"))
       .withColumn("te", col("ca") + col("cb"))
-      .withColumn("bkt", expr("v DIV 65536"))
-    // phase 1: running sum within each value-range bucket
-    val wIn = Window.partitionBy("bkt").orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val within = perV
-      .withColumn("cin", coalesce(sum("te").over(wIn), lit(0L)))
-    // phase 2: prefix the bucket totals (domain-bounded rollup — the only
-    // ordered-unpartitioned window) and broadcast the offsets back
-    val bOff = perV.groupBy("bkt").agg(sum("te").as("bt"))
-      .withColumn("boff", coalesce(
-        sum("bt").over(Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select("bkt", "boff")
-    val cum = within.join(broadcast(bOff), "bkt")
-      .withColumn("r2", (col("cin") + col("boff")).cast("decimal(38,0)") * 2
+    val cum = cumBelow(perV, Seq.empty, "te")
+      .withColumn("r2", col("cum").cast("decimal(38,0)") * 2
         + col("te").cast("decimal(38,0)") + 1)
     def sq(c: Column): Column = c.cast("decimal(18,0)")
     cum.agg(
@@ -794,7 +819,74 @@ object StatQueries {
       |       CAST(cusum > (SELECT k FROM g) * 5 AS BIGINT) AS alarm
       |FROM rec ORDER BY day""".stripMargin
 
+  /** x18: robust outlier profile — median / MAD per priority group, the
+    * 50 %-breakdown complement of x7's mean ± 1.5σ flags (moment-based
+    * fences are leverage-prone: heavy outliers inflate σ and mask
+    * themselves; the median and the median absolute deviation are immune
+    * to up to half the sample being corrupted). All order statistics are
+    * computed from the per-(group, value) HISTOGRAM via [[cumBelow]]'s
+    * two-phase distributed prefix sum — never a row-level rank window
+    * whose per-group partition is data-sized. Selection is pure integer
+    * arithmetic: the lower median is the value v whose cumulative count
+    * straddles rank K = (n+1) DIV 2 (cum < K ≤ cum + cnt); the MAD
+    * repeats the same selection over the |v − med| deviation histogram,
+    * which is derived from the value histogram (weights ride along), so
+    * the fact table is scanned ONCE into the histogram and everything
+    * downstream is value-domain-sized. Flag fence |v − med| > 3·MAD stays
+    * in BIGINT cents end-to-end — no floats anywhere, the oracle matches
+    * bit-exactly by construction.
+    */
+  def x18MadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val perVc = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("g"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+    val sizes = perVc.groupBy("g").agg(sum("cnt").as("n"))
+    def medianOf(perV: DataFrame): DataFrame =
+      cumBelow(perV, Seq("g"), "cnt")
+        .join(broadcast(sizes), "g")
+        .where(col("cum") < expr("(n + 1) DIV 2") &&
+          col("cum") + col("cnt") >= expr("(n + 1) DIV 2"))
+        .select("g", "v")
+    val med = medianOf(perVc.select(col("g"), col("c").as("v"), col("cnt")))
+      .withColumnRenamed("v", "med")
+    val devPerV = perVc.join(broadcast(med), "g")
+      .groupBy(col("g"), abs(col("c") - col("med")).as("v"))
+      .agg(sum("cnt").as("cnt"))
+    val mad = medianOf(devPerV).withColumnRenamed("v", "mad")
+    perVc.join(broadcast(med), "g").join(broadcast(mad), "g")
+      .groupBy("g")
+      .agg(sum("cnt").as("n_rows"),
+        max("med").as("med_cents"), max("mad").as("mad_cents"),
+        sum(when(abs(col("c") - col("med")) > col("mad") * 3, col("cnt"))
+          .otherwise(lit(0L))).as("n_outliers"))
+      .select(col("g").as("o_orderpriority"), col("n_rows"),
+        col("med_cents"), col("mad_cents"), col("n_outliers"))
+      .orderBy("o_orderpriority")
+  }
+
+  val x18Oracle: String =
+    """WITH c AS (
+      |  SELECT o_orderpriority AS g, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders),
+      |n AS (SELECT g, count(*) AS n FROM c GROUP BY 1),
+      |med AS (
+      |  SELECT r.g, r.v AS med
+      |  FROM (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn FROM c) r
+      |  JOIN n USING (g) WHERE rn = (n + 1) // 2),
+      |dev AS (SELECT c.g, abs(c.v - m.med) AS d FROM c JOIN med m ON c.g = m.g),
+      |mad AS (
+      |  SELECT r.g, r.d AS mad
+      |  FROM (SELECT g, d, row_number() OVER (PARTITION BY g ORDER BY d) AS rn FROM dev) r
+      |  JOIN n USING (g) WHERE rn = (n + 1) // 2)
+      |SELECT c.g AS o_orderpriority, count(*) AS n_rows,
+      |       max(m.med) AS med_cents, max(a.mad) AS mad_cents,
+      |       CAST(sum(CASE WHEN abs(c.v - m.med) > 3 * a.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM c JOIN med m ON c.g = m.g JOIN mad a ON c.g = a.g
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x18_mad_outliers" -> (x18MadOutliers _),
     "x17_cusum_drift" -> (x17CusumDrift _),
     "x16_mann_whitney" -> (x16MannWhitney _),
     "x15_regression" -> (x15Regression _),
@@ -814,6 +906,7 @@ object StatQueries {
     "x8_snapshot_diff" -> (x8SnapshotDiff _))
 
   val oracles: Map[String, String] = Map(
+    "x18_mad_outliers" -> x18Oracle,
     "x17_cusum_drift" -> x17Oracle,
     "x16_mann_whitney" -> x16Oracle,
     "x15_regression" -> x15Oracle,
