@@ -211,8 +211,12 @@ object DedupQueries {
       .orderBy("da", "db")
   }
 
-  val d3Oracle: String =
-    s"""WITH $shingleSqlBase,
+  /** d3's verified near-dup pairs as a reusable CTE chain ending in
+    * `mpairs(da, db, jaccard)` — shared by d3's gate form and d20's
+    * batch-recompute oracle.
+    */
+  private val minhashPairsSqlBase: String =
+    s"""$shingleSqlBase,
        |h AS (
        |  SELECT doc_id, shingle, j,
        |         ((('0x' || substr(md5(shingle), 1, 15))::BIGINT & 4294967295)
@@ -229,11 +233,15 @@ object DedupQueries {
        |inter AS (
        |  SELECT c.da, c.db, count(*) i
        |  FROM cand c JOIN sh x ON x.doc_id = c.da JOIN sh y ON y.doc_id = c.db AND y.shingle = x.shingle
-       |  GROUP BY 1, 2)
-       |SELECT da, db, i * 1.0 / (sa.n + sb.n - i) AS jaccard
-       |FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
-       |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
-       |ORDER BY da, db""".stripMargin
+       |  GROUP BY 1, 2),
+       |mpairs AS (
+       |  SELECT da, db, i * 1.0 / (sa.n + sb.n - i) AS jaccard
+       |  FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+       |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5)""".stripMargin
+
+  val d3Oracle: String =
+    s"""WITH $minhashPairsSqlBase
+       |SELECT da, db, jaccard FROM mpairs ORDER BY da, db""".stripMargin
 
   /** Term-frequency-weighted 64-bit SimHash per document. One aggregation
     * with 64 codegen'd sum expressions (one per bit) — no 64× row
@@ -1554,7 +1562,79 @@ object DedupQueries {
       |WHERE 3 * i >= sa.n + sb.n
       |ORDER BY da, db""".stripMargin
 
+  /** d20: INCREMENTAL connected components — the Δ-maintenance form of
+    * d7's dup-graph clustering, completing the incremental-serve family
+    * (d9 fp-index, d14 LSH, d16 segments feed Δ *pairs*; d20 folds them
+    * into the component INDEX without re-clustering the corpus). A
+    * deterministic tenth of d3's verified near-dup pairs plays the crawl
+    * increment; the rest are the resident graph whose labels are the
+    * standing index (recomputed in-query here, like d9/d14 recompute
+    * their indexes, so the oracle can gate the whole contract).
+    *
+    * The incremental step is GRAPH CONTRACTION: each Δ edge's endpoints
+    * are replaced by their resident component label (or themselves if
+    * unseen), intra-component Δ edges drop out, and the O(log n)
+    * alternating-stars loop runs ONLY on the contracted graph — whose
+    * size is bounded by |Δ|, not the corpus. Final labels re-join the
+    * tiny relabel map back over the standing index. Component ids stay
+    * canonical (min doc id): a contracted node is a resident component's
+    * min, so the merged minimum IS the global minimum.
+    *
+    * The oracle is the full batch recompute over ALL pairs (d7's
+    * reachability form over d3's pair CTE) — the hash match proves
+    * incremental ≡ batch, the IVM contract every u-family query gates.
+    *
+    * Scale: at 10¹¹ docs the resident labels are a persisted table; per
+    * increment the work is one Δ-vs-index equi-join, a CC loop over an
+    * O(|Δ|)-node graph, and one relabel join — the corpus-sized relation
+    * is touched only by the final (linear, shuffle-on-comp) relabel, and
+    * in production that re-label lands lazily (only components whose
+    * label CHANGED need rewriting — the relabel map is exactly that set).
+    */
+  def d20IncrementalCc(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = d3MinhashLsh(spark, dir)
+      .select(col("da"), col("db"),
+        (pmod(Text.md5Long(concat_ws(":", col("da"), col("db"))), lit(10)) === 0)
+          .as("is_new"))
+      .localCheckpoint(true) // pairs feed 3 branches; don't re-run the LSH
+    val resident = pairs.where(!col("is_new")).select("da", "db")
+    val delta = pairs.where(col("is_new")).select("da", "db")
+    val base = graft.operators.ConnectedComponents.alternatingStars(resident)
+    val contracted = delta
+      .join(base.select(col("id").as("da"), col("comp").as("ra")), Seq("da"), "left")
+      .join(base.select(col("id").as("db"), col("comp").as("rb")), Seq("db"), "left")
+      .select(coalesce(col("ra"), col("da")).as("a"),
+        coalesce(col("rb"), col("db")).as("b"))
+      .where(col("a") =!= col("b"))
+    val relabel = graft.operators.ConnectedComponents.alternatingStars(contracted)
+    val nodes = pairs.select(col("da").as("doc_id"))
+      .unionAll(pairs.select(col("db").as("doc_id"))).distinct()
+    val lbl = nodes
+      .join(base.select(col("id").as("doc_id"), col("comp").as("r0")), Seq("doc_id"), "left")
+      .withColumn("r", coalesce(col("r0"), col("doc_id")))
+      .join(relabel.select(col("id").as("r"), col("comp").as("c2")), Seq("r"), "left")
+      .select(col("doc_id"), coalesce(col("c2"), col("r")).as("component"))
+    lbl.join(lbl.groupBy("component").agg(count(lit(1)).as("cluster_size")), "component")
+      .select("doc_id", "component", "cluster_size")
+      .orderBy("doc_id")
+  }
+
+  val d20Oracle: String =
+    s"""WITH RECURSIVE $minhashPairsSqlBase,
+       |und AS (SELECT da AS a, db AS b FROM mpairs UNION SELECT db, da FROM mpairs),
+       |reach(id, m) AS (
+       |  SELECT DISTINCT a, a FROM und
+       |  UNION
+       |  SELECT r.id, u.b FROM reach r JOIN und u ON u.a = r.m),
+       |comp AS (SELECT id AS doc_id, min(m) AS component FROM reach GROUP BY 1),
+       |csizes AS (SELECT component, count(*) AS csize FROM comp GROUP BY 1)
+       |SELECT c.doc_id, CAST(c.component AS BIGINT) AS component,
+       |       CAST(s.csize AS BIGINT) AS cluster_size
+       |FROM comp c JOIN csizes s USING (component)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d20_incremental_cc" -> (d20IncrementalCc _),
     "d19_setsim_join" -> (d19SetSimJoin _),
     "d18_boilerplate" -> (d18BoilerplateRemoval _),
     "d17_record_linkage" -> (d17RecordLinkage _),
@@ -1577,6 +1657,7 @@ object DedupQueries {
     "d14_incremental_lsh" -> (d14IncrementalLsh _))
 
   val oracles: Map[String, String] = Map(
+    "d20_incremental_cc" -> d20Oracle,
     "d19_setsim_join" -> d19Oracle,
     "d18_boilerplate" -> d18Oracle,
     "d17_record_linkage" -> d17Oracle,
