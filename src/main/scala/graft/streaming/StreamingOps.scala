@@ -310,6 +310,39 @@ object StreamingOps extends Serializable {
       .select("in_id", "corp_id", "jaccard")
   }
 
+  /** Stream-static boilerplate removal — the streaming twin of batch d18:
+    * each micro-batch of crawl docs `(doc_id, source, text)` is segmented
+    * (the d18 windows) and scrubbed against the PERSISTED per-source
+    * boilerplate index `(source, h)` — the segments the batch pass already
+    * measured at df ≥ 2 within that source. Output is the d18 schema
+    * `(doc_id, n_segments, n_kept, clean_md5)`.
+    *
+    * Frozen-index semantics, deliberately: a segment that crosses the
+    * frequency threshold only WITH this increment is chrome the stream
+    * cannot prove yet, and the docs it implicates include RESIDENT ones —
+    * retroactive rewrites are the batch re-clean epoch's job (d18), which
+    * also refreshes the index the stream serves from (stream-static joins
+    * re-plan the static side every micro-batch, so the refresh is picked
+    * up without a restart). Stateless apart from the per-doc aggregation
+    * (complete/update mode; bound it with the foreachBatch sink pattern
+    * when doc ids are unbounded).
+    */
+  def streamStaticBoilerplate(increment: DataFrame, boilerIndex: DataFrame): DataFrame = {
+    val segs = graft.queries.DedupQueries
+      .segmentRows(increment, "doc_id", Seq("source"))
+      .withColumn("h", md5(col("seg")))
+    segs
+      .join(boilerIndex.select(col("source"), col("h"), lit(true).as("bp")),
+        Seq("source", "h"), "left")
+      .withColumn("keep", col("bp").isNull)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(
+          transform(array_sort(collect_list(when(col("keep"), struct(col("g"), col("seg"))))),
+            _.getField("seg")), " ")).as("clean_md5"))
+  }
+
   case class PackDoc(doc_id: Long, shard: Int, n_tokens: Long)
   case class PackState(bin: Long, used: Long)
   case class PackAssign(doc_id: Long, shard: Int, bin: Long, n_tokens: Long)

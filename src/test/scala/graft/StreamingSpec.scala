@@ -321,6 +321,70 @@ class StreamingSpec extends AnyFunSuite {
     index.unpersist()
   }
 
+  test("stream-static boilerplate removal == batch d18 scrub across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.queries.DedupQueries
+    implicit val sqlCtx = spark.sqlContext
+
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text")
+    val segsC = DedupQueries.segmentRows(docs, "doc_id", Seq("source"))
+      .withColumn("h", md5(col("seg")))
+    val index = segsC.select("source", "h", "doc_id").distinct()
+      .groupBy("source", "h").agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2).select("source", "h")
+    index.cache()
+
+    // recrawl two docs the BATCH pass provably rewrites (n_kept <
+    // n_segments in d18's gated output) plus one fully novel doc
+    val d18 = DedupQueries.d18BoilerplateRemoval(spark, sfDir)
+      .where(col("n_kept") < col("n_segments"))
+      .orderBy("doc_id").limit(2).collect()
+      .map(r => (r.getLong(0), r.getString(3)))
+    assert(d18.length == 2, "fixture corpus must contain boilerplate docs")
+    val base = docs.where(col("doc_id").isin(d18.map(_._1): _*))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val recrawls = base.map { case (id, src, text) => (id + 1000000L, src, text) }
+    val fresh = (3000001L, base(0)._2, (1 to 25).map(j => s"nvb$j").mkString(" "))
+    val incRows = recrawls.toSeq :+ fresh
+
+    val mem = MemoryStream[(Long, String, String)]
+    val inc = mem.toDF().toDF("doc_id", "source", "text")
+    val q = StreamingOps.streamStaticBoilerplate(inc, index)
+      .writeStream.format("memory").queryName("sbp").outputMode("complete").start()
+    try {
+      mem.addData(incRows.take(1): _*)
+      q.processAllAvailable()
+      mem.addData(incRows.drop(1): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sbp").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+
+    // batch reference: d18's own scrub helpers over the same increment
+    // against the same frozen index (incl. the ids-join rebuild path)
+    val incBatch = spark.createDataFrame(incRows).toDF("doc_id", "source", "text")
+    val markedB = DedupQueries.segmentRows(incBatch, "doc_id", Seq("source"))
+      .withColumn("h", md5(col("seg")))
+      .join(index.withColumn("bp", lit(true)), Seq("source", "h"), "left")
+      .withColumn("keep", col("bp").isNull)
+    val expect = DedupQueries
+      .rebuildFromSegments(markedB, incBatch.select("doc_id"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got == expect)
+
+    // same source + same text ⇒ the recrawl's cleaned text is byte-equal
+    // to what the batch d18 pass produced for the original doc
+    val gotByBase = got.map(t => (t._1 - 1000000L, t._4)).toMap
+    d18.foreach { case (id, md5Clean) => assert(gotByBase(id) == md5Clean) }
+    // recrawls really scrubbed; the novel doc passes through untouched
+    got.filter(_._1 > 3000000L).foreach(t => assert(t._2 == t._3))
+    got.filter(_._1 < 3000000L).foreach(t => assert(t._3 < t._2))
+    index.unpersist()
+  }
+
   test("streaming IVF serve == batch s3 probes, bit-exact cosines, across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
