@@ -422,9 +422,16 @@ object CorpusQueries {
     * first survivor id, and the source's sampling rate — the manifest a
     * trainer consumes.
     */
-  def v10Pipeline(spark: SparkSession, dir: String): DataFrame = {
+  /** The v10 stage relations, shared by the manifest form (v10) and the
+    * per-doc attrition report (v12). Spark's cache manager dedupes
+    * structurally-equal cached plans, so both consumers share one
+    * execution of the tracked intermediates within a battery run.
+    */
+  private case class V10Stages(corpus: DataFrame, s1: DataFrame, neardup: DataFrame,
+    s2: DataFrame, s3: DataFrame, contaminated: DataFrame, s4: DataFrame, s5: DataFrame)
+
+  private def v10Stages(spark: SparkSession, dir: String): V10Stages = {
     import DedupQueries.{MinhashFns, BandRows, ShingleDfCap, MersenneP, affineA, affineB, tracked}
-    val W = 256L // token budget per packed sequence
     val docs = Tables.documents(spark, dir).select("doc_id", "source", "text")
     val corpus = docs.unionByName(
       docs.where(col("doc_id") % 10 === 0)
@@ -583,6 +590,13 @@ object CorpusQueries {
       .withColumn("split_idx",
         when(bucket < 80, 0).when(bucket < 90, 1).otherwise(2))
       .cache())
+    V10Stages(corpus, s1, neardup, s2, s3, contaminated, s4, s5)
+  }
+
+  def v10Pipeline(spark: SparkSession, dir: String): DataFrame = {
+    val W = 256L // token budget per packed sequence
+    val st = v10Stages(spark, dir)
+    val s5 = st.s5
     // stage 6 — greedy sequence packing per (split, shard); shards never cross splits
     val packed = SamplingQueries.packLinear(
       s5.select(col("doc_id"),
@@ -607,12 +621,15 @@ object CorpusQueries {
       .orderBy("split", "source")
   }
 
-  val v10Oracle: String = {
+  /** v10's stage CTE chain through s5 — shared by the manifest oracle
+    * (v10) and the attrition oracle (v12).
+    */
+  private val v10OracleStages: String = {
     import DedupQueries.{MinhashFns, BandRows, ShingleDfCap, MersenneP, affineA, affineB}
     val As = (0 until MinhashFns).map(affineA).mkString("[", ", ", "]")
     val Bs = (0 until MinhashFns).map(affineB).mkString("[", ", ", "]")
     val gram8 = (0 until NGram).map(o => s"tk[i+$o]").mkString(" || ' ' || ")
-    s"""WITH RECURSIVE corpus AS (
+    s"""corpus AS (
        |  SELECT doc_id, source, text FROM documents
        |  UNION ALL
        |  SELECT doc_id + 1000000, source, text FROM documents WHERE doc_id % 10 = 0),
@@ -676,7 +693,11 @@ object CorpusQueries {
        |                   WHEN ('0x' || substr(md5(CAST(s4.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 1
        |                   ELSE 2 END AS split_idx
        |       FROM s4 JOIN r USING (source)
-       |       WHERE ('0x' || substr(md5('v10:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 < r.rate_ppm),
+       |       WHERE ('0x' || substr(md5('v10:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 < r.rate_ppm)""".stripMargin
+  }
+
+  val v10Oracle: String =
+    s"""WITH RECURSIVE $v10OracleStages,
        |p AS MATERIALIZED (SELECT *,
        |        CAST(split_idx * 4 + ('0x' || substr(md5('v10s:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 4 AS INT) AS shard,
        |        row_number() OVER (PARTITION BY split_idx * 4 + ('0x' || substr(md5('v10s:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 4
@@ -695,9 +716,63 @@ object CorpusQueries {
        |       CAST(count(DISTINCT shard * 1000000 + bin) AS BIGINT) AS n_seqs_touched,
        |       min(doc_id) AS first_doc, max(rate_ppm) AS rate_ppm
        |FROM rec GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** v12: per-document attrition report — the curation pipeline's data-
+    * governance deliverable ("why is my doc not in the training set?"):
+    * every doc of v10's input corpus tagged with its FIRST failing stage
+    * (dup_exact → dup_near → low_quality → eval_holdout → contaminated →
+    * mix_sampled_out → kept), in the pipeline's own stage order. Built
+    * from the same [[v10Stages]] relations the manifest uses — five
+    * left joins of tiny id-projections onto the corpus spine, so the
+    * report costs one extra linear pass over relations v10 already
+    * materializes (and at 100 TB it is the doc-level lineage table you
+    * write NEXT TO the packed corpus; auditability is why curation
+    * pipelines keep it). The oracle replays the same membership CASE
+    * over the shared stage CTE chain — the hash match pins every doc's
+    * rejection reason, which transitively re-gates each stage's exact
+    * membership (a stricter check than v10's aggregated manifest).
+    */
+  def v12Attrition(spark: SparkSession, dir: String): DataFrame = {
+    val st = v10Stages(spark, dir)
+    def mark(df: DataFrame, idCol: String, flag: String) =
+      df.select(col(idCol).as("doc_id"), lit(true).as(flag))
+    st.corpus.select("doc_id", "source")
+      .join(mark(st.s1, "doc_id", "in1"), Seq("doc_id"), "left")
+      .join(mark(st.neardup, "doc_id", "nd"), Seq("doc_id"), "left")
+      .join(mark(st.s3, "doc_id", "in3"), Seq("doc_id"), "left")
+      .join(mark(st.contaminated, "doc_id", "ct"), Seq("doc_id"), "left")
+      .join(mark(st.s5, "doc_id", "in5"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        when(col("in1").isNull, "dup_exact")
+          .when(col("nd").isNotNull, "dup_near")
+          .when(col("in3").isNull, "low_quality")
+          .when(col("doc_id") % 11 === 0, "eval_holdout")
+          .when(col("ct").isNotNull, "contaminated")
+          .when(col("in5").isNull, "mix_sampled_out")
+          .otherwise("kept").as("reason"))
+      .orderBy("doc_id")
   }
 
+  val v12Oracle: String =
+    s"""WITH $v10OracleStages
+       |SELECT c.doc_id, c.source,
+       |       CASE WHEN s1.doc_id IS NULL THEN 'dup_exact'
+       |            WHEN nd.db IS NOT NULL THEN 'dup_near'
+       |            WHEN s3.doc_id IS NULL THEN 'low_quality'
+       |            WHEN c.doc_id % 11 = 0 THEN 'eval_holdout'
+       |            WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+       |            WHEN s5.doc_id IS NULL THEN 'mix_sampled_out'
+       |            ELSE 'kept' END AS reason
+       |FROM corpus c
+       |LEFT JOIN s1 ON s1.doc_id = c.doc_id
+       |LEFT JOIN neardup nd ON nd.db = c.doc_id
+       |LEFT JOIN s3 ON s3.doc_id = c.doc_id
+       |LEFT JOIN contaminated ct ON ct.doc_id = c.doc_id
+       |LEFT JOIN s5 ON s5.doc_id = c.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v12_attrition" -> (v12Attrition _),
     "v10_pipeline" -> (v10Pipeline _),
     "v9_curate" -> (v9Curate _),
     "v1_vocab" -> (v1Vocab _),
@@ -710,6 +785,7 @@ object CorpusQueries {
     "v8_chunk" -> (v8Chunk _))
 
   val oracles: Map[String, String] = Map(
+    "v12_attrition" -> v12Oracle,
     "v10_pipeline" -> v10Oracle,
     "v9_curate" -> v9Oracle,
     "v1_vocab" -> v1Oracle,
