@@ -447,7 +447,8 @@ object ScaleProbe {
     val probeList = Seq(
       "t1_token_stats", "t4_fingerprint", "t8_repetition", "t9_lm_score",
       "t12_bm25", "t13_phrase_search", "d3_minhash_lsh", "d10_span_dedup",
-      "d15_segment_dedup", "v6_sequence_pack", "v8_chunk", "v10_pipeline")
+      "d15_segment_dedup", "v6_sequence_pack", "v8_chunk", "v10_pipeline",
+      "d19_setsim_join").filterNot(Skip)
     val rows = probeList.map { name =>
       val fn = SparkEntry.queries(name)
       val base = time(spark, baseDir, name, fn, reps = 2)

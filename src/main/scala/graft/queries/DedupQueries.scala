@@ -1531,11 +1531,19 @@ object DedupQueries {
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         col("a.n").as("na"), col("b.n").as("nb"))
       .distinct()
-    val inter = cand.select("da", "db")
-      .join(sh.select(col("doc_id").as("da"), col("sh64")), "da")
-      .join(sh.select(col("doc_id").as("db"), col("sh64")), Seq("db", "sh64"))
-      .groupBy("da", "db").agg(count(lit(1)).as("i"))
-    cand.join(inter, Seq("da", "db"))
+    // verify on PACKED per-doc arrays (one codegen'd array_intersect per
+    // candidate pair), never by re-exploding candidate × set-size token
+    // rows into a join+groupBy: the doc-LENGTH probe killed the exploded
+    // form — spliced long docs share component shingles, so false
+    // candidates (real token overlap, sub-threshold Jaccard) carry
+    // |set|-row verify cost each, and at 10× tokens the verify shuffle
+    // was candidates × 2·10³ rows. Arrays ship once per candidate side.
+    val arrs = sh.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("sh64"))).as("arr"))
+    cand
+      .join(arrs.select(col("doc_id").as("da"), col("arr").as("aa")), "da")
+      .join(arrs.select(col("doc_id").as("db"), col("arr").as("ab")), "db")
+      .withColumn("i", size(array_intersect(col("aa"), col("ab"))).cast("long"))
       .where(col("i") * 3 >= col("na") + col("nb"))
       .withColumn("jaccard", col("i") * lit(1.0) / (col("na") + col("nb") - col("i")))
       .select("da", "db", "jaccard")

@@ -292,7 +292,80 @@ object UpsertQueries {
       |       lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
       |FROM p2k ORDER BY o_custkey, valid_from""".stripMargin
 
+  /** u9: CDC apply — compacting a change-data-capture feed (op ∈ I/U/D,
+    * per-key monotone sequence numbers) onto a base snapshot, under the
+    * delivery guarantees a real log gives you: AT-LEAST-ONCE (rows may
+    * arrive duplicated — every 3rd change is delivered twice here) and
+    * OUT OF ORDER (the apply must not depend on input order, and doesn't:
+    * redeliveries collapse under `distinct`, then ONE key-partitioned
+    * `max_by(struct(op, value), seq)` picks each key's latest op — the
+    * op-log order never matters). A winning D drops the key (including
+    * keys the base never had: D-after-I both in-feed); a winning U/I
+    * sets the value; keys without changes pass through via the full
+    * outer join. This is the u2 upsert completed to full CRUD — the
+    * Debezium→table compaction shape — and it is one distinct + one
+    * partial-aggregable groupBy + one join, all on the key, so it
+    * parallelizes like any keyed aggregation at any feed size.
+    *
+    * The feed is derived deterministically from the customer table:
+    * %5 → U (+111 cents, seq 1), %7 → D (seq 2), %7∧%2 → re-insert I
+    * (seq 3, balance 55500) — so some keys see U then D (deleted), some
+    * U,D,I (resurrected with the I value), and the md5-picked duplicate
+    * deliveries must be invisible in the output.
+    */
+  def u9CdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("k"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+    val u = base.where(col("k") % 5 === 0)
+      .select(col("k"), lit(1L).as("seq"), lit("U").as("op"),
+        (col("bal_cents") + 111L).as("v"))
+    val d = base.where(col("k") % 7 === 0)
+      .select(col("k"), lit(2L).as("seq"), lit("D").as("op"),
+        lit(null).cast("long").as("v"))
+    val i = base.where(col("k") % 7 === 0 && col("k") % 2 === 0)
+      .select(col("k"), lit(3L).as("seq"), lit("I").as("op"), lit(55500L).as("v"))
+    val feed = u.unionByName(d).unionByName(i)
+    val redelivered = feed.where(
+      pmod(graft.functions.Text.md5Long(concat_ws(":", col("k"), col("seq"))), lit(3)) === 0)
+    val cdc = feed.unionByName(redelivered).distinct()
+    val winners = cdc.groupBy("k")
+      .agg(max_by(struct(col("op"), col("v")), col("seq")).as("w"))
+    base.join(winners, Seq("k"), "full")
+      .where(col("w").isNull || col("w.op") =!= "D")
+      .select(col("k").as("c_custkey"),
+        coalesce(col("w.v"), col("bal_cents")).as("bal_cents"),
+        when(col("w").isNull, "base").otherwise(col("w.op")).as("src"))
+      .orderBy("c_custkey")
+  }
+
+  val u9Oracle: String =
+    """WITH base AS (
+      |  SELECT c_custkey AS k, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      |  FROM customer),
+      |feed AS (
+      |  SELECT k, CAST(1 AS BIGINT) AS seq, 'U' AS op, bal_cents + 111 AS v FROM base WHERE k % 5 = 0
+      |  UNION ALL
+      |  SELECT k, 2, 'D', NULL FROM base WHERE k % 7 = 0
+      |  UNION ALL
+      |  SELECT k, 3, 'I', 55500 FROM base WHERE k % 7 = 0 AND k % 2 = 0),
+      |cdc AS (
+      |  SELECT DISTINCT * FROM (
+      |    SELECT * FROM feed
+      |    UNION ALL
+      |    SELECT * FROM feed
+      |    WHERE ('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || CAST(seq AS VARCHAR)), 1, 15))::BIGINT % 3 = 0)),
+      |w0 AS (SELECT k, max(seq) AS seq FROM cdc GROUP BY 1),
+      |w AS (SELECT c.k, c.op, c.v FROM cdc c JOIN w0 USING (k, seq))
+      |SELECT coalesce(b.k, w.k) AS c_custkey,
+      |       CAST(coalesce(w.v, b.bal_cents) AS BIGINT) AS bal_cents,
+      |       CASE WHEN w.k IS NULL THEN 'base' ELSE w.op END AS src
+      |FROM base b FULL OUTER JOIN w ON b.k = w.k
+      |WHERE w.k IS NULL OR w.op <> 'D'
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u9_cdc_apply" -> (u9CdcApply _),
     "u8_scd2_history" -> (u8Scd2History _),
     "u7_incremental_join" -> (u7IncrementalJoin _),
     "u6_incremental_distinct" -> (u6IncrementalDistinct _),
@@ -303,6 +376,7 @@ object UpsertQueries {
     "u5_incremental_topk" -> (u5IncrementalTopK _))
 
   val oracles: Map[String, String] = Map(
+    "u9_cdc_apply" -> u9Oracle,
     "u8_scd2_history" -> u8Oracle,
     "u7_incremental_join" -> u7Oracle,
     "u6_incremental_distinct" -> u6Oracle,
