@@ -343,6 +343,36 @@ object StreamingOps extends Serializable {
             _.getField("seg")), " ")).as("clean_md5"))
   }
 
+  case class CdcChange(k: Long, seq: Long, op: String, v: java.lang.Long)
+  case class CdcWinner(k: Long, seq: Long, op: String, v: java.lang.Long)
+
+  /** Streaming CDC materialization — u9's serve twin: the change feed
+    * arrives as micro-batches in ANY order, with at-least-once
+    * redelivery, and the state per key is exactly the highest-sequence
+    * op seen so far (a seq + a tag + a value — O(keys), independent of
+    * feed length and redelivery rate). Each batch folds its changes in
+    * and emits every touched key's CURRENT winner (update mode), so the
+    * downstream sink converges to u9's batch compaction under any
+    * delivery interleaving — a later batch carrying an EARLIER sequence
+    * is absorbed without emitting a regression (max keeps the winner),
+    * and redelivered rows are idempotent by the same comparison. The
+    * final table assembles exactly as in batch u9: base ⊔ winners,
+    * winning D drops the key.
+    */
+  def cdcApplyStream(spark: SparkSession, changes: Dataset[CdcChange]): Dataset[CdcWinner] = {
+    import spark.implicits._
+
+    def fold(k: Long, it: Iterator[CdcChange], state: GroupState[CdcWinner]): CdcWinner = {
+      val best = (state.getOption.iterator ++
+        it.map(c => CdcWinner(k, c.seq, c.op, c.v))).maxBy(_.seq)
+      state.update(best)
+      best
+    }
+
+    changes.groupByKey(_.k)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(fold)
+  }
+
   case class PackDoc(doc_id: Long, shard: Int, n_tokens: Long)
   case class PackState(bin: Long, used: Long)
   case class PackAssign(doc_id: Long, shard: Int, bin: Long, n_tokens: Long)

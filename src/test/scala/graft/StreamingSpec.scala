@@ -321,6 +321,56 @@ class StreamingSpec extends AnyFunSuite {
     index.unpersist()
   }
 
+  test("streaming CDC apply == batch u9 under out-of-order + redelivered batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingOps.CdcChange
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = graft.sources.Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("k"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+    val b = base.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val us = b.filter(_._1 % 5 == 0).map { case (k, bal) => CdcChange(k, 1L, "U", bal + 111L) }
+    val ds = b.filter(_._1 % 7 == 0).map { case (k, _) => CdcChange(k, 2L, "D", null) }
+    val is = b.filter(t => t._1 % 7 == 0 && t._1 % 2 == 0)
+      .map { case (k, _) => CdcChange(k, 3L, "I", 55500L) }
+
+    val mem = MemoryStream[CdcChange]
+    val q = StreamingOps.cdcApplyStream(spark, mem.toDS())
+      .writeStream.format("memory").queryName("cdcw").outputMode("update").start()
+    try {
+      // batch 1: the LATEST ops first (seq 3 before 2 before 1) — the
+      // apply must not read delivery order
+      mem.addData(is.toIndexedSeq: _*)
+      q.processAllAvailable()
+      // batch 2: deletes + half the updates, plus the I ops REDELIVERED
+      // (at-least-once across the batch boundary — must be idempotent)
+      mem.addData((ds ++ us.take(us.length / 2) ++ is).toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(us.drop(us.length / 2).toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // assemble the materialized table exactly as batch u9 does
+    val winners = spark.table("cdcw").groupBy("k")
+      .agg(max_by(struct(col("op"), col("v")), col("seq")).as("w"))
+    val got = base.join(winners, Seq("k"), "full")
+      .where(col("w").isNull || col("w.op") =!= "D")
+      .select(col("k"),
+        coalesce(col("w.v"), col("bal_cents")).as("bal"),
+        when(col("w").isNull, "base").otherwise(col("w.op")).as("src"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val want = graft.queries.UpsertQueries.u9CdcApply(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == want)
+    assert(got.exists(_._3 == "I") && want.count(_._3 == "U") > 0,
+      "resurrections and updates both present")
+    assert(b.map(_._1).count(k => k % 7 == 0 && k % 2 != 0) ==
+      b.length - got.length, "every odd %7 key deleted, nothing else")
+  }
+
   test("stream-static boilerplate removal == batch d18 scrub across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
