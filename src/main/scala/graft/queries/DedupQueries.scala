@@ -93,10 +93,18 @@ object DedupQueries {
     * the gate loudly rather than pass silently). d3's MinHash family was
     * already md5Long-derived, so its per-shingle hashes are unchanged.
     */
-  private def shinglesDf(spark: SparkSession, dir: String): DataFrame = {
-    val sh = tokensDf(spark, dir)
+  /** Uncapped distinct (doc_id, sh64) — the raw relation both the capped
+    * [[shinglesDf]] (d2/d3) and d19's lossless prefix join derive from;
+    * tracked cache so the scan+tokenize+explode runs once per battery.
+    */
+  private def rawShingles(spark: SparkSession, dir: String): DataFrame =
+    tracked(tokensDf(spark, dir)
       .select(col("doc_id"), explode(Text.shingles(col("tk"))).as("shingle"))
       .select(col("doc_id"), Text.md5Long(col("shingle")).as("sh64"))
+      .cache())
+
+  private def shinglesDf(spark: SparkSession, dir: String): DataFrame = {
+    val sh = rawShingles(spark, dir)
     val df = sh.groupBy("sh64").agg(count(lit(1)).as("df"))
       .where(col("df") <= ShingleDfCap)
     sh.join(df, "sh64").select("doc_id", "sh64")
@@ -1513,10 +1521,7 @@ object DedupQueries {
     * knob. (Reference reconciliation shape: yq_dag.py:85-96.)
     */
   def d19SetSimJoin(spark: SparkSession, dir: String): DataFrame = {
-    val sh = tracked(tokensDf(spark, dir)
-      .select(col("doc_id"), explode(Text.shingles(col("tk"))).as("shingle"))
-      .select(col("doc_id"), Text.md5Long(col("shingle")).as("sh64"))
-      .cache())
+    val sh = rawShingles(spark, dir)
     val dfc = sh.groupBy("sh64").agg(count(lit(1)).as("df"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("doc_id").orderBy("df", "sh64")

@@ -101,11 +101,20 @@ object StatQueries {
     * straddles K (cum < K ≤ cum + cnt) — identical to the row-ranked
     * selection for any tie pattern.
     */
-  def x3Percentiles(spark: SparkSession, dir: String): DataFrame = {
-    val perVc = Tables.orders(spark, dir)
+  /** Per-(priority, cents) value histogram — the shared input of x3 and
+    * x18 (structurally identical in both, so Spark's cache manager serves
+    * both from ONE tracked cache entry across a battery run; x18 alone
+    * reads it four times).
+    */
+  private def priceHistogram(spark: SparkSession, dir: String): DataFrame =
+    DedupQueries.tracked(Tables.orders(spark, dir)
       .groupBy(col("o_orderpriority").as("g"),
         round(col("o_totalprice") * 100).cast("long").as("v"))
       .agg(count(lit(1)).as("cnt"))
+      .cache())
+
+  def x3Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val perVc = priceHistogram(spark, dir)
     val sizes = perVc.groupBy("g").agg(sum("cnt").as("n"))
     val cum = cumBelow(perVc, Seq("g"), "cnt").join(broadcast(sizes), "g")
     def pick(p: Double) = {
@@ -837,10 +846,7 @@ object StatQueries {
     * bit-exactly by construction.
     */
   def x18MadOutliers(spark: SparkSession, dir: String): DataFrame = {
-    val perVc = Tables.orders(spark, dir)
-      .groupBy(col("o_orderpriority").as("g"),
-        round(col("o_totalprice") * 100).cast("long").as("c"))
-      .agg(count(lit(1)).as("cnt"))
+    val perVc = priceHistogram(spark, dir)
     val sizes = perVc.groupBy("g").agg(sum("cnt").as("n"))
     def medianOf(perV: DataFrame): DataFrame =
       cumBelow(perV, Seq("g"), "cnt")
@@ -848,17 +854,16 @@ object StatQueries {
         .where(col("cum") < expr("(n + 1) DIV 2") &&
           col("cum") + col("cnt") >= expr("(n + 1) DIV 2"))
         .select("g", "v")
-    val med = medianOf(perVc.select(col("g"), col("c").as("v"), col("cnt")))
-      .withColumnRenamed("v", "med")
+    val med = medianOf(perVc).withColumnRenamed("v", "med")
     val devPerV = perVc.join(broadcast(med), "g")
-      .groupBy(col("g"), abs(col("c") - col("med")).as("v"))
+      .groupBy(col("g"), abs(col("v") - col("med")).as("v"))
       .agg(sum("cnt").as("cnt"))
     val mad = medianOf(devPerV).withColumnRenamed("v", "mad")
     perVc.join(broadcast(med), "g").join(broadcast(mad), "g")
       .groupBy("g")
       .agg(sum("cnt").as("n_rows"),
         max("med").as("med_cents"), max("mad").as("mad_cents"),
-        sum(when(abs(col("c") - col("med")) > col("mad") * 3, col("cnt"))
+        sum(when(abs(col("v") - col("med")) > col("mad") * 3, col("cnt"))
           .otherwise(lit(0L))).as("n_outliers"))
       .select(col("g").as("o_orderpriority"), col("n_rows"),
         col("med_cents"), col("mad_cents"), col("n_outliers"))
