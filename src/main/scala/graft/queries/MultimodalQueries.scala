@@ -289,7 +289,83 @@ object MultimodalQueries {
       |FROM db d LEFT JOIN sym ON sym.doc_id = d.doc_id
       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
+  /** m8: CROSS-MODAL asset dedup — the joint image+caption grouping a
+    * multimodal corpus needs (the LAION-style rule: two records are the
+    * same ASSET if their caption text matches exactly OR their images
+    * are perceptually identical; either modality alone under-merges —
+    * re-crawls keep the caption but re-encode the image, mirrored assets
+    * keep the image under a rewritten caption). Corpus = documents plus
+    * d1's re-crawl replicas (every 10th doc re-appears, same caption;
+    * the texture formula gives the replica the SAME image, so both edge
+    * kinds fire). Each modality contributes STAR edges (doc → min doc of
+    * its md5(caption) / dHash group — linear in docs, never pairwise
+    * cliques), and [[graft.operators.ConnectedComponents.alternatingStars]]
+    * merges the two edge sets into asset components labeled by global
+    * min id. The oracle replays both groupings closed-form (m6's dHash
+    * formula, never decoding) + reachability — the hash match certifies
+    * the cross-modal merge exactly.
+    */
+  def m8CrossModalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val corpus = docs.unionByName(
+      docs.where(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    val textEdges = corpus.select(col("doc_id").as("a"),
+      min("doc_id").over(
+        Window.partitionBy(md5(graft.functions.Text.normText(col("text"))))).as("b"))
+    val imgEdges = MultimodalOps.decodeDHash(spark,
+        MultimodalOps.syntheticTexturedImages(spark, corpus)).toDF()
+      .select(col("doc_id").as("a"),
+        min("doc_id").over(Window.partitionBy("dhash")).as("b"))
+    val labels = graft.operators.ConnectedComponents
+      .alternatingStars(textEdges.unionByName(imgEdges))
+    labels.join(labels.groupBy("comp").agg(count(lit(1)).as("asset_size")), "comp")
+      .select(col("id").as("doc_id"), col("comp").as("asset_id"), col("asset_size"))
+      .orderBy("doc_id")
+  }
+
+  val m8Oracle: String =
+    """WITH RECURSIVE corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+      |d AS (SELECT doc_id, doc_id % 50 AS seed, (doc_id // 50) % 2 AS pert FROM corpus),
+      |db AS (
+      |  SELECT d.doc_id,
+      |         CAST(sum(CASE WHEN ((seed * 2654435761 + (((x.i + 1) * 24) // 9) * (((x.i + 1) * 24) // 9) * 40503
+      |                              + ((y.i * 16) // 8) * ((y.i * 16) // 8) * 9973
+      |                              + (((x.i + 1) * 24) // 9) * ((y.i * 16) // 8) * 7919
+      |                              + seed * (((x.i + 1) * 24) // 9) * 12007 + seed * ((y.i * 16) // 8) * 3571) % 255)
+      |                         > ((seed * 2654435761 + ((x.i * 24) // 9) * ((x.i * 24) // 9) * 40503
+      |                              + ((y.i * 16) // 8) * ((y.i * 16) // 8) * 9973
+      |                              + ((x.i * 24) // 9) * ((y.i * 16) // 8) * 7919
+      |                              + seed * ((x.i * 24) // 9) * 12007 + seed * ((y.i * 16) // 8) * 3571) % 255)
+      |                  THEN CASE WHEN y.i * 8 + x.i = 63 THEN -9223372036854775808
+      |                            ELSE 1::BIGINT << (y.i * 8 + x.i) END
+      |                  ELSE 0 END) AS BIGINT) AS dhash
+      |  FROM d, unnest(range(0, 8)) AS x(i), unnest(range(0, 8)) AS y(i)
+      |  GROUP BY d.doc_id),
+      |tg AS (SELECT doc_id,
+      |              min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS rep
+      |       FROM corpus),
+      |ig AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY dhash) AS rep FROM db),
+      |und AS (
+      |  SELECT doc_id AS a, rep AS b FROM tg UNION SELECT rep, doc_id FROM tg
+      |  UNION SELECT doc_id, rep FROM ig UNION SELECT rep, doc_id FROM ig),
+      |reach(id, m) AS (
+      |  SELECT DISTINCT a, a FROM und
+      |  UNION
+      |  SELECT r.id, u.b FROM reach r JOIN und u ON u.a = r.m),
+      |comp AS (SELECT id AS doc_id, min(m) AS asset_id FROM reach GROUP BY 1),
+      |csizes AS (SELECT asset_id, count(*) AS asset_size FROM comp GROUP BY 1)
+      |SELECT c.doc_id, CAST(c.asset_id AS BIGINT) AS asset_id,
+      |       CAST(s.asset_size AS BIGINT) AS asset_size
+      |FROM comp c JOIN csizes s USING (asset_id)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m8_crossmodal_dedup" -> (m8CrossModalDedup _),
     "m7_phash_neardup" -> (m7PhashNeardup _),
     "m6_perceptual_dedup" -> (m6PerceptualDedup _),
     "m1_media_meta" -> (m1MediaMeta _),
@@ -299,6 +375,7 @@ object MultimodalQueries {
     "m5_audio_decode" -> (m5AudioDecode _))
 
   val oracles: Map[String, String] = Map(
+    "m8_crossmodal_dedup" -> m8Oracle,
     "m7_phash_neardup" -> m7Oracle,
     "m6_perceptual_dedup" -> m6Oracle,
     "m1_media_meta" -> m1Oracle,
