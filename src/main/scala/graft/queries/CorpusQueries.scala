@@ -516,11 +516,17 @@ object CorpusQueries {
       .join(sh.as("x"), col("x.doc_id") === col("da"))
       .join(sh.as("y"), col("y.doc_id") === col("db") && col("y.sh64") === col("x.sh64"))
       .groupBy("da", "db").agg(count(lit(1)).as("i"))
-    val neardup = inter
+    // the id-list / per-doc-score stage outputs (neardup, lm,
+    // contaminated) are tracked-cached too: they're tiny (≤ one row per
+    // doc) but their LINEAGE is the expensive part of the chain (band
+    // join + verify; bigram explode; 8-gram explode + eval join) — v12
+    // replays all three without these, and a battery run pays the chain
+    // twice (v12 measured 6.1 s vs v10's 3.5 s before the caches)
+    val neardup = tracked(inter
       .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
       .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
       .where(col("i") * lit(1.0) / (col("na") + col("nb") - col("i")) >= 0.5)
-      .select(col("db").as("doc_id")).distinct()
+      .select(col("db").as("doc_id")).distinct().cache())
     // persisted: the LM stage (tok2/big), the quality join (s3), and the
     // decontamination grams all read the deduped survivor relation
     val s2 = tracked(toks.join(neardup, Seq("doc_id"), "left_anti").cache())
@@ -536,7 +542,7 @@ object CorpusQueries {
     val refCtx = refBig.groupBy("w1").agg(sum("b").as("c"))
     val vocab = tok2.where(col("doc_id") % 3 === 0)
       .select(explode(col("tk")).as("w")).agg(countDistinct("w").as("v"))
-    val lm = big
+    val lm = tracked(big
       .join(refBig, Seq("w1", "w2"), "left")
       .join(refCtx, Seq("w1"), "left")
       .crossJoin(broadcast(vocab)) // 1-row scalar, benign
@@ -545,6 +551,7 @@ object CorpusQueries {
           (coalesce(col("c"), lit(0L)) + col("v"))).cast("long").as("ppb"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("ppb").as("score_ppb"))
+      .cache())
     // RELATIVE LM gate: keep docs whose per-bigram average clears 90% of
     // the corpus-wide average. An absolute ppb floor is corpus-dependent —
     // add-one smoothing divides by (c + V), and V grows with the corpus,
@@ -567,8 +574,8 @@ object CorpusQueries {
     // benchmark set), never the raw crawl.
     val grams = s2.select(col("doc_id"), explode(Text.shingles(col("tk"), NGram)).as("gram"))
     val ev = grams.where(col("doc_id") % 11 === 0).select("gram").distinct()
-    val contaminated = grams.where(col("doc_id") % 11 =!= 0)
-      .join(ev, "gram").select("doc_id").distinct()
+    val contaminated = tracked(grams.where(col("doc_id") % 11 =!= 0)
+      .join(ev, "gram").select("doc_id").distinct().cache())
     val s4 = s3.where(col("doc_id") % 11 =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
     // stage 5 — temperature mix (α = 0.5 → √-flattened integer-ppm rates) + split.
