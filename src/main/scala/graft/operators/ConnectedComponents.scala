@@ -195,4 +195,38 @@ object ConnectedComponents {
     nodes.join(stars, Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
+
+  /** Incremental maintenance: fold a Δ edge set into standing labels by
+    * GRAPH CONTRACTION — each Δ endpoint is replaced by its standing
+    * component label (or itself if unseen), edges internal to a standing
+    * component vanish, and the alternating-stars loop runs only on the
+    * contracted graph, whose node count is bounded by |Δ| — the corpus
+    * is never re-clustered. Labels stay canonical (min id): a contracted
+    * node IS a standing component's min, so the merged minimum is the
+    * global minimum.
+    *
+    * @param base  standing labels (id, comp) — comp = min id of component
+    * @param delta new undirected edges (two long columns)
+    * @return (id, comp) for every base node and every Δ endpoint —
+    *         identical to a full recompute over base-edges ∪ Δ
+    */
+  def incremental(base: DataFrame, delta: DataFrame): DataFrame = {
+    val d = delta.toDF("a", "b")
+    val contracted = d
+      .join(base.select(col("id").as("a"), col("comp").as("ra")), Seq("a"), "left")
+      .join(base.select(col("id").as("b"), col("comp").as("rb")), Seq("b"), "left")
+      .select(coalesce(col("ra"), col("a")).as("a"),
+        coalesce(col("rb"), col("b")).as("b"))
+      .where(col("a") =!= col("b"))
+    val relabel = alternatingStars(contracted)
+    val nodes = base.select("id").unionByName(
+        d.select(col("a").as("id"))).unionByName(
+        d.select(col("b").as("id")))
+      .distinct()
+    nodes
+      .join(base.select(col("id"), col("comp").as("r0")), Seq("id"), "left")
+      .withColumn("r", coalesce(col("r0"), col("id")))
+      .join(relabel.select(col("id").as("r"), col("comp").as("c2")), Seq("r"), "left")
+      .select(col("id"), coalesce(col("c2"), col("r")).as("comp"))
+  }
 }

@@ -1613,20 +1613,8 @@ object DedupQueries {
     val resident = pairs.where(!col("is_new")).select("da", "db")
     val delta = pairs.where(col("is_new")).select("da", "db")
     val base = graft.operators.ConnectedComponents.alternatingStars(resident)
-    val contracted = delta
-      .join(base.select(col("id").as("da"), col("comp").as("ra")), Seq("da"), "left")
-      .join(base.select(col("id").as("db"), col("comp").as("rb")), Seq("db"), "left")
-      .select(coalesce(col("ra"), col("da")).as("a"),
-        coalesce(col("rb"), col("db")).as("b"))
-      .where(col("a") =!= col("b"))
-    val relabel = graft.operators.ConnectedComponents.alternatingStars(contracted)
-    val nodes = pairs.select(col("da").as("doc_id"))
-      .unionAll(pairs.select(col("db").as("doc_id"))).distinct()
-    val lbl = nodes
-      .join(base.select(col("id").as("doc_id"), col("comp").as("r0")), Seq("doc_id"), "left")
-      .withColumn("r", coalesce(col("r0"), col("doc_id")))
-      .join(relabel.select(col("id").as("r"), col("comp").as("c2")), Seq("r"), "left")
-      .select(col("doc_id"), coalesce(col("c2"), col("r")).as("component"))
+    val lbl = graft.operators.ConnectedComponents.incremental(base, delta)
+      .select(col("id").as("doc_id"), col("comp").as("component"))
     lbl.join(lbl.groupBy("component").agg(count(lit(1)).as("cluster_size")), "component")
       .select("doc_id", "component", "cluster_size")
       .orderBy("doc_id")

@@ -46,4 +46,35 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 5L))
   }
+
+  test("incremental delta fold == full recompute on every delta shape") {
+    import spark.implicits._
+    def run(baseEdges: Seq[(Long, Long)], delta: Seq[(Long, Long)]): (Map[Long, Long], Map[Long, Long]) = {
+      val base = ConnectedComponents.alternatingStars(baseEdges.toDF("a", "b"))
+      val inc = ConnectedComponents.incremental(base, delta.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val full = ConnectedComponents.alternatingStars((baseEdges ++ delta).toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (inc, full)
+    }
+    // base: {1,2,3} and {10,11}; delta exercises every shape at once:
+    //  - bridge two standing components (3-10) -> merged under min 1
+    //  - edge internal to a standing component (1-3) -> no-op
+    //  - chain of brand-new nodes (20-21-22) -> new component
+    //  - new node attached to an old component (11-30)
+    val (inc, full) = run(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)),
+      Seq((3L, 10L), (1L, 3L), (20L, 21L), (21L, 22L), (11L, 30L)))
+    assert(inc == full)
+    assert(inc(10L) == 1L && inc(30L) == 1L, "bridged + attached both under global min")
+    assert(inc(22L) == 20L, "new-node chain labels by its own min")
+
+    // delta-only intra-component edge: labels must be byte-identical to base
+    val (inc2, full2) = run(Seq((1L, 2L), (2L, 3L)), Seq((1L, 2L)))
+    assert(inc2 == full2 && inc2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+
+    // empty delta: pass-through
+    val (inc3, full3) = run(Seq((4L, 5L)), Seq.empty)
+    assert(inc3 == full3 && inc3 == Map(4L -> 4L, 5L -> 4L))
+  }
 }
