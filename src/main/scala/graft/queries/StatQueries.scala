@@ -156,8 +156,10 @@ object StatQueries {
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** x5: sketch percentiles (`percentile_approx` — Greenwald-Khanna
-    * summaries, mergeable, constant memory). The scale path to x3: the
-    * exact rank selection needs a per-group sort; the sketch needs one
+    * summaries, mergeable, constant memory). Complementary to x3's exact
+    * histogram selection: x3 shuffles one row per DISTINCT value (fine
+    * for bounded value domains like integer cents); the sketch stays
+    * constant-size even over unbounded-domain columns and merges in one
     * combinable pass. No DuckDB oracle (sketch internals are
     * engine-specific) — rows-only check; ApproxOpsSpec brackets each
     * estimate between exact neighbor percentiles.
