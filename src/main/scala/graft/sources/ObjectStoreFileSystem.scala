@@ -47,6 +47,29 @@ final class ObjectStoreFileSystem extends RawLocalFileSystem {
       progress: org.apache.hadoop.util.Progressable): org.apache.hadoop.fs.FSDataOutputStream =
     throw new IOException("objstore: object stores do not support append")
 
+  /** `listFiles(recursive = true)` is a first-class object-store verb (S3A
+    * serves it from one flat paged LIST), and `VersionedStore` leans on it
+    * to read all `_committed` markers in a single listing. The inherited
+    * default builds `LocatedFileStatus` from `RawLocalFileSystem`'s
+    * deprecated lazily-permission-loading statuses, which choke on the
+    * `objstore://` scheme — materialize the statuses here instead (object
+    * stores have no permissions or block locations anyway).
+    */
+  override def listLocatedStatus(p: Path): org.apache.hadoop.fs.RemoteIterator[org.apache.hadoop.fs.LocatedFileStatus] = {
+    val sts = listStatus(p)
+    new org.apache.hadoop.fs.RemoteIterator[org.apache.hadoop.fs.LocatedFileStatus] {
+      private var i = 0
+      override def hasNext: Boolean = i < sts.length
+      override def next(): org.apache.hadoop.fs.LocatedFileStatus = {
+        val st = sts(i); i += 1
+        new org.apache.hadoop.fs.LocatedFileStatus(
+          st.getLen, st.isDirectory, st.getReplication, st.getBlockSize,
+          st.getModificationTime, st.getAccessTime, null, null, null, null,
+          st.getPath, null)
+      }
+    }
+  }
+
   /** S3A-shaped rename: copy every object under `src` to its `dst`
     * counterpart (all copies first), then delete the source tree. Hadoop
     * rename semantics preserved as S3A implements them: existing-directory

@@ -102,9 +102,24 @@ final class VersionedStore(val base: String) {
     */
   def versions(spark: SparkSession): Seq[Long] = {
     val live = currentVersion(spark)
+    committedOnDisk(spark).filter(v => v > 0 && v <= live)
+  }
+
+  /** Versions carrying a `_committed` marker, from ONE recursive listing of
+    * `base` — the markers appear in the same paged LIST as the version
+    * directories, so a long history costs one listing, not one exists() RPC
+    * per version (object stores price the round trips, not the page size).
+    */
+  private def committedOnDisk(spark: SparkSession): Seq[Long] = {
     val f = fs(spark)
-    versionsOnDisk(spark).filter(v => v > 0 && v <= live &&
-      f.exists(new Path(versionDir(v), "_committed")))
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    val it = f.listFiles(new Path(base), true)
+    while (it.hasNext) {
+      val p = it.next().getPath
+      if (p.getName == "_committed" && p.getParent.getName.startsWith("v="))
+        out += p.getParent.getName.stripPrefix("v=").toLong
+    }
+    out.sorted.toSeq
   }
 
   /** Write `df` as the next snapshot and atomically publish it.
@@ -266,6 +281,15 @@ final class VersionedStore(val base: String) {
     val claim = new Path(base, s"_claims/claim-$live")
     if (!f.exists(claim)) return None
     val stagingName = readSmall(f, claim)
+    // a crash between create(claim) and write/close leaves the claim file
+    // visible but EMPTY (HDFS create-then-write window): an empty name would
+    // resolve staging to the _staging/ ROOT and copyTree would merge every
+    // orphaned staging dir into one committed snapshot. Refuse anything that
+    // is not a direct, UUID-shaped child — the only names stageSnapshot mints.
+    require(stagingName.nonEmpty,
+      s"$base: claim-$live is empty (writer died before recording its staging name) - delete the claim and re-run the writer")
+    require(stagingName.matches("[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"),
+      s"$base: claim-$live names '$stagingName', not a UUID-shaped direct child of _staging/")
     val staging = new Path(base, s"_staging/$stagingName")
     val intentP = new Path(base, s"_claims/intent-$live")
     val next =
@@ -366,9 +390,9 @@ final class VersionedStore(val base: String) {
     // crashed-writer gaps in the numbering must not eat into the reader /
     // time-travel grace window. Orphans (no `_committed` marker: crashed
     // below live, or in-flight-shaped above it) are doomed at any horizon.
-    val keepSet = versionsOnDisk(spark)
-      .filter(v => v <= live && f.exists(new Path(versionDir(v), "_committed")))
-      .sorted.takeRight(keep.max(1)).toSet
+    val keepSet = committedOnDisk(spark)
+      .filter(_ <= live)
+      .takeRight(keep.max(1)).toSet
     val doomed = versionsOnDisk(spark).filterNot(keepSet.contains)
     doomed.foreach(v => f.delete(versionDir(v), true))
     // prune claim files STRICTLY below live only: a claim at/above live may
@@ -490,9 +514,21 @@ final class VersionedStore(val base: String) {
           s""""maxValues":${maxs.mkString("{", ",", "}")}}"""
         (r.getAs[String]("__file"), json)
       }
+      // input_file_name() returns a URI-ENCODED uri string while AddFile.rel
+      // comes from raw FileStatus names — decode through java.net.URI so
+      // partition values with special characters still match, and key an
+      // exact Map on the snapshot-relative suffix (the last `depth`
+      // components) for O(files) total lookup instead of O(files²) find.
+      val depth = files.headOption.map(_.rel.count(_ == '/') + 1).getOrElse(0)
+      val byRel = byFile.map { case (raw, json) =>
+        val decoded =
+          try new Path(new java.net.URI(raw)).toUri.getPath
+          catch { case _: java.net.URISyntaxException => raw }
+        (decoded.split('/').takeRight(depth).mkString("/"), json)
+      }.toMap
       files.map { a =>
-        byFile.find(_._1.endsWith("/" + a.rel)) match {
-          case Some((_, json)) => a.copy(stats = json)
+        byRel.get(a.rel) match {
+          case Some(json) => a.copy(stats = json)
           case None => a // zero-row or unmatched file: no stats, never pruned
         }
       }

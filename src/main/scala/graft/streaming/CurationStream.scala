@@ -187,8 +187,12 @@ object CurationStream {
         val sp = batch.sparkSession
         val state = stateBefore(sp, stateDir, batchId).getOrElse(initState)
         val (asg, newState) = curateBatch(batch.toDF(), idx, state, budget)
+        // dynamic mode PER WRITE: a replayed batch must overwrite only its
+        // own batch= partition; on a vanilla session (static default) this
+        // mode(overwrite) would truncate every earlier batch's output
         asg.withColumn("batch", lit(batchId))
-          .write.mode("overwrite").partitionBy("batch").parquet(outDir)
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch").parquet(outDir)
         newState.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
         ()
       }

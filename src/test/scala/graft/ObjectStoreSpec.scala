@@ -140,6 +140,37 @@ class ObjectStoreSpec extends AnyFunSuite {
     assert(st.partitioningOf(spark, 2L) == Seq("cid"))
   }
 
+  test("zero-byte claim (crash between create and write): recovery refuses loudly instead of resolving staging to the _staging/ root") {
+    import spark.implicits._
+    ObjectStoreFileSystem.clearFaults()
+    val st = freshStore()
+    st.write(spark, (1 to 100).toDF("n"))
+
+    // two unrelated orphaned staging dirs — the hazard is copyTree merging
+    // them all into one committed snapshot via an empty staging name
+    st.stageSnapshot(spark, (1 to 5).toDF("n"))
+    st.stageSnapshot(spark, (1 to 9).toDF("n"))
+    val f = new org.apache.hadoop.fs.Path(st.base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the HDFS create-then-write window: claim visible but empty
+    f.mkdirs(new org.apache.hadoop.fs.Path(st.base, "_claims"))
+    f.create(new org.apache.hadoop.fs.Path(st.base, "_claims/claim-1"), false).close()
+
+    val boom = intercept[IllegalArgumentException] { st.recoverClaims(spark) }
+    assert(boom.getMessage.contains("empty"))
+    // nothing published, pointer untouched, both staging dirs intact
+    assert(st.currentVersion(spark) == 1L)
+    assert(sumN(st) == 5050L)
+    assert(graft.sources.FsUtil.listDir(spark,
+      new org.apache.hadoop.fs.Path(st.base, "_staging").toString).size == 2)
+
+    // a traversal-shaped claim is refused by the same guard
+    val out = f.create(new org.apache.hadoop.fs.Path(st.base, "_claims/claim-1"), true)
+    out.write("../v=1".getBytes("UTF-8")); out.close()
+    val boom2 = intercept[IllegalArgumentException] { st.recoverClaims(spark) }
+    assert(boom2.getMessage.contains("UUID"))
+  }
+
   test("structured streaming on objstore://: checkpoint, state store, and sink all on rename-less storage; exactly-once across a restart") {
     ObjectStoreFileSystem.clearFaults()
     val local = Files.createTempDirectory("graft-objstream").toString
