@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
@@ -12,43 +12,72 @@ import graft.sources.Tables
   * skews mix/pack decisions; the reference's pipeline feeds an LLM-side
   * consumer, /root/reference/README_en.md:1-10).
   *
-  * Training is classic Sennrich BPE, expressed Spark-first and fully
-  * deterministic (no RNG, lexical tie-breaks):
-  *  - it runs on the WORD-TYPE relation (w, cnt) — Zipf makes types ≪
-  *    tokens, so every merge round touches a vocabulary-sized frame, not
-  *    the corpus. The corpus is scanned exactly twice: once for the word
-  *    counts, once for the final per-doc encode join.
-  *  - each word is a string of sentinel-wrapped symbols
-  *    (`<S>sym<E>` …): applying merge (a,b) is ONE literal
-  *    `replace` — string replace is greedy left-to-right non-overlapping,
-  *    which IS the BPE merge rule, and the per-symbol wrapping makes a
-  *    cross-symbol-boundary false match impossible (a pattern starts with
-  *    `<S>`, which only occurs at symbol starts). DuckDB's `replace`
-  *    has identical semantics, so the oracle replays training verbatim.
-  *  - pair stats count overlapping occurrences weighted by word count
-  *    (the Sennrich rule); the winner is (count DESC, a ASC, b ASC) —
-  *    one vocabulary-sized aggregation + a 1-row collect per round
-  *    (merge ranks are driver state, like k-means centroids).
+  * Training is classic Sennrich BPE as a TWO-TIER job — the architecture
+  * that reaches real vocab sizes (32k–100k merges), where the previous
+  * one-Spark-job-per-merge loop was driver-paced into days:
   *
-  * At 100 TB: word counting is one partial-agg shuffle; the type relation
-  * is capped in practice (min-count floor or top-K types — a 10⁶-type
-  * table saturates BPE statistics); rounds are vocabulary-sized jobs;
-  * the encode is a broadcast join of the type→length table.
+  *  - **Spark tier (corpus-sized, runs twice).** One partial-agg shuffle
+  *    builds the word-TYPE histogram (w, cnt); Zipf makes types ≪ tokens,
+  *    and a [[MaxTypes]] top-K cap (count desc, word asc — replayed in
+  *    the oracle) bounds the histogram at any corpus size: a 10⁶-type
+  *    table saturates BPE pair statistics, and everything below the cap
+  *    is by construction the rarest tail. The second corpus scan is the
+  *    final per-doc encode join against the broadcast type table.
+  *  - **Driver tier (vocabulary-sized, in-memory).** The merge loop runs
+  *    over the collected histogram with incrementally-maintained pair
+  *    counts — after merging (a,b), only words containing an adjacent
+  *    (a,b) change, so each round costs the affected words plus one
+  *    max-scan, not a corpus pass and not even a vocabulary pass. 256
+  *    rounds over a 10⁶-type histogram are seconds; the previous
+  *    formulation spent one full Spark job + driver round-trip per merge
+  *    (measured 79.7 s for just 16 merges at the ×100 probe).
   *
-  * Known codegen note: the 16-deep chained-replace encode expression
-  * exceeds Janino's 64 KB method limit, so that one projection runs
-  * interpreted (Spark's automatic fallback). It only ever evaluates over
-  * the VOCABULARY-sized type relation — the corpus-sized side of the
-  * encode join sees plain codegen — so the fallback is a non-cost by
-  * construction, accepted rather than worked around.
+  * Semantics are bit-identical to the reference formulation both engines
+  * replay: pair stats count ALL adjacent symbol pairs (overlapping
+  * included) weighted by word count; the winner is
+  * (count DESC, a ASC, b ASC); applying a merge is greedy left-to-right
+  * non-overlapping — exactly DuckDB `replace` over sentinel-wrapped
+  * symbols, which is what [[oracleCtes]] unrolls per round, so a hash
+  * match certifies the whole merge table plus every downstream count.
+  *
+  * Out-of-vocabulary contract (only reachable when [[MaxTypes]] binds,
+  * i.e. never at the gate corpora): a word type outside the histogram
+  * encodes as its character count — the untrained-BPE floor — via a LEFT
+  * join + coalesce on both engines.
   */
 object Bpe {
 
-  /** Merge rounds trained/applied everywhere (gate + oracle must agree). */
-  val Rounds = 16
+  /** Merge rounds trained/applied everywhere (gate + oracle must agree).
+    * 256 since the two-tier trainer landed (16 before it); the ceiling is
+    * now the ORACLE side — DuckDB replays one unrolled CTE round per
+    * merge — not training, which does 32k merges in comparable time.
+    */
+  val Rounds = 256
 
-  private val S = "\u0001"
-  private val E = "\u0002"
+  /** Merge count for the ENCODE-gated queries (t14/n12). The gate corpus
+    * draws from a 31-word vocabulary, so training drains (every type a
+    * single symbol) at 89 merges — and a fully-drained vocab makes
+    * n_bpe ≡ n_ws, which would gate the encode join on a tautology. 16
+    * merges keep real subword structure in the gated output; [[Rounds]]
+    * (t15) still drives training to the corpus's full drain point, so the
+    * 256-round capacity and the drain contract stay oracle-pinned.
+    */
+  val EncodeRounds = 16
+
+  /** Histogram cap: top-K word types by (cnt desc, w asc). Never binds at
+    * the gate corpora (≤ ~10⁵ types); at 100 TB it bounds driver memory
+    * while keeping every statistically-relevant type (the tail below a
+    * 10⁶-type cap is singleton noise for pair statistics).
+    */
+  val MaxTypes = 1000000
+
+  /** The trained model: ranked merges (a, b, pairCount) and the final
+    * type→subword-count table (w, n_sym) — the broadcast side of every
+    * encode join, taken directly from the trainer's end state instead of
+    * re-deriving it with a merges-deep replace chain.
+    */
+  final case class BpeModel(merges: Seq[(String, String, Long)],
+                            types: Seq[(String, Long)])
 
   /** Word-type relation (w, cnt) over whitespace tokens of normText. */
   def wordTypes(spark: SparkSession, dir: String): DataFrame =
@@ -56,79 +85,122 @@ object Bpe {
       .select(explode(Text.tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
 
-  /** Initial symbolization: every character sentinel-wrapped. */
-  private def wrapInit(w: Column): Column =
-    array_join(
-      transform(filter(split(w, ""), c => c =!= lit("")),
-        c => concat(lit(S), c, lit(E))),
-      "")
-
-  /** Wrapped string → symbol array. */
-  private def syms(sym: Column): Column =
-    filter(split(translate(sym, S, ""), E), x => x =!= lit(""))
-
-  private def applyMerge(sym: Column, a: String, b: String): Column =
-    call_function("replace", sym, lit(S + a + E + S + b + E), lit(S + a + b + E))
-
-  /** Train `rounds` merges; returns (a, b, pairCount) in rank order
-    * (possibly shorter if the pair space drains first).
+  /** Train `rounds` merges over the capped type histogram (possibly fewer
+    * if the pair space drains first).
     */
-  def train(spark: SparkSession, dir: String, rounds: Int = Rounds): Seq[(String, String, Long)] = {
-    var cur = wordTypes(spark, dir)
-      .select(col("cnt"), wrapInit(col("w")).as("sym"))
-      .localCheckpoint()
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-    var drained = false
-    for (_ <- 1 to rounds if !drained) {
-      val s = syms(col("sym"))
-      val best = cur.where(size(s) >= 2)
-        .select(col("cnt"), explode(transform(sequence(lit(1), size(s) - 1),
-          i => struct(element_at(s, i).as("a"), element_at(s, i + 1).as("b")))).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b")).agg(sum("cnt").as("c"))
-        .orderBy(col("c").desc, col("a"), col("b")).limit(1).collect()
-      if (best.isEmpty) drained = true
-      else {
-        val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((a, b, c))
-        cur = cur.withColumn("sym", applyMerge(col("sym"), a, b)).localCheckpoint()
+  def train(spark: SparkSession, dir: String, rounds: Int = Rounds): BpeModel = {
+    val wt = wordTypes(spark, dir)
+    // cheap common path: collect unordered when the cap provably can't
+    // bind; the top-K sort only runs when it would actually truncate
+    val rows =
+      if (wt.count() <= MaxTypes) wt.collect()
+      else wt.orderBy(col("cnt").desc, col("w")).limit(MaxTypes).collect()
+    val hist = rows.map(r => (r.getString(0), r.getLong(1)))
+    trainInMemory(hist, rounds)
+  }
+
+  /** The driver-tier merge loop. Package-private so specs can drive it on
+    * synthetic histograms without a SparkSession.
+    */
+  private[graft] def trainInMemory(hist: Array[(String, Long)],
+                                   rounds: Int): BpeModel = {
+    import scala.collection.mutable
+    // symbol sequences per type, split at code points (both engines split
+    // the raw word into characters for round 0)
+    val words: Array[Array[String]] = hist.map { case (w, _) =>
+      w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    }
+    val cnts: Array[Long] = hist.map(_._2)
+
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    // pair → word indices that contained it at SOME point (append-only;
+    // stale members are harmless — re-merging a word without the pair is
+    // an exact no-op diff)
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.ArrayBuffer[Int]]
+    val inSet = mutable.HashSet.empty[(Int, (String, String))]
+
+    def diffWord(i: Int, sign: Long): Unit = {
+      val s = words(i)
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        val c = pairCount.getOrElse(p, 0L) + sign * cnts(i)
+        if (c == 0L) pairCount.remove(p) else pairCount(p) = c
+        if (sign > 0 && inSet.add((i, p)))
+          pairWords.getOrElseUpdate(p, mutable.ArrayBuffer.empty) += i
+        j += 1
       }
     }
-    merges.toSeq
-  }
+    words.indices.foreach(diffWord(_, 1L))
 
-  /** Type→subword-count table after applying `merges` in rank order —
-    * the broadcast side of every encode join.
-    */
-  def typeTokens(spark: SparkSession, dir: String,
-                 merges: Seq[(String, String, Long)]): DataFrame = {
-    val enc = merges.foldLeft(wrapInit(col("w"))) { case (sym, (a, b, _)) =>
-      applyMerge(sym, a, b)
+    // greedy left-to-right non-overlapping — the `replace` rule
+    def applyMerge(s: Array[String], a: String, b: String): Array[String] = {
+      val out = mutable.ArrayBuffer.empty[String]
+      var j = 0
+      while (j < s.length) {
+        if (j < s.length - 1 && s(j) == a && s(j + 1) == b) { out += a + b; j += 2 }
+        else { out += s(j); j += 1 }
+      }
+      out.toArray
     }
-    wordTypes(spark, dir).select(col("w"), size(syms(enc)).cast("long").as("n_sym"))
+
+    val merges = mutable.ArrayBuffer.empty[(String, String, Long)]
+    var r = 0
+    while (r < rounds && pairCount.nonEmpty) {
+      var bestA: String = null; var bestB: String = null; var bestC = -1L
+      pairCount.foreach { case ((a, b), c) =>
+        if (c > bestC || (c == bestC &&
+            (a < bestA || (a == bestA && b < bestB)))) {
+          bestA = a; bestB = b; bestC = c
+        }
+      }
+      merges += ((bestA, bestB, bestC))
+      pairWords.getOrElse((bestA, bestB), mutable.ArrayBuffer.empty).foreach { i =>
+        val merged = applyMerge(words(i), bestA, bestB)
+        if (merged.length != words(i).length) {
+          diffWord(i, -1L)
+          words(i) = merged
+          diffWord(i, 1L)
+        }
+      }
+      r += 1
+    }
+    BpeModel(merges.toSeq,
+      hist.indices.map(i => (hist(i)._1, words(i).length.toLong)))
   }
 
-  /** Per-doc (doc_id, n_ws, n_bpe): whitespace vs BPE token counts. */
-  def docTokens(spark: SparkSession, dir: String,
-                merges: Seq[(String, String, Long)]): DataFrame =
+  /** Type→subword-count DataFrame (w, n_sym) from the trained model. */
+  def typeTokens(spark: SparkSession, model: BpeModel): DataFrame = {
+    val s2 = spark; import s2.implicits._
+    model.types.toDF("w", "n_sym")
+  }
+
+  /** Per-doc (doc_id, n_ws, n_bpe): whitespace vs BPE token counts. A
+    * type outside the capped histogram (never at gate corpora) falls back
+    * to its character count — replayed by the oracle's LEFT JOIN.
+    */
+  def docTokens(spark: SparkSession, dir: String, model: BpeModel): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
-      .join(broadcast(typeTokens(spark, dir, merges)), "w")
+      .join(broadcast(typeTokens(spark, model)), Seq("w"), "left")
+      .withColumn("n_sym", coalesce(col("n_sym"), length(col("w")).cast("long")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_ws"), sum("n_sym").as("n_bpe"))
 
   // ------------------------------------------------------------ oracle
 
-  /** CTE chain replaying training verbatim in DuckDB: `w0..wN` (wrapped
-    * vocab per round), `b1..bN` (per-round winning pair + count), `tt`
-    * (type→subword count), `dw` (doc_id, w) for encode tails. Callers
-    * append their own final SELECT.
+  /** CTE chain replaying training verbatim in DuckDB: `wc` (capped type
+    * histogram), `w0..wN` (wrapped vocab per round), `b1..bN` (per-round
+    * winning pair + count), `tt` (type→subword count), `dw` (doc_id, w)
+    * for encode tails. Callers append their own final SELECT.
     */
   def oracleCtes(rounds: Int = Rounds): String = {
     val head =
-      """WITH d AS MATERIALIZED (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
+      s"""WITH d AS MATERIALIZED (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM documents),
         |dw AS MATERIALIZED (SELECT doc_id, w FROM (SELECT doc_id, unnest(string_split(norm, ' ')) AS w FROM d) WHERE length(w) > 0),
         |wt AS MATERIALIZED (SELECT w, count(*) AS cnt FROM dw GROUP BY w),
-        |w0 AS MATERIALIZED (SELECT w, cnt, array_to_string(list_transform(string_split(w, ''), c -> chr(1) || c || chr(2)), '') AS sym FROM wt)""".stripMargin
+        |wc AS MATERIALIZED (SELECT w, cnt FROM (SELECT w, cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rn FROM wt) WHERE rn <= $MaxTypes),
+        |w0 AS MATERIALIZED (SELECT w, cnt, array_to_string(list_transform(string_split(w, ''), c -> chr(1) || c || chr(2)), '') AS sym FROM wc)""".stripMargin
     val roundsSql = (1 to rounds).map { k =>
       s"""l$k AS MATERIALIZED (SELECT cnt, list_filter(string_split(replace(sym, chr(1), ''), chr(2)), x -> x <> '') AS l FROM w${k - 1}),
          |p$k AS (SELECT struct_extract(p, 'a') AS a, struct_extract(p, 'b') AS b, sum(cnt) AS c FROM (

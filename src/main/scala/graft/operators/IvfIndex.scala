@@ -80,6 +80,112 @@ final class IvfIndex private (val base: String) {
     }
   }
 
+  /** Re-centering maintenance after append drift — the operator behind
+    * SCALE.md's policy row. [[append]] assigns against frozen centroids
+    * forever, so a drifting crawl grows a few HOT cells without bound:
+    * probe selectivity decays (one probed cell reads an ever-larger list)
+    * while cold cells stay byte-identical for years. This verb restores
+    * balance LOCALLY:
+    *
+    *  1. DETECT from list sizes — parquet footer row counts per `cid=`
+    *     directory, a driver-side metadata read, no Spark job. A cell is
+    *     hot when its list exceeds `hotFactor` × the mean.
+    *  2. RE-LLOYD only the hot cells' vectors (a partition-pruned read of
+    *     exactly those directories): deterministic bottom-k-by-md5
+    *     seeding and the same broadcast-assign/average iteration as
+    *     [[IvfIndex.build]], with Σ⌈size/mean⌉ new sub-cells numbered
+    *     ABOVE every existing cid, so no live cell's id or files are
+    *     reused.
+    *  3. REWRITE only the touched partitions: new `cid=` directories are
+    *     appended, the hot ones deleted; every cold directory is left
+    *     byte-identical (`IvfIndexSpec` pins file lists + mtimes). If PQ
+    *     codes exist, the moved vectors are re-encoded with the FROZEN
+    *     codebooks into matching new `codes/cid=` directories — codes
+    *     depend only on the vector, so moved rows carry identical codes
+    *     and the ADC scan keeps seeing every vector (codebook re-training
+    *     itself stays a full-rebuild decision: codebooks are corpus
+    *     statistics, not per-cell state).
+    *
+    * Centroids are rewritten (always tiny): cold rows verbatim, hot rows
+    * replaced by the new sub-cells. Returns the retired hot cids (empty =
+    * nothing hot, nothing touched).
+    *
+    * SINGLE-MAINTAINER VERB (the vacuum contract): between the append of
+    * the new directories and the delete of the hot ones a concurrent
+    * reader would double-count the moved vectors — production wraps
+    * recenter in the same manifest commit as [[append]]'s exactly-once
+    * note. Crash convergence: re-running recenter converges (hot dirs
+    * either still exist and are re-split, or are gone and the new cells
+    * are already live; the centroid rewrite is last before the deletes).
+    */
+  def recenter(spark: SparkSession, hotFactor: Double = 2.0,
+               lloydIters: Int = 2): Seq[Int] = {
+    graft.GraftSession.prepare(spark)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val aBase = new org.apache.hadoop.fs.Path(s"$base/assignments")
+    val fs = aBase.getFileSystem(conf)
+    def footerCount(dir: org.apache.hadoop.fs.Path): Long =
+      fs.listStatus(dir)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map { st =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf))
+          try r.getRecordCount finally r.close()
+        }.sum
+    val sizes = fs.listStatus(aBase)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cid="))
+      .map(st => (st.getPath.getName.stripPrefix("cid=").toInt, footerCount(st.getPath)))
+      .toSeq
+    require(sizes.nonEmpty, s"$base has no inverted lists to recenter")
+    val mean = sizes.map(_._2).sum.toDouble / sizes.size
+    val hot = sizes.filter(_._2 > hotFactor * mean).sortBy(_._1)
+    if (hot.isEmpty) return Nil
+    val hotIds = hot.map(_._1)
+    val maxCid = sizes.map(_._1).max
+    val nNew = hot.map { case (_, n) => math.max(2, math.ceil(n / mean).toInt) }.sum
+
+    // partition-pruned read of exactly the hot lists
+    val vecs = assignments(spark)
+      .where(col("cid").isin(hotIds.map(Integer.valueOf): _*))
+      .select("vec_id", "v", "n2")
+      .localCheckpoint() // the delete below must not re-trigger this scan
+    var cents = vecs
+      .withColumn("h", md5(concat(lit("ivf:rc:"), col("vec_id").cast("string"))))
+      .orderBy("h").limit(nNew)
+      .withColumn("cid", (row_number().over(
+        Window.partitionBy(substring(col("h"), 1, 0)).orderBy("h")) + maxCid).cast("int"))
+      .select(col("cid"), col("v").as("cv"), col("n2").as("cn2"))
+      .localCheckpoint()
+    (1 to lloydIters).foreach { _ =>
+      cents = IvfIndex.lloydStep(cents, vecs).localCheckpoint()
+    }
+
+    // cold centroids verbatim + new sub-cells; materialize before the
+    // overwrite below reads-while-writing the same path
+    val newCentroids = centroids(spark)
+      .where(!col("cid").isin(hotIds.map(Integer.valueOf): _*))
+      .unionByName(cents)
+      .localCheckpoint()
+
+    val reassigned = IvfIndex.assignTo(cents, vecs).localCheckpoint()
+    reassigned.write.mode(SaveMode.Append).partitionBy("cid").parquet(s"$base/assignments")
+    val hasPq = graft.sources.FsUtil.listDir(spark, base).contains("codebooks")
+    if (hasPq) {
+      val cb = IvfIndex.readCodebooks(spark, base)
+      reassigned.select(col("vec_id"),
+          call_function("graft_pq_encode", IvfIndex.unitQ,
+            typedLit(cb.map(_._1).flatMap(_.flatMap(_.toSeq)).toSeq), lit(cb.length)).as("codes"),
+          col("cid"))
+        .write.mode(SaveMode.Append).partitionBy("cid").parquet(s"$base/codes")
+    }
+    newCentroids.write.mode(SaveMode.Overwrite).parquet(s"$base/centroids")
+    hotIds.foreach { id =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/assignments/cid=$id"), true)
+      if (hasPq) fs.delete(new org.apache.hadoop.fs.Path(s"$base/codes/cid=$id"), true)
+    }
+    hotIds
+  }
+
   /** Top-k cosine neighbors for `queries` (qid, v ARRAY<DOUBLE>), probing
     * `probes` cells per query. The probed-cell union is collected to the
     * driver (bounded by the centroid count, NOT the data — ≤ k ints) and
@@ -193,13 +299,7 @@ object IvfIndex {
       .localCheckpoint()
 
     (1 to lloydIters).foreach { _ =>
-      cents = assignTo(cents, e)
-        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("cid", "dim").agg(avg("x").as("x"))
-        .groupBy("cid").agg(array_sort(collect_list(struct(col("dim"), col("x")))).as("dx"))
-        .select(col("cid"), transform(col("dx"), s => s.getField("x")).as("cv"))
-        .withColumn("cn2", Vectors.norm2D(col("cv")))
-        .localCheckpoint() // truncate lineage between Lloyd rounds
+      cents = lloydStep(cents, e).localCheckpoint() // truncate lineage between rounds
     }
 
     cents.write.mode(SaveMode.Overwrite).parquet(s"$base/centroids")
@@ -207,6 +307,18 @@ object IvfIndex {
       .partitionBy("cid").parquet(s"$base/assignments")
     new IvfIndex(base)
   }
+
+  /** One Lloyd update: assign, then per-(cid, dim) average back into
+    * centroid vectors — shared by [[build]] and [[IvfIndex.recenter]]'s
+    * local re-fit.
+    */
+  private def lloydStep(cents: DataFrame, e: DataFrame): DataFrame =
+    assignTo(cents, e)
+      .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("cid", "dim").agg(avg("x").as("x"))
+      .groupBy("cid").agg(array_sort(collect_list(struct(col("dim"), col("x")))).as("dx"))
+      .select(col("cid"), transform(col("dx"), s => s.getField("x")).as("cv"))
+      .withColumn("cn2", Vectors.norm2D(col("cv")))
 
   /** Nearest-centroid assignment: broadcast join + rank-1 window over
     * (vec_id, v, n2) rows — the one step build iterations, the final

@@ -1575,6 +1575,142 @@ object DedupQueries {
       |WHERE 3 * i >= sa.n + sb.n
       |ORDER BY da, db""".stripMargin
 
+  private val SetSimBudget = 16   // per-doc verify budget B
+  private val SetSimTopK = 3      // per-doc serve size k
+  private val SetSimProbeLen = 16 // rarest prefix tokens a doc probes with (R)
+  private val SetSimPostings = 24 // index entries kept per token (C)
+
+  /** d19b: the BUDGETED serve form of d19 — each doc's [[SetSimTopK]]
+    * nearest set-similarity neighbors (Jaccard ≥ 1/2), with per-doc work
+    * bounded at ANY duplicate-clique structure. d19's exact join is
+    * contractually quadratic inside a clique: a w-wide clique emits
+    * C(w,2) pairs, and — the ×100 probe's real killer — the prefix JOIN
+    * itself is Σ df² per shingle, ~10⁹ rows once every prefix token's df
+    * is the clique width. Three caps, each the standard serving-side
+    * bound, make every stage linear in corpus size:
+    *
+    *  - PROBE cap: a doc probes with only its [[SetSimProbeLen]] rarest
+    *    prefix tokens (most selective first — the AllPairs ordering
+    *    already ranks by ascending df, so the cap keeps the tokens that
+    *    generate the fewest, truest candidates).
+    *  - POSTINGS cap: the index keeps [[SetSimPostings]] entries per
+    *    token (lowest doc_id first — postings-list truncation, as search
+    *    engines bound hot terms). Join rows ≤ docs · R · C.
+    *  - VERIFY budget: of the distinct candidates, only the
+    *    [[SetSimBudget]] with the highest admissible Jaccard bound
+    *    min(|A|,|B|)/max(|A|,|B|) (J ≤ min/max whatever the overlap) are
+    *    verified, ranked in integer arithmetic (`least·10⁶ DIV greatest`)
+    *    so both engines agree bit-for-bit. Output ≤ k rows per doc.
+    *
+    * A budgeted serve's caps ARE its semantics, so the oracle replays the
+    * full chain (df ranks → capped prefix probe → capped postings →
+    * length filter → budget window → list_intersect verify → top-k)
+    * rather than the brute-force definition: inside a clique wider than
+    * the caps they genuinely decide which near-equal neighbors are
+    * served, and the replay is the only definition both engines can
+    * share exactly. d19 remains the exhaustive-audit form whose
+    * brute-force oracle proves the UNCAPPED candidate chain lossless —
+    * the same exhaustive/budgeted split as d5/d5b.
+    * (Reference reconciliation shape: yq_dag.py:85-96.)
+    */
+  def d19bTopSetSim(spark: SparkSession, dir: String): DataFrame = {
+    val sh = rawShingles(spark, dir)
+    val dfc = sh.groupBy("sh64").agg(count(lit(1)).as("df"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id").orderBy("df", "sh64")
+    val pre = sh.join(dfc, "sh64")
+      .join(sizes, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= expr("n DIV 2 + 1"))
+      .select(col("doc_id"), col("sh64"), col("n"), col("rn"))
+    val probe = pre.where(col("rn") <= SetSimProbeLen).drop("rn")
+    val wi = Window.partitionBy("sh64").orderBy("doc_id")
+    val idx = pre.drop("rn")
+      .withColumn("pn", row_number().over(wi))
+      .where(col("pn") <= SetSimPostings)
+      .drop("pn")
+    // symmetric serve: each doc probes for its own list (a <> b keeps both
+    // directions), so the budget window sees every candidate partner once
+    val cand = probe.as("a").join(idx.as("b"), Seq("sh64"))
+      .where(col("a.doc_id") =!= col("b.doc_id") &&
+        col("b.n") * 2 >= col("a.n") && col("a.n") * 2 >= col("b.n"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("partner"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .distinct()
+    val wb = Window.partitionBy("doc_id").orderBy(col("ub").desc, col("partner"))
+    val budgeted = cand
+      .withColumn("ub", expr("(least(na, nb) * 1000000) DIV greatest(na, nb)"))
+      .withColumn("brk", row_number().over(wb))
+      .where(col("brk") <= SetSimBudget)
+      .select("doc_id", "partner", "na", "nb")
+    val arrs = sh.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("sh64"))).as("arr"))
+    val wk = Window.partitionBy("doc_id").orderBy(col("jaccard").desc, col("partner"))
+    budgeted
+      .join(arrs.select(col("doc_id"), col("arr").as("aa")), "doc_id")
+      .join(arrs.select(col("doc_id").as("partner"), col("arr").as("ab")), "partner")
+      .withColumn("i", size(array_intersect(col("aa"), col("ab"))).cast("long"))
+      .where(col("i") * 3 >= col("na") + col("nb"))
+      .withColumn("jaccard", col("i") * lit(1.0) / (col("na") + col("nb") - col("i")))
+      .select("doc_id", "partner", "jaccard") // drop the arrays BEFORE the
+      .withColumn("rk", row_number().over(wk)) // window sort ships rows
+      .where(col("rk") <= SetSimTopK)
+      .select("doc_id", "rk", "partner", "jaccard")
+      .orderBy("doc_id", "rk")
+  }
+
+  /** Full-chain replay (a budgeted serve's caps ARE its semantics — see
+    * [[d19bTopSetSim]]); d19's brute-force oracle remains the
+    * losslessness proof for the shared uncapped candidate generation.
+    */
+  val d19bOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') tk
+       |  FROM documents),
+       |shs AS (
+       |  SELECT doc_id, unnest(list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in range(1, len(tk) - 1)])) AS shingle
+       |  FROM toks WHERE len(tk) >= 3),
+       |sh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS sh64 FROM shs),
+       |dfc AS (SELECT sh64, count(*) df FROM sh GROUP BY 1),
+       |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+       |pre AS (
+       |  SELECT doc_id, sh64, n, rn FROM (
+       |    SELECT s.doc_id, s.sh64, z.n,
+       |           row_number() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.sh64) rn
+       |    FROM sh s JOIN dfc d USING (sh64) JOIN sizes z ON z.doc_id = s.doc_id)
+       |  WHERE rn <= n // 2 + 1),
+       |probe AS (SELECT doc_id, sh64, n FROM pre WHERE rn <= $SetSimProbeLen),
+       |idx AS (
+       |  SELECT doc_id, sh64, n FROM (
+       |    SELECT doc_id, sh64, n,
+       |           row_number() OVER (PARTITION BY sh64 ORDER BY doc_id) pn
+       |    FROM pre)
+       |  WHERE pn <= $SetSimPostings),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS partner, a.n AS na, b.n AS nb
+       |  FROM probe a JOIN idx b ON a.sh64 = b.sh64 AND a.doc_id <> b.doc_id
+       |  WHERE 2 * b.n >= a.n AND 2 * a.n >= b.n),
+       |budgeted AS (
+       |  SELECT doc_id, partner, na, nb FROM (
+       |    SELECT doc_id, partner, na, nb,
+       |           row_number() OVER (PARTITION BY doc_id
+       |             ORDER BY (least(na, nb) * 1000000) // greatest(na, nb) DESC, partner) brk
+       |    FROM cand)
+       |  WHERE brk <= $SetSimBudget),
+       |arrs AS (SELECT doc_id, list_sort(list(sh64)) arr FROM sh GROUP BY 1),
+       |v AS (
+       |  SELECT c.doc_id, c.partner, c.na, c.nb,
+       |         CAST(len(list_intersect(x.arr, y.arr)) AS BIGINT) AS i
+       |  FROM budgeted c JOIN arrs x ON x.doc_id = c.doc_id
+       |                  JOIN arrs y ON y.doc_id = c.partner),
+       |ranked AS (
+       |  SELECT doc_id, partner, i * 1.0 / (na + nb - i) AS jaccard,
+       |         CAST(row_number() OVER (PARTITION BY doc_id
+       |           ORDER BY i * 1.0 / (na + nb - i) DESC, partner) AS INTEGER) AS rk
+       |  FROM v WHERE 3 * i >= na + nb)
+       |SELECT doc_id, rk, partner, jaccard FROM ranked WHERE rk <= $SetSimTopK
+       |ORDER BY doc_id, rk""".stripMargin
+
   /** d20: INCREMENTAL connected components — the Δ-maintenance form of
     * d7's dup-graph clustering, completing the incremental-serve family
     * (d9 fp-index, d14 LSH, d16 segments feed Δ *pairs*; d20 folds them
@@ -1637,6 +1773,7 @@ object DedupQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d20_incremental_cc" -> (d20IncrementalCc _),
     "d19_setsim_join" -> (d19SetSimJoin _),
+    "d19b_top_setsim" -> (d19bTopSetSim _),
     "d18_boilerplate" -> (d18BoilerplateRemoval _),
     "d17_record_linkage" -> (d17RecordLinkage _),
     "d16_incremental_segment_dedup" -> (d16IncrementalSegmentDedup _),
@@ -1660,6 +1797,7 @@ object DedupQueries {
   val oracles: Map[String, String] = Map(
     "d20_incremental_cc" -> d20Oracle,
     "d19_setsim_join" -> d19Oracle,
+    "d19b_top_setsim" -> d19bOracle,
     "d18_boilerplate" -> d18Oracle,
     "d17_record_linkage" -> d17Oracle,
     "d16_incremental_segment_dedup" -> d16Oracle,

@@ -463,8 +463,8 @@ object SamplingQueries {
     import graft.operators.Bpe
     val W = 256L
     val S = 8L
-    val merges = Bpe.train(spark, dir)
-    val toks = Bpe.docTokens(spark, dir, merges)
+    val model = Bpe.train(spark, dir, Bpe.EncodeRounds)
+    val toks = Bpe.docTokens(spark, dir, model)
     val docs = toks.select(col("doc_id"),
       pmod(Text.md5Long(concat(lit("n9s:"), col("doc_id").cast("string"))), lit(S))
         .cast("int").as("shard"),
@@ -477,14 +477,14 @@ object SamplingQueries {
   }
 
   val n12Oracle: String = {
-    val bpe = graft.operators.Bpe.oracleCtes().stripPrefix("WITH ")
+    val bpe = graft.operators.Bpe.oracleCtes(graft.operators.Bpe.EncodeRounds).stripPrefix("WITH ")
     s"""WITH RECURSIVE $bpe,
        |dt AS MATERIALIZED (
        |  SELECT dw.doc_id,
        |         CAST(('0x' || substr(md5('n9s:' || CAST(dw.doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS INT) AS shard,
-       |         CAST(sum(tt.n_sym) AS BIGINT) AS n_tokens,
+       |         CAST(sum(coalesce(tt.n_sym, length(dw.w))) AS BIGINT) AS n_tokens,
        |         CAST(count(*) AS BIGINT) AS n_ws
-       |  FROM dw JOIN tt USING (w) GROUP BY 1),
+       |  FROM dw LEFT JOIN tt USING (w) GROUP BY 1),
        |t AS MATERIALIZED (SELECT doc_id, shard, n_tokens, n_ws,
        |       row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM dt),
        |rec AS (

@@ -584,14 +584,14 @@ object TextQueries {
     */
   def t14Bpe(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Bpe
-    val merges = Bpe.train(spark, dir)
-    Bpe.docTokens(spark, dir, merges).orderBy("doc_id")
+    Bpe.docTokens(spark, dir, Bpe.train(spark, dir, Bpe.EncodeRounds)).orderBy("doc_id")
   }
 
   val t14Oracle: String =
-    s"""${graft.operators.Bpe.oracleCtes()}
-       |SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_ws, CAST(sum(tt.n_sym) AS BIGINT) AS n_bpe
-       |FROM dw JOIN tt USING (w) GROUP BY 1 ORDER BY doc_id""".stripMargin
+    s"""${graft.operators.Bpe.oracleCtes(graft.operators.Bpe.EncodeRounds)}
+       |SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_ws,
+       |       CAST(sum(coalesce(tt.n_sym, length(dw.w))) AS BIGINT) AS n_bpe
+       |FROM dw LEFT JOIN tt USING (w) GROUP BY 1 ORDER BY doc_id""".stripMargin
 
   /** t15: the learned BPE merge table itself — rank, merged symbol, and
     * the winning pair count per round. Hash-gating the vocab directly
@@ -600,19 +600,28 @@ object TextQueries {
   def t15BpeVocab(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Bpe
     val spark2 = spark; import spark2.implicits._
-    Bpe.train(spark, dir).zipWithIndex
+    Bpe.train(spark, dir).merges.zipWithIndex
       .map { case ((a, b, c), i) => (i + 1, a + b, c) }
       .toDF("rank", "merged", "pair_cnt")
       .orderBy("rank")
   }
 
   val t15Oracle: String = {
-    val branches = (1 to graft.operators.Bpe.Rounds).map { k =>
-      s"SELECT CAST($k AS INTEGER) AS rank, a || b AS merged, CAST(c AS BIGINT) AS pair_cnt FROM b$k"
-    }.mkString("\n  UNION ALL ")
-    s"""${graft.operators.Bpe.oracleCtes()}
-       |SELECT * FROM (
-       |  $branches
+    // a single 256-branch UNION ALL exceeds DuckDB's expression-depth
+    // limit (the binder measures the inlined tree); two shallow levels —
+    // 16 MATERIALIZED groups of 16 branches, then one 16-branch union —
+    // keep every tree under the cap
+    val R = graft.operators.Bpe.Rounds
+    val groups = (1 to R).grouped(16).zipWithIndex.map { case (ks, gi) =>
+      val branches = ks.map { k =>
+        s"SELECT CAST($k AS INTEGER) AS rank, a || b AS merged, CAST(c AS BIGINT) AS pair_cnt FROM b$k"
+      }.mkString("\n  UNION ALL ")
+      (s"g$gi", s"g$gi AS MATERIALIZED (\n  $branches)")
+    }.toSeq
+    s"""${graft.operators.Bpe.oracleCtes()},
+       |${groups.map(_._2).mkString(",\n")}
+       |SELECT rank, merged, pair_cnt FROM (
+       |  ${groups.map(g => s"SELECT * FROM ${g._1}").mkString("\n  UNION ALL ")}
        |) ORDER BY rank""".stripMargin
   }
 

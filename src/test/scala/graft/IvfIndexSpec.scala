@@ -165,6 +165,123 @@ class IvfIndexSpec extends AnyFunSuite {
       s"codes scan must not read raw vectors:\n${codesScans.mkString("\n")}")
   }
 
+  /** Drift fixture: build on the corpus, then append `copies` jittered
+    * clones of ONE cell's vectors under fresh ids — the hot-cell regime a
+    * drifting crawl produces. Returns (index, full expected vector set).
+    */
+  private def driftedIndex(b: String, pq: Boolean, copies: Int = 5) = {
+    val e = Tables.embeddings(spark, dir)
+    val idx =
+      if (pq) IvfIndex.buildPq(spark, e, b, cells = 16, lloydIters = 0)
+      else IvfIndex.build(spark, e, b, cells = 16, lloydIters = 2)
+    val hotSrc = spark.read.parquet(s"$b/assignments").where(col("cid") === 0)
+      .select(col("vec_id"), col("v")).localCheckpoint()
+    val reps = spark.range(1, copies + 1).select(col("id").as("r"))
+    val inc = hotSrc.crossJoin(reps)
+      .select((col("vec_id") + col("r") * 100000L).as("vec_id"),
+        transform(col("v"), x => (x + col("r").cast("double") / 1000.0).cast("float"))
+          .as("embedding"))
+    idx.append(spark, inc)
+    idx
+  }
+
+  private def listAll(root: String): Seq[(String, Long, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(root)).filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getPath, f.length, f.lastModified)).sorted
+  }
+
+  test("recenter: splits only the hot cell, leaves every cold list byte-identical, keeps exactly-once coverage") {
+    val b = Files.createTempDirectory("graft-ivf-rc").toString + "/idx"
+    val idx = driftedIndex(b, pq = false)
+    val before = spark.read.parquet(s"$b/assignments")
+      .select("vec_id").distinct().count()
+    val nRows = spark.read.parquet(s"$b/assignments").count()
+
+    // snapshot every list file, keyed by its cid directory
+    val preFiles = listAll(s"$b/assignments")
+
+    val retired = idx.recenter(spark, hotFactor = 2.0, lloydIters = 2)
+    assert(retired.nonEmpty, "the drifted cell should be detected as hot")
+    val retiredDirs = retired.map(id => s"cid=$id").toSet
+    def inRetired(p: String) = retiredDirs.exists(d => p.contains(s"/$d/"))
+
+    // cold directories byte-identical (same files, sizes, mtimes)
+    val postFiles = listAll(s"$b/assignments")
+    val coldPre = preFiles.filterNot(f => inRetired(f._1))
+    assert(coldPre.forall(postFiles.contains),
+      "recenter must not rewrite or touch cold cid= directories")
+    // retired directories are gone
+    assert(postFiles.forall(f => !inRetired(f._1)), "retired hot dirs must be deleted")
+
+    // exactly-once coverage preserved: same rows, same distinct ids, no dups
+    val after = spark.read.parquet(s"$b/assignments")
+    assert(after.count() == nRows)
+    assert(after.select("vec_id").distinct().count() == before)
+    // hot cell's mass went into MULTIPLE new sub-cells
+    val newCells = after.select("cid").distinct().count()
+    assert(newCells > 16 - retired.size, s"expected sub-cells above the retired ones, got $newCells")
+    // centroids table matches the live partition layout
+    val centCids = spark.read.parquet(s"$b/centroids").select("cid").orderBy("cid").collect().map(_.getInt(0)).toSeq
+    val listCids = after.select("cid").distinct().orderBy("cid").collect().map(_.getInt(0)).toSeq
+    assert(centCids == listCids)
+  }
+
+  test("recenter: probe-all is exact search after the split; a balanced index is a no-op") {
+    val b = Files.createTempDirectory("graft-ivf-rc2").toString + "/idx"
+    val idx = driftedIndex(b, pq = false)
+    idx.recenter(spark, hotFactor = 2.0, lloydIters = 2)
+
+    val cellCount = spark.read.parquet(s"$b/centroids").count().toInt
+    val got = idx.query(spark, queries, probes = cellCount, topK = TopK).select("qid", "nid")
+
+    // brute-force truth over the full (drifted) vector set
+    val e = spark.read.parquet(s"$b/assignments")
+      .select(col("vec_id"), col("v").as("bv"), col("n2").as("bn2"))
+    val q = queries.withColumn("qn2", Vectors.norm2D(col("v")))
+    val truth = q.join(e, col("vec_id") =!= col("qid"))
+      .withColumn("cos", Vectors.cosinePre(col("v"), col("qn2"), col("bv"), col("bn2")))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("vec_id"))))
+      .where(col("rank") <= TopK)
+      .select(col("qid"), col("vec_id").as("nid"))
+    assert(got.exceptAll(truth).isEmpty && truth.exceptAll(got).isEmpty)
+
+    // second pass: nothing hot anymore at the same threshold factor —
+    // ideally Nil; at minimum it must converge without losing coverage
+    val preCount = spark.read.parquet(s"$b/assignments").count()
+    idx.recenter(spark, hotFactor = 4.0, lloydIters = 1)
+    assert(spark.read.parquet(s"$b/assignments").count() == preCount)
+  }
+
+  test("recenter keeps codes/ in lockstep: moved vectors re-encode under frozen codebooks, PQ serve stays exact") {
+    val b = Files.createTempDirectory("graft-ivf-rc3").toString + "/idx"
+    val idx = driftedIndex(b, pq = true)
+    val preCodes = spark.read.parquet(s"$b/codes")
+      .select(col("vec_id"), col("codes")).localCheckpoint()
+
+    val retired = idx.recenter(spark, hotFactor = 2.0, lloydIters = 1)
+    assert(retired.nonEmpty)
+
+    // every vector still has exactly one codes row, in the same cid= dir
+    // as its raw list row, and the CODES THEMSELVES are unchanged (they
+    // depend on the vector, not the cell — frozen codebooks)
+    val codes = spark.read.parquet(s"$b/codes")
+    val asg = spark.read.parquet(s"$b/assignments")
+    assert(codes.count() == asg.count())
+    assert(codes.select("vec_id", "cid").exceptAll(asg.select("vec_id", "cid")).isEmpty)
+    assert(codes.select("vec_id", "codes").exceptAll(preCodes).isEmpty,
+      "moved rows must carry identical codes under the frozen codebooks")
+
+    // full-reRank PQ over the recentered index ≡ the exact serve
+    val cellCount = spark.read.parquet(s"$b/centroids").count().toInt
+    val pq = idx.queryPq(spark, queries, probes = cellCount, topK = TopK, reRank = 1 << 20)
+    val exact = idx.query(spark, queries, probes = cellCount, topK = TopK)
+    assert(pq.exceptAll(exact).isEmpty && exact.exceptAll(pq).isEmpty)
+  }
+
   test("IVFPQ append keeps codes/ in lockstep: ADC serve sees the increment, full-reRank PQ ≡ exact") {
     val e = Tables.embeddings(spark, dir)
     val isInc = col("vec_id") % 5 === 0
