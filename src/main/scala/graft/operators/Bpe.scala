@@ -100,16 +100,23 @@ object Bpe {
   }
 
   /** The driver-tier merge loop. Package-private so specs can drive it on
-    * synthetic histograms without a SparkSession.
+    * synthetic histograms without a SparkSession. Splits at code points —
+    * both engines split the raw word into characters for round 0.
     */
   private[graft] def trainInMemory(hist: Array[(String, Long)],
-                                   rounds: Int): BpeModel = {
+                                   rounds: Int): BpeModel =
+    trainSymbols(hist,
+      w => w.codePoints().toArray.map(cp => new String(Character.toChars(cp))),
+      rounds)
+
+  /** Merge-loop core over ANY round-0 symbolization (characters for the
+    * word-level tokenizer, hex byte pairs for the byte-level one).
+    */
+  private[graft] def trainSymbols(hist: Array[(String, Long)],
+                                  split: String => Array[String],
+                                  rounds: Int): BpeModel = {
     import scala.collection.mutable
-    // symbol sequences per type, split at code points (both engines split
-    // the raw word into characters for round 0)
-    val words: Array[Array[String]] = hist.map { case (w, _) =>
-      w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
-    }
+    val words: Array[Array[String]] = hist.map { case (w, _) => split(w) }
     val cnts: Array[Long] = hist.map(_._2)
 
     val pairCount = mutable.HashMap.empty[(String, String), Long]
@@ -201,6 +208,14 @@ object Bpe {
         |wt AS MATERIALIZED (SELECT w, count(*) AS cnt FROM dw GROUP BY w),
         |wc AS MATERIALIZED (SELECT w, cnt FROM (SELECT w, cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rn FROM wt) WHERE rn <= $MaxTypes),
         |w0 AS MATERIALIZED (SELECT w, cnt, array_to_string(list_transform(string_split(w, ''), c -> chr(1) || c || chr(2)), '') AS sym FROM wc)""".stripMargin
+    s"$head,\n${mergeRoundsSql(rounds)}"
+  }
+
+  /** The per-round merge replay + final `tt` — shared by the word-level
+    * and byte-level oracles (the round machinery never looks inside a
+    * symbol, so it is symbolization-agnostic).
+    */
+  private def mergeRoundsSql(rounds: Int): String = {
     val roundsSql = (1 to rounds).map { k =>
       s"""l$k AS MATERIALIZED (SELECT cnt, list_filter(string_split(replace(sym, chr(1), ''), chr(2)), x -> x <> '') AS l FROM w${k - 1}),
          |p$k AS (SELECT struct_extract(p, 'a') AS a, struct_extract(p, 'b') AS b, sum(cnt) AS c FROM (
@@ -213,6 +228,86 @@ object Bpe {
     }.mkString(",\n")
     val tail =
       s"""tt AS MATERIALIZED (SELECT w, CAST(len(list_filter(string_split(replace(sym, chr(1), ''), chr(2)), x -> x <> '')) AS BIGINT) AS n_sym FROM w$rounds)"""
-    s"$head,\n$roundsSql,\n$tail"
+    s"$roundsSql,\n$tail"
+  }
+
+  // ------------------------------------------- byte-level pretokenized BPE
+
+  /** GPT-2-STYLE pretokenizer over the whitespace-normalized text:
+    * contraction suffixes, then space-attached letter runs, digit runs,
+    * punctuation runs, bare space runs — so " the" and "the" are distinct
+    * types, exactly the distinction real tokenizers budget by. GPT-2's
+    * own pattern ends in `\\s+(?!\\S)`; RE2 (DuckDB) has no lookahead, so
+    * this contract drops that branch — normText collapses whitespace to
+    * single spaces first, which makes the branch unreachable anyway. Both
+    * engines evaluate leftmost-first alternation identically.
+    */
+  val PreTokenPattern = "'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +"
+
+  /** Byte-level merge rounds (t16/n13). Lower than [[Rounds]] for the
+    * same reason as [[EncodeRounds]]: the gate corpus's type space is
+    * tiny and a fully-drained vocab gates a tautology; 32 rounds keep
+    * multi-symbol structure in the gated output.
+    */
+  val ByteRounds = 32
+
+  /** Pretoken array of a text column. */
+  def preTokens(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_extract_all(Text.normText(c), lit(PreTokenPattern), lit(0))
+
+  /** Pretoken-type relation (w, cnt) — the byte-level histogram source. */
+  def preTypes(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(preTokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+
+  /** Hex-pair byte symbolization: each UTF-8 byte becomes a two-hex-char
+    * symbol ("74","68","65" for "the"), so merged symbols are plain
+    * strings and the whole merge machinery — driver loop AND the DuckDB
+    * replay (`hex(encode(w))`) — runs unchanged. Every byte is in the
+    * round-0 alphabet, so any future word is encodable (byte fallback is
+    * structural, not a special case).
+    */
+  private[graft] def byteSyms(w: String): Array[String] =
+    w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => f"${b & 0xff}%02X")
+
+  /** Train byte-level merges over the capped pretoken-type histogram. */
+  def trainBytes(spark: SparkSession, dir: String, rounds: Int = ByteRounds): BpeModel = {
+    val wt = preTypes(spark, dir)
+    val rows =
+      if (wt.count() <= MaxTypes) wt.collect()
+      else wt.orderBy(col("cnt").desc, col("w")).limit(MaxTypes).collect()
+    trainSymbols(rows.map(r => (r.getString(0), r.getLong(1))), byteSyms, rounds)
+  }
+
+  /** Per-doc (doc_id, n_pre, n_bytes, n_bbpe): pretoken count, UTF-8 byte
+    * count, and byte-BPE token count. Out-of-cap fallback = the byte
+    * count (untrained byte-level BPE emits one token per byte).
+    */
+  def docByteTokens(spark: SparkSession, dir: String, model: BpeModel): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(preTokens(col("text"))).as("w"))
+      .join(broadcast(typeTokens(spark, model)), Seq("w"), "left")
+      .withColumn("n_sym", coalesce(col("n_sym"), octet_length(col("w")).cast("long")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pre"),
+        sum(octet_length(col("w")).cast("long")).as("n_bytes"),
+        sum("n_sym").as("n_bbpe"))
+
+  /** Byte-level oracle CTEs: pretokenize with the SAME regex, hex-pair
+    * byte symbolization via `hex(encode(w))`, then the shared merge-round
+    * replay. Same relation names as [[oracleCtes]] (`dw`, `tt`, …) so
+    * query tails compose identically.
+    */
+  def byteOracleCtes(rounds: Int = ByteRounds): String = {
+    val pat = PreTokenPattern.replace("'", "''")
+    val head =
+      s"""WITH d AS MATERIALIZED (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM documents),
+        |dw AS MATERIALIZED (SELECT doc_id, unnest(regexp_extract_all(norm, '$pat')) AS w FROM d),
+        |wt AS MATERIALIZED (SELECT w, count(*) AS cnt FROM dw GROUP BY w),
+        |wc AS MATERIALIZED (SELECT w, cnt FROM (SELECT w, cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rn FROM wt) WHERE rn <= $MaxTypes),
+        |w0 AS MATERIALIZED (SELECT w, cnt, array_to_string(list_transform(range(0, octet_length(encode(w))), i -> chr(1) || substr(hex(encode(w)), CAST(2 * i + 1 AS INTEGER), 2) || chr(2)), '') AS sym FROM wc)""".stripMargin
+    s"$head,\n${mergeRoundsSql(rounds)}"
   }
 }

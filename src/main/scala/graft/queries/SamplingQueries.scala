@@ -499,7 +499,57 @@ object SamplingQueries {
        |ORDER BY shard, bin, doc_id""".stripMargin
   }
 
+  /** n13: n12's greedy packing with the budget in BYTE-LEVEL BPE tokens
+    * (t16's tokenizer) — the budget a GPT-2-lineage training stack
+    * actually fills sequences against. Word-level budgets (n12) drift
+    * from byte-level ones wherever pretokenization splits differently
+    * than whitespace (space-attachment, punctuation, digits); packing
+    * against the wrong count under- or over-fills every bin. Same
+    * one-Exchange-per-shard fold as n9/n12, same shard hash, wider
+    * window (byte tokens run ~1.5× word tokens on this corpus).
+    */
+  def n13ByteBpePack(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Bpe
+    val W = 512L
+    val S = 8L
+    val model = Bpe.trainBytes(spark, dir)
+    val toks = Bpe.docByteTokens(spark, dir, model)
+    val docs = toks.select(col("doc_id"),
+      pmod(Text.md5Long(concat(lit("n9s:"), col("doc_id").cast("string"))), lit(S))
+        .cast("int").as("shard"),
+      col("n_bbpe").as("n_tokens"))
+    packLinear(docs.withColumn("bin0", lit(0L)).withColumn("used0", lit(W + 1)), W, S.toInt)
+      .withColumnRenamed("n_tokens", "n_bbpe")
+      .join(toks.select(col("doc_id"), col("n_pre")), "doc_id")
+      .select("doc_id", "shard", "bin", "n_bbpe", "n_pre")
+      .orderBy("shard", "bin", "doc_id")
+  }
+
+  val n13Oracle: String = {
+    val bpe = graft.operators.Bpe.byteOracleCtes().stripPrefix("WITH ")
+    s"""WITH RECURSIVE $bpe,
+       |dt AS MATERIALIZED (
+       |  SELECT dw.doc_id,
+       |         CAST(('0x' || substr(md5('n9s:' || CAST(dw.doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS INT) AS shard,
+       |         CAST(sum(coalesce(tt.n_sym, octet_length(encode(dw.w)))) AS BIGINT) AS n_tokens,
+       |         CAST(count(*) AS BIGINT) AS n_pre
+       |  FROM dw LEFT JOIN tt USING (w) GROUP BY 1),
+       |t AS MATERIALIZED (SELECT doc_id, shard, n_tokens, n_pre,
+       |       row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM dt),
+       |rec AS (
+       |  SELECT shard, rn, doc_id, n_tokens, n_pre, CAST(1 AS BIGINT) AS bin, n_tokens AS used
+       |  FROM t WHERE rn = 1
+       |  UNION ALL
+       |  SELECT t.shard, t.rn, t.doc_id, t.n_tokens, t.n_pre,
+       |         CASE WHEN r.used + t.n_tokens <= 512 THEN r.bin ELSE r.bin + 1 END,
+       |         CASE WHEN r.used + t.n_tokens <= 512 THEN r.used + t.n_tokens ELSE t.n_tokens END
+       |  FROM rec r JOIN t ON t.shard = r.shard AND t.rn = r.rn + 1)
+       |SELECT doc_id, shard, bin, n_tokens AS n_bbpe, n_pre FROM rec
+       |ORDER BY shard, bin, doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "n13_byte_bpe_pack" -> (n13ByteBpePack _),
     "n12_bpe_pack" -> (n12BpePack _),
     "n6_bottomk_sample" -> (n6BottomKSample _),
     "n7_shard_shuffle" -> (n7ShardShuffle _),
@@ -514,6 +564,7 @@ object SamplingQueries {
     "n5_train_val_test" -> (n5TrainValTest _))
 
   val oracles: Map[String, String] = Map(
+    "n13_byte_bpe_pack" -> n13Oracle,
     "n12_bpe_pack" -> n12Oracle,
     "n6_bottomk_sample" -> n6Oracle,
     "n7_shard_shuffle" -> n7Oracle,
