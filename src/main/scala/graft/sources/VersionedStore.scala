@@ -339,7 +339,32 @@ final class VersionedStore(val base: String) {
     * same rewrite plan as [[graft.operators.Compaction]], none of its
     * rename windows. Old snapshot stays fully readable until [[vacuum]].
     */
-  def compactCurrent(spark: SparkSession, targetBytes: Long = 128L << 20): Long = {
+  def compactCurrent(spark: SparkSession, targetBytes: Long = 128L << 20): Long =
+    rewriteCurrent(spark, Nil, targetBytes)
+
+  /** OPTIMIZE: compaction that also CLUSTERS rows by `orderBy` —
+    * range-repartition + in-file sort, so each output file covers a tight,
+    * near-disjoint `[min, max]` interval on those columns. That is what
+    * keeps the Delta export's per-file stats SELECTIVE through
+    * compaction: plain [[compactCurrent]] merges arbitrary row mixtures,
+    * widening every merged file's interval until a range predicate can no
+    * longer skip anything; after OPTIMIZE the re-exported log (the
+    * compacted snapshot lands as remove-all-priors + add-new-files in one
+    * committed log version, stats refreshed in the same export pass)
+    * skips MORE files than before — fewer, tighter files
+    * (`DeltaLogSpec` measures both directions). Multi-dimension
+    * clustering composes upstream via [[graft.operators.ZOrder]]: z-order
+    * the snapshot's sort key into one column and pass that here.
+    */
+  def optimizeCurrent(spark: SparkSession, orderBy: Seq[String],
+                      targetBytes: Long = 128L << 20): Long = {
+    require(orderBy.nonEmpty, "optimizeCurrent needs clustering columns; use compactCurrent for plain bin-packing")
+    rewriteCurrent(spark, orderBy, targetBytes)
+  }
+
+  private def rewriteCurrent(spark: SparkSession, orderBy: Seq[String],
+                             targetBytes: Long): Long = {
+    import org.apache.spark.sql.functions.col
     val f = fs(spark)
     val v = currentVersion(spark)
     require(v > 0, s"$base has no committed version to compact")
@@ -351,9 +376,12 @@ final class VersionedStore(val base: String) {
     // then re-emit the same partitioning (never flattened)
     val parts = partitioningOf(spark, v)
     val src = spark.read.parquet(versionDir(v).toString)
+    val keys = (parts ++ orderBy).map(col)
     val out =
-      if (parts.isEmpty) src.repartition(nOut)
-      else src.repartition(nOut, parts.map(org.apache.spark.sql.functions.col): _*)
+      if (orderBy.nonEmpty)
+        src.repartitionByRange(nOut, keys: _*).sortWithinPartitions(keys: _*)
+      else if (parts.isEmpty) src.repartition(nOut)
+      else src.repartition(nOut, keys: _*)
     out.write.partitionBy(parts: _*).parquet(versionDir(next).toString)
     if (parts.nonEmpty)
       writeSmall(f, new Path(versionDir(next), "_partitioning"), parts.mkString(","))

@@ -130,6 +130,54 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(a.count() == 100 && a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("OPTIMIZE through the export: compaction lands as remove+add in one log version, stats refresh, skipping improves") {
+    import spark.implicits._
+    val st = freshStore()
+    // hash-scattered layout: every file spans ~the full n range, so the
+    // exported stats can skip NOTHING — the regime OPTIMIZE exists for
+    st.write(spark, spark.range(1000)
+      .select(col("id").as("n"), md5(col("id").cast("string")).as("scatter"))
+      .repartition(10, col("scatter"))
+      .select("n"))
+    st.exportDeltaLog(spark)
+    val before = DeltaLogReader.resolve(spark, st.base, None)
+    val keptBefore = DeltaLogReader.pruneFiles(spark, before, "n", "100", "199")
+    assert(before.live.size == 10)
+    assert(keptBefore.size == 10, // the motivating failure: zero skipping
+      s"scattered layout should defeat stats skipping, kept ${keptBefore.size}/10")
+
+    // OPTIMIZE: cluster by n, re-export (the log is derived state)
+    st.optimizeCurrent(spark, orderBy = Seq("n"), targetBytes = 4096)
+    st.exportDeltaLog(spark)
+
+    // the compacted snapshot is ONE committed log version carrying a
+    // remove for every prior file and stats-bearing adds for the new ones
+    val log1 = new String(Files.readAllBytes(
+      new java.io.File(s"${st.base}/_delta_log", "0" * 19 + "1.json").toPath))
+    val removes = log1.linesIterator.count(_.contains("\"remove\""))
+    val adds = log1.linesIterator.filter(_.contains("\"add\"")).toSeq
+    assert(removes == 10, s"expected 10 removes in the optimize version, got $removes")
+    assert(adds.nonEmpty && adds.forall(_.contains("""\"minValues\"""")),
+      "every optimized add must carry refreshed stats")
+
+    // replay reads identical data...
+    val replay = DeltaLogReader.read(spark, st.base)
+    assert(replay.count() == 1000 && sumN(replay) == 499500L)
+    // ...and the SAME predicate now skips most files, absolutely and as a
+    // fraction of the live set
+    val after = DeltaLogReader.resolve(spark, st.base, None)
+    val keptAfter = DeltaLogReader.pruneFiles(spark, after, "n", "100", "199")
+    assert(after.live.size > 1, "targetBytes should have produced multiple files")
+    assert(keptAfter.size < keptBefore.size,
+      s"skipping must improve after OPTIMIZE: kept ${keptAfter.size} vs ${keptBefore.size}")
+    assert(keptAfter.size.toDouble / after.live.size < keptBefore.size.toDouble / before.live.size,
+      s"kept fraction must drop: ${keptAfter.size}/${after.live.size} vs ${keptBefore.size}/${before.live.size}")
+
+    // skipping never changes the answer on the optimized table
+    val a = DeltaLogReader.readWhere(spark, st.base, "n", "100", "199")
+    assert(a.count() == 100 && a.exceptAll(replay.where(col("n").between(100, 199))).isEmpty)
+  }
+
   test("Z-ordered snapshot + log stats: a narrow predicate on EITHER dimension skips most files") {
     import spark.implicits._
     val st = freshStore()
