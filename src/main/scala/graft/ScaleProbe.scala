@@ -359,6 +359,75 @@ object ScaleProbe {
     Files.write(Paths.get("target/bench_zipf.json"), line.getBytes("UTF-8"))
   }
 
+  /** `--dfskew [nDocs] [hotPct]`: shingle-DOCUMENT-FREQUENCY skew stress
+    * for the set-similarity family (d19/d19b) and the star-edge builders
+    * (m8). The ×factor corpus keeps shingle df near-uniform outside its
+    * clone families; real corpora are Zipfian with boilerplate spikes.
+    * Three deterministic corpora at the same doc count:
+    *
+    *  - `uni`  — every token doc-unique (md5-derived): the no-sharing
+    *    floor, fixes the per-query baseline;
+    *  - `zipf` — tokens drawn Zipf-1 over V = nDocs/4 types
+    *    (`w⌊V^u⌋`, u hash-uniform): hot tokens carry huge df but rank
+    *    LAST in the AllPairs ascending-df order — this is the corpus
+    *    that tests d19's "fan-out falls out of the ordering" claim
+    *    directly (its prefix join must stay near-linear because prefixes
+    *    are built from each doc's RAREST tokens);
+    *  - `hot`  — hotPct% of docs share ONE boilerplate text (the
+    *    re-crawl/banner regime): d19's contractual clique boundary, so
+    *    only d19b (capped) runs here, plus m8 whose text-star becomes one
+    *    giant hub (its linearity claim: a k-group emits k−1 star edges,
+    *    never C(k,2)).
+    *
+    * Each (query, corpus) cell is min-of-2 with the shared caches dropped
+    * between reps; per-query timeout applies as in the ×factor battery.
+    */
+  private def dfSkew(spark: SparkSession, nDocs: Long, hotPct: Int): Unit = {
+    val out = "target/sfprobe/dfskew"
+    def uniq(salt: String, n: Int) = concat_ws(" ", (0 until n).map(i =>
+      md5(concat(lit(s"$salt$i:"), col("id").cast("string")))): _*)
+    def write(name: String, text: org.apache.spark.sql.Column): String = {
+      val dir = s"$out/$name"
+      spark.range(nDocs).select(col("id").as("doc_id"), text.as("text"))
+        .select(col("doc_id"), col("text"), lit("en").as("lang"),
+          lit("probe").as("source"), length(col("text")).cast("long").as("n_chars"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val uniDir = write("uni", uniq("u", 40))
+    val v = math.max(16L, nDocs / 4)
+    val zipfDir = write("zipf", concat_ws(" ", (0 until 40).map { j =>
+      val u = pmod(hash(col("id"), lit(j)), lit(1000000L)).cast("double") / 1e6
+      concat(lit("w"), floor(pow(lit(v.toDouble), u)).cast("long").cast("string"))
+    }: _*))
+    val boiler = (1 to 40).map(i => s"boiler$i").mkString(" ")
+    val hotDir = write("hot",
+      when(pmod(hash(col("id"), lit(3)), lit(100)) < hotPct, lit(boiler))
+        .otherwise(uniq("h", 40)))
+
+    val cells = Seq(
+      ("d19_setsim_join", "uni", uniDir), ("d19_setsim_join", "zipf", zipfDir),
+      ("d19b_top_setsim", "uni", uniDir), ("d19b_top_setsim", "zipf", zipfDir),
+      ("d19b_top_setsim", "hot", hotDir),
+      ("m8_crossmodal_dedup", "uni", uniDir), ("m8_crossmodal_dedup", "hot", hotDir))
+    val results = cells.map { case (q, tag, dir) =>
+      val r = time(spark, dir, s"$q@$tag", SparkEntry.queries(q), reps = 2)
+      queries.DedupQueries.unpersistShared()
+      System.err.println(f"[dfskew] $q%-20s $tag%-5s ${r.map(_._1).getOrElse(Double.NaN)}%8.2fs rows=${r.map(_._2).getOrElse(-1L)}")
+      (q, tag, r)
+    }
+    val cellsJson = results.map { case (q, tag, r) =>
+      s""""$q@$tag":{"sec":${r.map(_._1).getOrElse(-1.0)},"rows":${r.map(_._2).getOrElse(-1L)}}"""
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (q, tag, None) => s""""$q@$tag"""" }.mkString("[", ",", "]")
+    val line = s"""{"metric":"dfskew_probe","n_docs":$nDocs,"hot_pct":$hotPct,"zipf_types":$v,""" +
+      s""""cells":$cellsJson,"failed":$failed}"""
+    println(line)
+    Files.createDirectories(Paths.get("target"))
+    Files.write(Paths.get("target/bench_dfskew.json"), line.getBytes("UTF-8"))
+  }
+
   /** `--segskew [nDocs] [hotPct]`: d15 keep-first-window skew stress — the
     * boilerplate mega-segment case (a cookie-banner/header segment shared
     * by a large fraction of the corpus). The keep-first window partitions
@@ -482,6 +551,13 @@ object ScaleProbe {
       val lenFactor = if (args.length > 1) args(1).toInt else 10
       val base = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
       docLen(spark, base, lenFactor)
+      spark.stop(); return
+    }
+    if (args.headOption.contains("--dfskew")) {
+      val spark = GraftSession.prepare(GraftSession.local("graft-dfskew"))
+      val nDocs = if (args.length > 1) args(1).toLong else 100000L
+      val hotPct = if (args.length > 2) args(2).toInt else 20
+      dfSkew(spark, nDocs, hotPct)
       spark.stop(); return
     }
     if (args.headOption.contains("--segskew")) {
