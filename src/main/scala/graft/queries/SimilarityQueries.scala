@@ -731,7 +731,73 @@ object SimilarityQueries {
        |FROM p WHERE d < $SemTau
        |GROUP BY pruned_id, cid ORDER BY pruned_id""".stripMargin
 
+  private val HardNegK = 3
+  private val NegMargin = 0.2
+
+  /** s10: SEMI-HARD NEGATIVE MINING — the triplet builder contrastive
+    * embedding training runs over its corpus (the FaceNet rule): per
+    * anchor, the POSITIVE is its nearest neighbor, and the hard negatives
+    * are the top-[[HardNegK]] candidates STRICTLY below the positive but
+    * within [[NegMargin]] of it — close enough to carry gradient, far
+    * enough to be true negatives (easy negatives teach nothing, ties with
+    * the positive are duplicates, not negatives). Mining is IVF-BUCKETED
+    * (the s3 cells): candidates come from the anchor's own inverted list,
+    * so the search never goes all-pairs — exactly how production miners
+    * bound this at 10⁹ vectors (in-cluster mining; widening recall means
+    * probing more cells, not joining everything). All cosine arithmetic
+    * is the s3 contract both engines already hash-match; the margin
+    * window compares those identical doubles, so the mined triplets are
+    * bit-reproducible.
+    */
+  def s10HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.prepare(spark)
+    val assigned = ivfAssigned(spark, dir)
+    val anchors = assigned.where(col("vec_id") < QueryBlock)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"), col("cid"))
+    val cand = anchors.join(assigned, Seq("cid")).where(col("vec_id") =!= col("qid"))
+      .withColumn("cos", Vectors.cosinePre(col("qv"), col("qn2"), col("v"), col("n2")))
+      .select("qid", "vec_id", "cos")
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    val pos = cand.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+    val neg = cand.join(pos.select(col("qid"), col("cos").as("pcos")), "qid")
+      .where(col("cos") < col("pcos") && col("cos") > col("pcos") - NegMargin)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= HardNegK)
+    pos.select(col("qid").as("anchor"), col("vec_id").as("nid"),
+        lit("pos").as("role"), lit(1).as("rank"), col("cos"))
+      .unionByName(neg.select(col("qid").as("anchor"), col("vec_id").as("nid"),
+        lit("neg").as("role"), col("rank"), col("cos")))
+      .orderBy("anchor", "role", "rank")
+  }
+
+  val s10Oracle: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $Cells),
+       |ranked_cells AS (
+       |  SELECT a.vec_id, b.cid, row_number() OVER (PARTITION BY a.vec_id ORDER BY $cosSqlAB DESC, b.cid) AS crank
+       |  FROM e a CROSS JOIN c b),
+       |assigned AS (SELECT vec_id, cid FROM ranked_cells WHERE crank = 1),
+       |anchors AS (SELECT vec_id AS qid, cid FROM assigned WHERE vec_id < $QueryBlock),
+       |cand AS (
+       |  SELECT p.qid, x.vec_id nid, $cosSqlQX AS cos
+       |  FROM anchors p JOIN assigned x ON p.cid = x.cid AND x.vec_id <> p.qid
+       |  JOIN e a ON a.vec_id = p.qid JOIN e b ON b.vec_id = x.vec_id),
+       |ranked AS (
+       |  SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+       |  FROM cand),
+       |pos AS (SELECT qid, nid, cos FROM ranked WHERE rk = 1),
+       |neg AS (
+       |  SELECT qid, nid, cos,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rank
+       |  FROM (SELECT cd.qid, cd.nid, cd.cos FROM cand cd JOIN pos p USING (qid)
+       |        WHERE cd.cos < p.cos AND cd.cos > p.cos - CAST($NegMargin AS DOUBLE)))
+       |SELECT qid AS anchor, nid, 'pos' AS role, CAST(1 AS INTEGER) AS rank, cos FROM pos
+       |UNION ALL
+       |SELECT qid AS anchor, nid, 'neg' AS role, rank, cos FROM neg WHERE rank <= $HardNegK
+       |ORDER BY anchor, role, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s10_hard_negatives" -> (s10HardNegatives _),
     "s1_brute_topk" -> (s1BruteTopK _),
     "s2_lsh_topk" -> (s2LshTopK _),
     "s3_ivf_topk" -> (s3IvfTopK _),
@@ -743,6 +809,7 @@ object SimilarityQueries {
     "s9_ivfpq" -> (s9IvfPq _))
 
   val oracles: Map[String, String] = Map(
+    "s10_hard_negatives" -> s10Oracle,
     "s1_brute_topk" -> s1Oracle,
     "s2_lsh_topk" -> s2Oracle,
     "s3_ivf_topk" -> s3Oracle,
