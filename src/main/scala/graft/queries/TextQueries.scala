@@ -788,7 +788,7 @@ object TextQueries {
        |       CAST(sum(coalesce(tt.n_sym, octet_length(encode(dw.w)))) AS BIGINT) AS n_bbpe
        |FROM dw LEFT JOIN tt USING (w) GROUP BY 1 ORDER BY doc_id""".stripMargin
 
-  private val DecontamN = 8 // n-gram length: long enough that only real
+  private[graft] val DecontamN = 8 // n-gram length: long enough that only real
   // leakage collides (31^8 random sequences), the GPT-3-family practice
   // (8–13-gram overlap against eval sets)
 

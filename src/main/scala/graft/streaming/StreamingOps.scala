@@ -343,6 +343,36 @@ object StreamingOps extends Serializable {
             _.getField("seg")), " ")).as("clean_md5"))
   }
 
+  /** Stream-static eval-set decontamination — t18's serve twin: each
+    * micro-batch of crawl docs `(doc_id, text)` is flagged against the
+    * PERSISTED eval n-gram index (md5-hashed
+    * [[graft.queries.TextQueries.DecontamN]]-grams) BEFORE it reaches
+    * packing — the placement a production pipeline runs this check at
+    * (contaminated docs must never enter a shard). Output is t18's schema
+    * `(doc_id, n_grams, n_shared, contaminated)`.
+    *
+    * Frozen-index semantics: eval sets change by benchmark release, not
+    * by crawl batch — and stream-static joins re-plan the static side
+    * every micro-batch, so a refreshed index is picked up without a
+    * restart. Stateless apart from the per-doc aggregation (complete/
+    * update mode; bound it with the foreachBatch sink pattern when doc
+    * ids are unbounded).
+    */
+  def decontaminateStream(increment: DataFrame, evalIndex: DataFrame): DataFrame = {
+    import graft.functions.Text
+    val grams = increment
+      .select(col("doc_id"),
+        explode(Text.shingles(Text.tokens(col("text")),
+          graft.queries.TextQueries.DecontamN)).as("g"))
+      .select(col("doc_id"), Text.md5Long(col("g")).as("g64"))
+    grams
+      .join(evalIndex.select(col("g64"), lit(true).as("hit")), Seq("g64"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("contaminated", (col("n_shared") >= 1).cast("long"))
+  }
+
   case class CdcChange(k: Long, seq: Long, op: String, v: java.lang.Long)
   case class CdcWinner(k: Long, seq: Long, op: String, v: java.lang.Long)
 
