@@ -14,7 +14,7 @@ import graft.sources.Tables
   */
 object CorpusQueries {
 
-  private val NGram = 8 // decontamination gram size (the common n for eval leakage)
+  private[graft] val NGram = 8 // decontamination gram size (the common n for eval leakage)
 
   /** Vocabulary: top-200 tokens by corpus frequency, deterministic
     * tie-break — the BPE/tokenizer-training input. Map-side partial
@@ -34,10 +34,24 @@ object CorpusQueries {
       |      FROM documents)
       |GROUP BY token ORDER BY cnt DESC, token LIMIT 200""".stripMargin
 
-  /** Decontamination: training docs sharing any 8-token gram with the eval
-    * split (stand-in: doc_id ≡ 0 mod 11) are flagged with their overlap
-    * count. Inverted-index equi-join on the gram — same scale shape as the
-    * dedup candidate join; the eval side is tiny and broadcasts.
+  /** Decontamination: the benchmark-leakage flagger every production
+    * pipeline runs before packing (the GPT-3-lineage long-n-gram overlap
+    * check). A deterministic slice plays the eval split (doc_id ≡ 0
+    * mod 11, excluded from the train side); every remaining training doc
+    * is flagged with its [[NGram]]-gram collision count against the eval
+    * index and a drop verdict. The hits are the REAL leakage channel —
+    * near-duplicate documents straddling the split (a disjoint random
+    * split does not make text disjoint, which is why pipelines run this).
+    *
+    * Scale shape (round-11 upgrade): grams are md5-hashed to 8-BYTE keys
+    * at the explode (the d19/rawShingles discipline — ~6× less shuffle
+    * than the ~50-byte gram strings the first cut joined), the eval index
+    * BROADCASTS (eval sets are thousands of docs at any corpus size), and
+    * the probe side is one scan + left-semi + map-side-combinable per-doc
+    * count. Output is the full per-doc ledger (n_grams, n_shared,
+    * contaminated) rather than hits-only, so the drop policy downstream
+    * needs no second scan. Serve twin:
+    * [[graft.streaming.StreamingOps.decontaminateStream]].
     */
   def v2Decontaminate(spark: SparkSession, dir: String): DataFrame = {
     // materialize tokens BEFORE the shingle lambda: HOFs are interpreted
@@ -46,11 +60,16 @@ object CorpusQueries {
     val grams = Tables.documents(spark, dir)
       .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
       .select(col("doc_id"), explode(Text.shingles(col("tk"), NGram)).as("gram"))
-    val eval_ = grams.where(col("doc_id") % 11 === 0).select(col("gram")).distinct()
+      .select(col("doc_id"), Text.md5Long(col("gram")).as("g64"))
+    val eval_ = broadcast(grams.where(col("doc_id") % 11 === 0)
+      .select(col("g64")).distinct())
     val train = grams.where(col("doc_id") % 11 =!= 0)
-    train.join(eval_, "gram")
-      .groupBy("doc_id")
-      .agg(countDistinct(col("gram")).as("n_shared_grams"))
+    train.join(eval_, Seq("g64"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .join(train.groupBy("doc_id").agg(count(lit(1)).as("n_grams")), Seq("doc_id"), "right")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("contaminated", (col("n_shared") >= 1).cast("long"))
+      .select("doc_id", "n_grams", "n_shared", "contaminated")
       .orderBy("doc_id")
   }
 
@@ -60,13 +79,19 @@ object CorpusQueries {
        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') tk
        |  FROM documents),
        |grams AS (
-       |  SELECT doc_id, unnest(list_distinct([$gram for i in range(1, len(tk) - ${NGram - 2})])) AS gram
-       |  FROM toks WHERE len(tk) >= $NGram),
-       |ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 11 = 0)
-       |SELECT doc_id, count(DISTINCT gram) AS n_shared_grams
-       |FROM grams JOIN ev USING (gram)
-       |WHERE doc_id % 11 <> 0
-       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |  SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS g64 FROM (
+       |    SELECT doc_id, unnest(list_distinct([$gram for i in range(1, len(tk) - ${NGram - 2})])) AS gram
+       |    FROM toks WHERE len(tk) >= $NGram)),
+       |ev AS (SELECT DISTINCT g64 FROM grams WHERE doc_id % 11 = 0),
+       |tr AS (SELECT doc_id, g64 FROM grams WHERE doc_id % 11 <> 0),
+       |hits AS (
+       |  SELECT doc_id, count(*) AS n_shared FROM tr
+       |  WHERE g64 IN (SELECT g64 FROM ev) GROUP BY 1)
+       |SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |       CAST(coalesce(any_value(h.n_shared), 0) AS BIGINT) AS n_shared,
+       |       CAST(coalesce(any_value(h.n_shared), 0) >= 1 AS BIGINT) AS contaminated
+       |FROM tr LEFT JOIN hits h USING (doc_id)
+       |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
   }
 
   /** Character-trigram profile per language label: top-10 trigrams each —

@@ -681,7 +681,7 @@ object StatQueries {
     * per group by domain) and broadcasts the offsets back. Exact integer
     * arithmetic throughout; all other input columns ride along.
     */
-  private def cumBelow(perV: DataFrame, grps: Seq[String], w: String): DataFrame = {
+  private[queries] def cumBelow(perV: DataFrame, grps: Seq[String], w: String): DataFrame = {
     val withB = perV.withColumn("bkt", expr("v DIV 65536"))
     val pc = (grps :+ "bkt").map(col)
     val wIn = Window.partitionBy(pc: _*).orderBy("v")

@@ -307,7 +307,13 @@ object TextQueries {
     * top-V n-grams and broadcasts (the KenLM-filter deployment shape);
     * V itself is a 1-row scalar broadcast (K4 pattern).
     */
-  def t9LmScore(spark: SparkSession, dir: String): DataFrame = {
+  def t9LmScore(spark: SparkSession, dir: String): DataFrame =
+    t9Scores(spark, dir).orderBy("doc_id")
+
+  /** t9's scoring core without the presentation sort — reused by v13's
+    * CCNet bucketing (`CorpusQueries.v13CcnetBuckets`).
+    */
+  private[queries] def t9Scores(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
       .where(size(col("tk")) >= 2)
@@ -330,11 +336,13 @@ object TextQueries {
           (coalesce(col("c"), lit(0L)) + col("v"))).cast("long").as("ppb"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("ppb").as("score_ppb"))
-      .orderBy("doc_id")
   }
 
-  val t9Oracle: String =
-    """WITH toks AS (
+  /** t9's LM-scoring CTE chain up to per-doc `docsc` (doc_id, n_bigrams,
+    * score_ppb) — shared with v13's oracle.
+    */
+  private[queries] val t9SqlBase: String =
+    """toks AS (
       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS tk
       |  FROM documents),
       |tok2 AS (SELECT doc_id, tk FROM toks WHERE len(tk) >= 2),
@@ -352,9 +360,14 @@ object TextQueries {
       |  FROM big
       |  LEFT JOIN ref_big rb ON rb.w1 = big.w1 AND rb.w2 = big.w2
       |  LEFT JOIN ref_ctx rc ON rc.w1 = big.w1
-      |  CROSS JOIN vocab)
-      |SELECT doc_id, count(1) AS n_bigrams, CAST(sum(ppb) AS BIGINT) AS score_ppb
-      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |  CROSS JOIN vocab),
+      |docsc AS (
+      |  SELECT doc_id, count(1) AS n_bigrams, CAST(sum(ppb) AS BIGINT) AS score_ppb
+      |  FROM scored GROUP BY doc_id)""".stripMargin
+
+  val t9Oracle: String =
+    s"""WITH $t9SqlBase
+      |SELECT doc_id, n_bigrams, score_ppb FROM docsc ORDER BY doc_id""".stripMargin
 
   /** t10: URL parsing + domain blocklist — the web-corpus admission step
     * every crawl pipeline runs before any text filter: parse each doc's
@@ -788,70 +801,7 @@ object TextQueries {
        |       CAST(sum(coalesce(tt.n_sym, octet_length(encode(dw.w)))) AS BIGINT) AS n_bbpe
        |FROM dw LEFT JOIN tt USING (w) GROUP BY 1 ORDER BY doc_id""".stripMargin
 
-  private[graft] val DecontamN = 8 // n-gram length: long enough that only real
-  // leakage collides (31^8 random sequences), the GPT-3-family practice
-  // (8–13-gram overlap against eval sets)
-
-  /** t18: EVAL-SET DECONTAMINATION — the benchmark-leakage flagger every
-    * production training pipeline runs before packing (the 13-gram
-    * overlap check of the GPT-3 lineage; t12's BM25 is the
-    * retrieval-shaped cousin, this is the n-gram one). A deterministic
-    * slice of the corpus plays the benchmark (every 101st doc, excluded
-    * from the train side); each remaining training doc is flagged with
-    * the count of [[DecontamN]]-gram collisions against the eval index
-    * and a verdict. The hits it finds are the REAL leakage channel —
-    * near-duplicate documents straddling the train/eval split (the gate
-    * corpus contains such pairs; a disjoint random split does not make
-    * text disjoint, which is exactly why pipelines run this check).
-    *
-    * Scale shape: eval sets are thousands of docs at any corpus size, so
-    * the eval n-gram index (md5-hashed to 8-byte keys) BROADCASTS; the
-    * corpus side is one scan + explode + map-side-combinable per-doc
-    * count — no shuffle larger than the output. Flagging is per-doc
-    * (n_shared ≥ 1), the standard drop rule; n_grams rides along so a
-    * fractional policy can be applied downstream without a rescan.
-    */
-  def t18Decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
-    val evalGrams = broadcast(docs.where(col("doc_id") % 101 === 0)
-      .select(explode(Text.shingles(col("tk"), DecontamN)).as("g"))
-      .select(Text.md5Long(col("g")).as("g64"))
-      .distinct())
-    val grams = docs.where(col("doc_id") % 101 =!= 0)
-      .select(col("doc_id"), explode(Text.shingles(col("tk"), DecontamN)).as("g"))
-      .select(col("doc_id"), Text.md5Long(col("g")).as("g64"))
-    grams.join(evalGrams, Seq("g64"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-      .join(grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams")), Seq("doc_id"), "right")
-      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
-      .withColumn("contaminated", (col("n_shared") >= 1).cast("long"))
-      .select("doc_id", "n_grams", "n_shared", "contaminated")
-      .orderBy("doc_id")
-  }
-
-  val t18Oracle: String =
-    s"""WITH toks AS (
-       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') tk
-       |  FROM documents),
-       |grams AS (
-       |  SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS g64 FROM (
-       |    SELECT doc_id, unnest(list_distinct([array_to_string(tk[i:i+${DecontamN - 1}], ' ')
-       |                                          for i in range(1, len(tk) - ${DecontamN - 2})])) AS g
-       |    FROM toks WHERE len(tk) >= $DecontamN)),
-       |ev AS (SELECT DISTINCT g64 FROM grams WHERE doc_id % 101 = 0),
-       |tr AS (SELECT doc_id, g64 FROM grams WHERE doc_id % 101 <> 0),
-       |hits AS (
-       |  SELECT doc_id, count(*) AS n_shared FROM tr
-       |  WHERE g64 IN (SELECT g64 FROM ev) GROUP BY 1)
-       |SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-       |       CAST(coalesce(any_value(h.n_shared), 0) AS BIGINT) AS n_shared,
-       |       CAST(coalesce(any_value(h.n_shared), 0) >= 1 AS BIGINT) AS contaminated
-       |FROM tr LEFT JOIN hits h USING (doc_id)
-       |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "t18_decontaminate" -> (t18Decontaminate _),
     "t17_classifier_train" -> (t17ClassifierTrain _),
     "t16_byte_bpe" -> (t16ByteBpe _),
     "t15_bpe_vocab" -> (t15BpeVocab _),
@@ -871,7 +821,6 @@ object TextQueries {
     "t7_nfc_normalize" -> (t7NfcNormalize _))
 
   val oracles: Map[String, String] = Map(
-    "t18_decontaminate" -> t18Oracle,
     "t17_classifier_train" -> t17Oracle,
     "t16_byte_bpe" -> t16Oracle,
     "t15_bpe_vocab" -> t15Oracle,

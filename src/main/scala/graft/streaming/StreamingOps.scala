@@ -343,12 +343,12 @@ object StreamingOps extends Serializable {
             _.getField("seg")), " ")).as("clean_md5"))
   }
 
-  /** Stream-static eval-set decontamination — t18's serve twin: each
+  /** Stream-static eval-set decontamination — v2's serve twin: each
     * micro-batch of crawl docs `(doc_id, text)` is flagged against the
     * PERSISTED eval n-gram index (md5-hashed
-    * [[graft.queries.TextQueries.DecontamN]]-grams) BEFORE it reaches
+    * [[graft.queries.CorpusQueries.NGram]]-grams) BEFORE it reaches
     * packing — the placement a production pipeline runs this check at
-    * (contaminated docs must never enter a shard). Output is t18's schema
+    * (contaminated docs must never enter a shard). Output is v2's schema
     * `(doc_id, n_grams, n_shared, contaminated)`.
     *
     * Frozen-index semantics: eval sets change by benchmark release, not
@@ -363,7 +363,7 @@ object StreamingOps extends Serializable {
     val grams = increment
       .select(col("doc_id"),
         explode(Text.shingles(Text.tokens(col("text")),
-          graft.queries.TextQueries.DecontamN)).as("g"))
+          graft.queries.CorpusQueries.NGram)).as("g"))
       .select(col("doc_id"), Text.md5Long(col("g")).as("g64"))
     grams
       .join(evalIndex.select(col("g64"), lit(true).as("hit")), Seq("g64"), "left")

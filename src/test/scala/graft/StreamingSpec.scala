@@ -435,24 +435,24 @@ class StreamingSpec extends AnyFunSuite {
     index.unpersist()
   }
 
-  test("stream-static decontamination == batch t18 on the same frozen eval index; leaked recrawl fully flagged") {
+  test("stream-static decontamination == batch v2 on the same frozen eval index; leaked recrawl fully flagged") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.functions.Text
-    import graft.queries.TextQueries
+    import graft.queries.CorpusQueries
     implicit val sqlCtx = spark.sqlContext
 
     val docs = graft.sources.Tables.documents(spark, sfDir).select("doc_id", "text")
-    val index = docs.where(col("doc_id") % 101 === 0)
-      .select(explode(Text.shingles(Text.tokens(col("text")), TextQueries.DecontamN)).as("g"))
+    val index = docs.where(col("doc_id") % 11 === 0)
+      .select(explode(Text.shingles(Text.tokens(col("text")), CorpusQueries.NGram)).as("g"))
       .select(Text.md5Long(col("g")).as("g64")).distinct()
     index.cache()
 
     // a leaked EVAL doc recrawled under a new id (every gram collides), a
     // fully novel doc (zero collisions), and an ordinary train doc
-    val leaked = docs.where(col("doc_id") % 101 === 0).orderBy("doc_id").limit(1)
+    val leaked = docs.where(col("doc_id") % 11 === 0).orderBy("doc_id").limit(1)
       .collect().map(r => (r.getLong(0) + 5000000L, r.getString(1))).head
-    val train = docs.where(col("doc_id") % 101 =!= 0).orderBy("doc_id").limit(1)
+    val train = docs.where(col("doc_id") % 11 =!= 0).orderBy("doc_id").limit(1)
       .collect().map(r => (r.getLong(0), r.getString(1))).head
     val fresh = (6000001L, (1 to 20).map(j => s"nvq$j").mkString(" "))
     val incRows = Seq(leaked, fresh, train)
@@ -482,10 +482,10 @@ class StreamingSpec extends AnyFunSuite {
     assert(byId(leaked._1)._3 == byId(leaked._1)._2 && byId(leaked._1)._4 == 1L,
       s"leaked eval text must be fully flagged: ${byId(leaked._1)}")
     assert(byId(fresh._1)._3 == 0L && byId(fresh._1)._4 == 0L)
-    // the ordinary train doc matches its batch-t18 verdict
-    val t18Row = TextQueries.t18Decontaminate(spark, sfDir)
+    // the ordinary train doc matches its batch-v2 verdict
+    val v2Row = CorpusQueries.v2Decontaminate(spark, sfDir)
       .where(col("doc_id") === train._1).collect().head
-    assert(byId(train._1)._3 == t18Row.getLong(2) && byId(train._1)._4 == t18Row.getLong(3))
+    assert(byId(train._1)._3 == v2Row.getLong(2) && byId(train._1)._4 == v2Row.getLong(3))
     index.unpersist()
   }
 
