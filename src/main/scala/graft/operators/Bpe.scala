@@ -90,11 +90,9 @@ object Bpe {
     */
   def train(spark: SparkSession, dir: String, rounds: Int = Rounds): BpeModel = {
     val wt = wordTypes(spark, dir)
-    // cheap common path: collect unordered when the cap provably can't
-    // bind; the top-K sort only runs when it would actually truncate
-    val rows =
-      if (wt.count() <= MaxTypes) wt.collect()
-      else wt.orderBy(col("cnt").desc, col("w")).limit(MaxTypes).collect()
+    // one aggregation job: sort+limit caps the histogram in-engine, so the
+    // driver never receives more than MaxTypes rows even at unbounded vocab
+    val rows = wt.orderBy(col("cnt").desc, col("w")).limit(MaxTypes).collect()
     val hist = rows.map(r => (r.getString(0), r.getLong(1)))
     trainInMemory(hist, rounds)
   }
@@ -108,6 +106,23 @@ object Bpe {
     trainSymbols(hist,
       w => w.codePoints().toArray.map(cp => new String(Character.toChars(cp))),
       rounds)
+
+  /** Code-point "less than" — identical to unsigned UTF-8 byte order, the
+    * collation BOTH engines use for the oracle's `ORDER BY c DESC, a, b`
+    * and the histogram cap. Scala's String `<` compares UTF-16 code
+    * units, which ranks supplementary-plane symbols (surrogates
+    * 0xD800–0xDFFF) BELOW BMP chars ≥ U+E000 — a divergent merge winner
+    * on a count tie. Allocation-free for the hot tie-break path.
+    */
+  private[graft] def cpLt(x: String, y: String): Boolean = {
+    var i = 0; var j = 0
+    while (i < x.length && j < y.length) {
+      val cx = x.codePointAt(i); val cy = y.codePointAt(j)
+      if (cx != cy) return cx < cy
+      i += Character.charCount(cx); j += Character.charCount(cy)
+    }
+    (x.length - i) < (y.length - j)
+  }
 
   /** Merge-loop core over ANY round-0 symbolization (characters for the
     * word-level tokenizer, hex byte pairs for the byte-level one).
@@ -157,7 +172,7 @@ object Bpe {
       var bestA: String = null; var bestB: String = null; var bestC = -1L
       pairCount.foreach { case ((a, b), c) =>
         if (c > bestC || (c == bestC &&
-            (a < bestA || (a == bestA && b < bestB)))) {
+            (cpLt(a, bestA) || (a == bestA && cpLt(b, bestB))))) {
           bestA = a; bestB = b; bestC = c
         }
       }
@@ -275,9 +290,7 @@ object Bpe {
   /** Train byte-level merges over the capped pretoken-type histogram. */
   def trainBytes(spark: SparkSession, dir: String, rounds: Int = ByteRounds): BpeModel = {
     val wt = preTypes(spark, dir)
-    val rows =
-      if (wt.count() <= MaxTypes) wt.collect()
-      else wt.orderBy(col("cnt").desc, col("w")).limit(MaxTypes).collect()
+    val rows = wt.orderBy(col("cnt").desc, col("w")).limit(MaxTypes).collect()
     trainSymbols(rows.map(r => (r.getString(0), r.getLong(1))), byteSyms, rounds)
   }
 

@@ -572,7 +572,7 @@ object TextQueries {
 
   val t17Oracle: String =
     s"""$clsTrainCtes
-       |SELECT bucket, w FROM w$ClsEpochs WHERE w <> 0 ORDER BY bucket""".stripMargin
+       |SELECT bucket, CAST(w AS BIGINT) AS w FROM w$ClsEpochs WHERE w <> 0 ORDER BY bucket""".stripMargin
 
   /** t11: model-based quality scoring in the fastText serving shape —
     * a linear classifier over hashed bag-of-words features (feature

@@ -459,10 +459,10 @@ object YqlTextQueries {
 
   val y15Oracle: String =
     """SELECT event_id,
-      |       date_trunc('day', ts) AS day_start,
-      |       date_trunc('week', ts) AS week_start,
-      |       date_trunc('month', ts) AS month_start,
-      |       date_trunc('year', ts) AS year_start
+      |       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+      |       CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start,
+      |       CAST(date_trunc('month', ts) AS TIMESTAMP) AS month_start,
+      |       CAST(date_trunc('year', ts) AS TIMESTAMP) AS year_start
       |FROM events ORDER BY event_id LIMIT 400""".stripMargin
 
   /** y16: notch 14 — set-operation texts, `JOIN … USING`, and explicit

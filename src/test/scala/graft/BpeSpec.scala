@@ -68,6 +68,25 @@ class BpeSpec extends AnyFunSuite {
     assert(m.types.forall(_._2 == 1L))
   }
 
+  test("tie-break collation is code-point order, not UTF-16 code-unit order") {
+    // U+1F600 (😀, surrogate pair D83D DE00) vs U+FFFD (�): UTF-16
+    // code-unit comparison ranks the emoji FIRST (0xD83D < 0xFFFD);
+    // code-point / UTF-8 byte order — what Spark's UTF8String and
+    // DuckDB's binary collation use — ranks U+FFFD first (0xFFFD < 0x1F600).
+    val emoji = new String(Character.toChars(0x1F600))
+    val bmp = "�"
+    assert(emoji < bmp)          // the Scala String trap this guards against
+    assert(Bpe.cpLt(bmp, emoji)) // code-point order: opposite winner
+    assert(!Bpe.cpLt(emoji, bmp))
+    // prefix rule: shorter string that is a prefix sorts first
+    assert(Bpe.cpLt("ab", "abc") && !Bpe.cpLt("abc", "ab"))
+    assert(!Bpe.cpLt("ab", "ab"))
+    // a count tie between pairs starting with these symbols picks the
+    // code-point-smaller pair — matching the oracle's ORDER BY c DESC, a, b
+    val m = Bpe.trainInMemory(Array((emoji + emoji, 1L), (bmp + bmp, 1L)), rounds = 1)
+    assert(m.merges.head == ((bmp, bmp, 1L)))
+  }
+
   test("byte symbolization is UTF-8 hex pairs (uppercase, multi-byte safe)") {
     assert(Bpe.byteSyms("the").toSeq == Seq("74", "68", "65"))
     assert(Bpe.byteSyms("é").toSeq == Seq("C3", "A9")) // 2-byte UTF-8

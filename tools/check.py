@@ -58,6 +58,20 @@ def compare():
         sdf = sdf.reindex(sorted(sdf.columns), axis=1)
         if list(ddf.columns) != list(sdf.columns):
             print(f"FAIL {name}: columns duck={list(ddf.columns)} spark={list(sdf.columns)}"); n_bad += 1; continue
+        # Declared-type gate: the driver's hash is type-sensitive (r11: a
+        # HUGEINT oracle column failed it while pandas-coerced values here
+        # matched). Compare DuckDB's declared oracle types against the
+        # Spark parquet schema, both in DuckDB's type vocabulary.
+        drel = con.sql(sql)
+        dtypes = dict(zip(drel.columns, (str(t) for t in drel.types)))
+        stypes = {r[0]: r[1] for r in con.execute(
+            f"DESCRIBE SELECT * FROM '{os.path.join(OUT, name)}/*.parquet'").fetchall()}
+        bad_t = [(c, dtypes[c], stypes.get(c)) for c in sorted(dtypes)
+                 if dtypes[c] != stypes.get(c)]
+        if bad_t:
+            print(f"FAIL {name}: dtype mismatch " +
+                  ", ".join(f"{c}: duck={a} spark={b}" for c, a, b in bad_t))
+            n_bad += 1; continue
         if len(ddf) != len(sdf):
             print(f"FAIL {name}: rows duck={len(ddf)} spark={len(sdf)}"); n_bad += 1; continue
         ddf = ddf.sort_values(by=list(ddf.columns)).reset_index(drop=True) if len(ddf) else ddf
