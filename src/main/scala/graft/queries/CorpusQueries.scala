@@ -803,7 +803,65 @@ object CorpusQueries {
        |LEFT JOIN s5 ON s5.doc_id = c.doc_id
        |ORDER BY c.doc_id""".stripMargin
 
+  /** v13: CCNet-style perplexity bucketing — split the corpus into
+    * head/middle/tail terciles of language-model quality, the curation
+    * move CCNet popularized (train on "head", downsample "tail").
+    * Reuses t9's bigram LM scores ([[TextQueries.t9Scores]]); per-doc
+    * quality = average integer score per bigram (`score_ppb DIV
+    * n_bigrams` — both non-negative, so Spark `DIV` ≡ DuckDB `//`).
+    * Bucketing is VALUE-level: a doc is 'head' when fewer than n/3 docs
+    * score strictly higher, 'middle' under 2n/3, else 'tail' — whole tie
+    * groups land in one bucket, so no doc-id tie-break leaks into the
+    * semantics.
+    *
+    * Scale shape: the tercile cutoffs are order statistics over the
+    * per-VALUE histogram via [[StatQueries.cumBelow]]'s two-phase
+    * distributed prefix sum (never a data-sized single-partition
+    * window); the corpus size n is a 1-row broadcast computed from a
+    * cheap token-count scan — NOT from the scored relation, so the
+    * scoring lineage is never re-executed for the scalar (the
+    * crossJoin-scalar trap). Per-doc assignment is one equi-join against
+    * the distinct-value-sized value→bucket map.
+    */
+  def v13CcnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextQueries.t9Scores(spark, dir)
+      .withColumn("avg_ppb", expr("score_ppb DIV n_bigrams"))
+    val perV = scored.groupBy(col("avg_ppb").as("v")).agg(count(lit(1)).as("cnt"))
+    val n = broadcast(
+      Tables.documents(spark, dir)
+        .select(Text.tokens(col("text")).as("tk"))
+        .where(size(col("tk")) >= 2)
+        .agg(count(lit(1)).as("n")))
+    val buckets = StatQueries.cumBelow(perV, Seq.empty, "cnt")
+      .crossJoin(n)
+      .select(col("v"),
+        when((col("n") - col("cum") - col("cnt")) * 3 < col("n"), "head")
+          .when((col("n") - col("cum") - col("cnt")) * 3 < col("n") * 2, "middle")
+          .otherwise("tail").as("bucket"))
+    scored.select("doc_id", "avg_ppb")
+      .join(buckets, col("avg_ppb") === buckets("v"))
+      .select("doc_id", "avg_ppb", "bucket")
+      .orderBy("doc_id")
+  }
+
+  val v13Oracle: String =
+    s"""WITH ${TextQueries.t9SqlBase},
+       |avgd AS (SELECT doc_id, score_ppb // n_bigrams AS avg_ppb FROM docsc),
+       |nn AS (SELECT count(1) AS n FROM avgd),
+       |perv AS (SELECT avg_ppb AS v, count(1) AS cnt FROM avgd GROUP BY 1),
+       |cum AS (SELECT v, cnt,
+       |               coalesce(sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+       |        FROM perv),
+       |bk AS (SELECT v,
+       |              CASE WHEN ((SELECT n FROM nn) - below - cnt) * 3 < (SELECT n FROM nn) THEN 'head'
+       |                   WHEN ((SELECT n FROM nn) - below - cnt) * 3 < 2 * (SELECT n FROM nn) THEN 'middle'
+       |                   ELSE 'tail' END AS bucket
+       |       FROM cum)
+       |SELECT a.doc_id, a.avg_ppb, b.bucket
+       |FROM avgd a JOIN bk b ON b.v = a.avg_ppb ORDER BY a.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v13_ccnet_buckets" -> (v13CcnetBuckets _),
     "v12_attrition" -> (v12Attrition _),
     "v10_pipeline" -> (v10Pipeline _),
     "v9_curate" -> (v9Curate _),
@@ -817,6 +875,7 @@ object CorpusQueries {
     "v8_chunk" -> (v8Chunk _))
 
   val oracles: Map[String, String] = Map(
+    "v13_ccnet_buckets" -> v13Oracle,
     "v12_attrition" -> v12Oracle,
     "v10_pipeline" -> v10Oracle,
     "v9_curate" -> v9Oracle,

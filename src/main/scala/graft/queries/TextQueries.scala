@@ -492,57 +492,65 @@ object TextQueries {
     */
   private[queries] def trainedWeights(spark: SparkSession, dir: String): Array[Long] =
     clsCache.computeIfAbsent(dir, _ => {
-      def sdiv(a: Long, b: Long): Long = if (a < 0) -((-a) / b) else a / b
       val (tfRaw, y) = clsFeatures(spark, dir)
-      val tf = tfRaw.join(y, "doc_id").localCheckpoint() // one corpus scan
-      val n = y.count()
-      val w = Array.fill(ClsBuckets + 1)(0L)
-      val v = Array.fill(ClsBuckets + 1)(0L)
-      (1 to ClsEpochs).foreach { _ =>
-        val s2 = spark; import s2.implicits._
-        val wDf = broadcast(w.toSeq.zipWithIndex
-          .map { case (wv, b) => (b.toLong, wv) }.toDF("bucket", "w"))
-        val g = tf.join(wDf, "bucket")
-          .groupBy("doc_id").agg(sum(col("c") * col("w")).as("s"), first("y").as("y"))
-          .withColumn("g", col("y") * ClsT - col("s"))
-          .select("doc_id", "g")
-        val upd = tf.join(g, "doc_id")
-          .groupBy("bucket").agg(sum(col("c") * col("g")).as("u"))
-          .collect().map(r => (r.getLong(0).toInt, r.getLong(1))).toMap
-        (0 to ClsBuckets).foreach { b =>
-          v(b) = sdiv(v(b) * 9L, 10L) + sdiv(upd.getOrElse(b, 0L), n * ClsD)
-          w(b) += v(b)
-        }
-      }
-      w
+      runTraining(spark, tfRaw.join(y, "doc_id").localCheckpoint(), y.count())
     })
+
+  /** t19's weights: the SAME integer dynamics, trained only on the
+    * externally-labeled slice (doc_id ≡ 0,1 mod 5 — the 40% "curated
+    * gold set"). The inner join to the label relation restricts both the
+    * forward pass and the gradient aggregation to labeled docs; the
+    * feature space and every constant are unchanged, so training swaps
+    * the SUPERVISION, never the plan — exactly how a production quality
+    * classifier retrains when a new labeled batch lands.
+    */
+  private[queries] def trainedWeightsGold(spark: SparkSession, dir: String): Array[Long] =
+    clsGoldCache.computeIfAbsent(dir, _ => {
+      val (tfRaw, y) = clsFeatures(spark, dir)
+      val yt = y.where(col("doc_id") % 5 < 2)
+      runTraining(spark, tfRaw.join(yt, "doc_id").localCheckpoint(), yt.count())
+    })
+
+  /** The shared heavy-ball training loop over an already-labeled,
+    * already-checkpointed feature relation (doc_id, bucket, c, y) with n
+    * training docs — one corpus scan total; each epoch is one broadcast
+    * scores pass + one per-bucket update aggregation.
+    */
+  private def runTraining(spark: SparkSession, tf: DataFrame, n: Long): Array[Long] = {
+    def sdiv(a: Long, b: Long): Long = if (a < 0) -((-a) / b) else a / b
+    val w = Array.fill(ClsBuckets + 1)(0L)
+    val v = Array.fill(ClsBuckets + 1)(0L)
+    (1 to ClsEpochs).foreach { _ =>
+      val s2 = spark; import s2.implicits._
+      val wDf = broadcast(w.toSeq.zipWithIndex
+        .map { case (wv, b) => (b.toLong, wv) }.toDF("bucket", "w"))
+      val g = tf.join(wDf, "bucket")
+        .groupBy("doc_id").agg(sum(col("c") * col("w")).as("s"), first("y").as("y"))
+        .withColumn("g", col("y") * ClsT - col("s"))
+        .select("doc_id", "g")
+      val upd = tf.join(g, "doc_id")
+        .groupBy("bucket").agg(sum(col("c") * col("g")).as("u"))
+        .collect().map(r => (r.getLong(0).toInt, r.getLong(1))).toMap
+      (0 to ClsBuckets).foreach { b =>
+        v(b) = sdiv(v(b) * 9L, 10L) + sdiv(upd.getOrElse(b, 0L), n * ClsD)
+        w(b) += v(b)
+      }
+    }
+    w
+  }
 
   /** Per-JVM training memo: t11 and t17 share one training run per
     * corpus directory (the battery and Verify both run them in one JVM).
     */
   private val clsCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+  private val clsGoldCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
 
   /** Shared oracle CTE chain: `tok`/`tf`/`y`/`nd`, then unrolled epochs
     * s1/g1/u1/v1/w1 … up to `wE` — the trained weight relation.
     */
-  private def clsTrainCtes: String = {
-    val epochs = (1 to ClsEpochs).map { e =>
-      s"""s$e AS MATERIALIZED (
-         |  SELECT tf.doc_id, sum(tf.c * w.w) AS s FROM tf JOIN w${e - 1} w USING (bucket) GROUP BY 1),
-         |g$e AS MATERIALIZED (
-         |  SELECT y.doc_id, y.y * $ClsT - s.s AS g FROM y JOIN s$e s USING (doc_id)),
-         |v$e AS MATERIALIZED (
-         |  SELECT v.bucket,
-         |         CASE WHEN v.w * 9 < 0 THEN -((-(v.w * 9)) // 10) ELSE (v.w * 9) // 10 END
-         |       + CASE WHEN coalesce(u.u, 0) < 0 THEN -((-coalesce(u.u, 0)) // ((SELECT n FROM nd) * $ClsD))
-         |              ELSE coalesce(u.u, 0) // ((SELECT n FROM nd) * $ClsD) END AS w
-         |  FROM v${e - 1} v LEFT JOIN (
-         |    SELECT tf.bucket, sum(tf.c * g.g) AS u FROM tf JOIN g$e g USING (doc_id) GROUP BY 1) u
-         |  USING (bucket)),
-         |w$e AS MATERIALIZED (
-         |  SELECT w.bucket, w.w + v.w AS w FROM w${e - 1} w JOIN v$e v USING (bucket))""".stripMargin
-    }.mkString(",\n")
+  private def clsHeadCtes: String =
     s"""WITH tok AS MATERIALIZED (
        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')) AS tok
        |  FROM documents),
@@ -555,12 +563,46 @@ object TextQueries {
        |  SELECT DISTINCT doc_id, CAST($ClsBuckets AS BIGINT) AS bucket, CAST(1 AS BIGINT) AS c FROM pres),
        |y AS MATERIALIZED (
        |  SELECT doc_id, CAST(max(CASE WHEN tok = 'spark' THEN 1 ELSE 0 END) AS BIGINT) AS y
-       |  FROM tok GROUP BY 1),
-       |nd AS MATERIALIZED (SELECT count(*) AS n FROM y),
+       |  FROM tok GROUP BY 1)""".stripMargin
+
+  /** The unrolled epoch CTEs over a given LABEL relation: s$e is still
+    * the full-corpus forward pass, but the inner join to `yRel` in g$e
+    * restricts gradients (and hence u, v, w) to labeled docs — so the
+    * same template replays full-supervision (t17, yRel = y) and
+    * gold-slice (t19, yRel = yt) training.
+    */
+  private def clsEpochCtes(yRel: String): String = {
+    val epochs = (1 to ClsEpochs).map { e =>
+      s"""s$e AS MATERIALIZED (
+         |  SELECT tf.doc_id, sum(tf.c * w.w) AS s FROM tf JOIN w${e - 1} w USING (bucket) GROUP BY 1),
+         |g$e AS MATERIALIZED (
+         |  SELECT yy.doc_id, yy.y * $ClsT - s.s AS g FROM $yRel yy JOIN s$e s USING (doc_id)),
+         |v$e AS MATERIALIZED (
+         |  SELECT v.bucket,
+         |         CASE WHEN v.w * 9 < 0 THEN -((-(v.w * 9)) // 10) ELSE (v.w * 9) // 10 END
+         |       + CASE WHEN coalesce(u.u, 0) < 0 THEN -((-coalesce(u.u, 0)) // ((SELECT n FROM nd) * $ClsD))
+         |              ELSE coalesce(u.u, 0) // ((SELECT n FROM nd) * $ClsD) END AS w
+         |  FROM v${e - 1} v LEFT JOIN (
+         |    SELECT tf.bucket, sum(tf.c * g.g) AS u FROM tf JOIN g$e g USING (doc_id) GROUP BY 1) u
+         |  USING (bucket)),
+         |w$e AS MATERIALIZED (
+         |  SELECT w.bucket, w.w + v.w AS w FROM w${e - 1} w JOIN v$e v USING (bucket))""".stripMargin
+    }.mkString(",\n")
+    s"""nd AS MATERIALIZED (SELECT count(*) AS n FROM $yRel),
        |w0 AS MATERIALIZED (SELECT r AS bucket, CAST(0 AS BIGINT) AS w FROM range(0, ${ClsBuckets + 1}) t(r)),
        |v0 AS MATERIALIZED (SELECT r AS bucket, CAST(0 AS BIGINT) AS w FROM range(0, ${ClsBuckets + 1}) t(r)),
        |$epochs""".stripMargin
   }
+
+  private def clsTrainCtes: String = s"$clsHeadCtes,\n${clsEpochCtes("y")}"
+
+  /** t19's chain: full gold relation `y` kept for evaluation, training
+    * restricted to the labeled slice `yt`.
+    */
+  private def clsGoldCtes: String =
+    s"""$clsHeadCtes,
+       |yt AS MATERIALIZED (SELECT doc_id, y FROM y WHERE doc_id % 5 < 2),
+       |${clsEpochCtes("yt")}""".stripMargin
 
   def t17ClassifierTrain(spark: SparkSession, dir: String): DataFrame = {
     val s2 = spark; import s2.implicits._
@@ -604,6 +646,49 @@ object TextQueries {
        |SELECT tf.doc_id, CAST(sum(tf.c * w.w) AS BIGINT) AS score,
        |       CAST(CAST(sum(tf.c * w.w) AS BIGINT) >= ${ClsT / 2} AS BIGINT) AS label
        |FROM tf JOIN w$ClsEpochs w USING (bucket) GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin
+
+  /** t19: the external-gold-label training workflow — the round-11
+    * missing item: production quality classifiers train on a CURATED
+    * labeled set (curated-positive vs crawl-negative), not on an
+    * in-corpus marker over every doc. A deterministic 40% slice
+    * (doc_id ≡ 0,1 mod 5) plays the external labels table; training
+    * joins features to that slice only ([[trainedWeightsGold]]), then
+    * the trained weights score the WHOLE corpus. The output carries
+    * prediction, gold, and train/holdout split per doc, so the gate
+    * hash certifies train-side fit AND holdout generalization in one
+    * relation — and the oracle replays the restricted training
+    * end-to-end (the gradient join against `yt` IS the labeled-set
+    * ingest path).
+    *
+    * Scale shape: identical to t11's serve (1025-row broadcast weight
+    * join, one per-doc shuffle); training epochs shuffle
+    * vocabulary-sized frames over the labeled SUBSET only — at 100 TB
+    * the labeled set is the small side by construction.
+    */
+  def t19GoldLabelTrain(spark: SparkSession, dir: String): DataFrame = {
+    val s2 = spark; import s2.implicits._
+    val weights = broadcast(trainedWeightsGold(spark, dir).toSeq.zipWithIndex
+      .map { case (wv, b) => (b.toLong, wv) }.toDF("bucket", "w"))
+    val (tf, y) = clsFeatures(spark, dir)
+    tf.join(weights, "bucket")
+      .groupBy("doc_id").agg(sum(col("c") * col("w")).as("score"))
+      .join(y, "doc_id")
+      .select(col("doc_id"), col("score"),
+        (col("score") >= ClsT / 2).cast("long").as("label"),
+        col("y").as("gold"),
+        when(col("doc_id") % 5 < 2, "train").otherwise("holdout").as("split"))
+      .orderBy("doc_id")
+  }
+
+  val t19Oracle: String =
+    s"""$clsGoldCtes
+       |SELECT sc.doc_id, sc.score,
+       |       CAST(sc.score >= ${ClsT / 2} AS BIGINT) AS label,
+       |       y.y AS gold,
+       |       CASE WHEN sc.doc_id % 5 < 2 THEN 'train' ELSE 'holdout' END AS split
+       |FROM (SELECT tf.doc_id, CAST(sum(tf.c * w.w) AS BIGINT) AS score
+       |      FROM tf JOIN w$ClsEpochs w USING (bucket) GROUP BY 1) sc
+       |JOIN y ON y.doc_id = sc.doc_id ORDER BY sc.doc_id""".stripMargin
 
   /** t12: BM25 top-k retrieval — the inverted-index scoring a
     * training-data pipeline runs for retrieval-based decontamination and
@@ -802,6 +887,7 @@ object TextQueries {
        |FROM dw LEFT JOIN tt USING (w) GROUP BY 1 ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t19_gold_classifier" -> (t19GoldLabelTrain _),
     "t17_classifier_train" -> (t17ClassifierTrain _),
     "t16_byte_bpe" -> (t16ByteBpe _),
     "t15_bpe_vocab" -> (t15BpeVocab _),
@@ -821,6 +907,7 @@ object TextQueries {
     "t7_nfc_normalize" -> (t7NfcNormalize _))
 
   val oracles: Map[String, String] = Map(
+    "t19_gold_classifier" -> t19Oracle,
     "t17_classifier_train" -> t17Oracle,
     "t16_byte_bpe" -> t16Oracle,
     "t15_bpe_vocab" -> t15Oracle,
