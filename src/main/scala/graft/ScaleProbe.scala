@@ -225,6 +225,55 @@ object ScaleProbe {
     queries.DedupQueries.unpersistShared()
   }
 
+  /** `--bpedepth [baseDir] [factor] [outDir]`: BPE merge-loop depth probe.
+    * Production tokenizers train 30k–50k merges; the gate corpus drains
+    * in double digits and round 11 measured only 256 merges over the
+    * ×100 histogram, leaving per-merge cost at depth unmeasured. This
+    * mode builds the ×factor histograms once (one Spark aggregation
+    * each), then times the driver-tier merge loop at doubling depths up
+    * to 32768 for the byte-level trainer (the GPT-2-shaped production
+    * path) plus one word-level 32768 run. Each depth reports realized
+    * merges (drain-aware) and wall seconds; a marginal cost for the last
+    * doubling far above the previous one would flag winner selection or
+    * re-merge as depth-bound. Timings are driver-side single-thread —
+    * exactly how the loop runs in production (the histogram is the only
+    * cluster-sized stage).
+    */
+  private def bpeDepth(spark: SparkSession, baseDir: String, factor: Int, outDir: String): Unit = {
+    import graft.operators.Bpe
+    synthesize(spark, baseDir, outDir, factor)
+    def capped(df: org.apache.spark.sql.DataFrame): (Array[(String, Long)], Double) = {
+      val t0 = System.nanoTime()
+      val h = df.orderBy(col("cnt").desc, col("w")).limit(Bpe.MaxTypes)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      (h, (System.nanoTime() - t0) / 1e9)
+    }
+    val (bhist, bhSec) = capped(Bpe.preTypes(spark, outDir))
+    println(f"[bpedepth] byte histogram: ${bhist.length} types in $bhSec%.1fs")
+    val depths = Seq(256, 2048, 8192, 32768)
+    val byteRows = depths.map { d =>
+      val s = System.nanoTime()
+      val m = Bpe.trainSymbols(bhist, Bpe.byteSyms, d)
+      val sec = (System.nanoTime() - s) / 1e9
+      println(f"[bpedepth] byte  depth=$d%6d merges=${m.merges.length}%6d wall=$sec%8.2fs")
+      (d, m.merges.length, sec)
+    }
+    val (whist, whSec) = capped(Bpe.wordTypes(spark, outDir))
+    println(f"[bpedepth] word histogram: ${whist.length} types in $whSec%.1fs")
+    val s0 = System.nanoTime()
+    val wm = Bpe.trainInMemory(whist, 32768)
+    val wSec = (System.nanoTime() - s0) / 1e9
+    println(f"[bpedepth] word  depth= 32768 merges=${wm.merges.length}%6d wall=$wSec%8.2fs")
+    val dj = byteRows.map { case (d, m, sec) =>
+      s""""$d":{"merges":$m,"sec":$sec}""" }.mkString("{", ",", "}")
+    val line = s"""{"metric":"bpe_depth_probe","factor":$factor,"byte_types":${bhist.length},""" +
+      s""""byte_hist_sec":$bhSec,"byte_depths":$dj,"word_types":${whist.length},""" +
+      s""""word_hist_sec":$whSec,"word_32768":{"merges":${wm.merges.length},"sec":$wSec}}"""
+    println(line)
+    Files.createDirectories(Paths.get("target"))
+    Files.write(Paths.get("target/bench_bpedepth.json"), line.getBytes("UTF-8"))
+  }
+
   /** `--zipfskew [nEdges] [hubs]`: graph-family skew stress. The synthetic
     * corpus keeps the dup graph's keys near-uniform, but real dup graphs
     * are Zipfian — one boilerplate cluster dominates, so the d12 iteration
@@ -565,6 +614,14 @@ object ScaleProbe {
       val nDocs = if (args.length > 1) args(1).toLong else 2000000L
       val hotPct = if (args.length > 2) args(2).toInt else 50
       segSkew(spark, nDocs, hotPct)
+      spark.stop(); return
+    }
+    if (args.headOption.contains("--bpedepth")) {
+      val spark = GraftSession.prepare(GraftSession.local("graft-bpedepth"))
+      val base = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+      val factor = if (args.length > 2) args(2).toInt else 100
+      val out = if (args.length > 3) args(3) else s"target/sfprobe/x$factor"
+      bpeDepth(spark, base, factor, out)
       spark.stop(); return
     }
     if (args.headOption.contains("--zipfskew")) {

@@ -141,13 +141,33 @@ object Bpe {
     val pairWords = mutable.HashMap.empty[(String, String), mutable.ArrayBuffer[Int]]
     val inSet = mutable.HashSet.empty[(Int, (String, String))]
 
+    // Lazy-invalidation max-heap for winner selection: a full pairCount
+    // scan per round is O(P) and dominates at production merge depth
+    // (32k merges × millions of pairs). Every count CHANGE pushes a
+    // fresh (count, a, b) snapshot; on pop, entries whose count no
+    // longer matches pairCount are stale and discarded. Each live pair
+    // always has a snapshot at its current count, so the first fresh pop
+    // IS argmax by (count desc, a, b code-point asc) — bit-identical to
+    // the scan it replaces. Heap growth is bounded by total diff work.
+    val heapOrd: Ordering[(Long, String, String)] =
+      new Ordering[(Long, String, String)] {
+        def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+          if (x._1 != y._1) java.lang.Long.compare(x._1, y._1)
+          else if (x._2 != y._2) { if (cpLt(x._2, y._2)) 1 else -1 }
+          else if (x._3 != y._3) { if (cpLt(x._3, y._3)) 1 else -1 }
+          else 0
+        }
+      }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](heapOrd)
+
     def diffWord(i: Int, sign: Long): Unit = {
       val s = words(i)
       var j = 0
       while (j < s.length - 1) {
         val p = (s(j), s(j + 1))
         val c = pairCount.getOrElse(p, 0L) + sign * cnts(i)
-        if (c == 0L) pairCount.remove(p) else pairCount(p) = c
+        if (c == 0L) pairCount.remove(p)
+        else { pairCount(p) = c; heap.enqueue((c, p._1, p._2)) }
         if (sign > 0 && inSet.add((i, p)))
           pairWords.getOrElseUpdate(p, mutable.ArrayBuffer.empty) += i
         j += 1
@@ -170,11 +190,9 @@ object Bpe {
     var r = 0
     while (r < rounds && pairCount.nonEmpty) {
       var bestA: String = null; var bestB: String = null; var bestC = -1L
-      pairCount.foreach { case ((a, b), c) =>
-        if (c > bestC || (c == bestC &&
-            (cpLt(a, bestA) || (a == bestA && cpLt(b, bestB))))) {
-          bestA = a; bestB = b; bestC = c
-        }
+      while (bestA == null) {
+        val (c, a, b) = heap.dequeue()
+        if (pairCount.get((a, b)).contains(c)) { bestA = a; bestB = b; bestC = c }
       }
       merges += ((bestA, bestB, bestC))
       pairWords.getOrElse((bestA, bestB), mutable.ArrayBuffer.empty).foreach { i =>
