@@ -860,7 +860,99 @@ object CorpusQueries {
        |SELECT a.doc_id, a.avg_ppb, b.bucket
        |FROM avgd a JOIN bk b ON b.v = a.avg_ppb ORDER BY a.doc_id""".stripMargin
 
+  private val DsirB = 4096 // hashed n-gram feature buckets
+  private val DsirK = 100  // selected docs
+
+  /** v14: DSIR-style data selection — importance resampling over hashed
+    * n-gram features (the published data-selection method: weight raw
+    * docs by how target-domain-like their n-gram distribution is, keep
+    * the top). A deterministic slice (doc_id ≡ 0 mod 7) plays the
+    * target domain; features are hashed unigrams+bigrams into
+    * [[DsirB]] buckets; each bucket scores the add-one-smoothed
+    * probability RATIO (target vs raw), and a doc's weight is its
+    * gram-count-weighted mean bucket score. Deterministic variant:
+    * top-[[DsirK]] by weight instead of Gumbel sampling — and log-free,
+    * because libm `ln` differs in the last ulp between engines: the
+    * per-bucket score is `floor(1e9 · ((ct+1)/(Nt+B)) / ((cr+1)/(Nr+B)))`,
+    * a fixed tree of correctly-rounded IEEE divisions over
+    * exactly-representable integers, so the sum-of-ratios surrogate is
+    * bit-identical cross-engine where a sum-of-logs could not be.
+    *
+    * Scale shape: one gram explode + one (doc, bucket) map-side-combined
+    * aggregation; the bucket model is ≤ B rows, so its totals come from
+    * a window over the PROVABLY-BOUNDED rollup (never a crossJoin that
+    * re-executes the gram lineage) and the doc-scoring join broadcasts
+    * the B-row score table; the final top-k is a TakeOrdered, no global
+    * sort materialization. At 100 TB per-bucket counts stay < 2⁵³
+    * (exact as doubles) until ~10¹⁵ grams — rescale counts to ppm past
+    * that.
+    */
+  def v14DsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+    val uni = toks.select(col("doc_id"), explode(col("tk")).as("g"))
+    val bi = toks.where(size(col("tk")) >= 2)
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, size(tk) - 1), i -> concat(tk[i - 1], ' ', tk[i]))"))
+          .as("g"))
+    val ndb = uni.unionByName(bi)
+      .select(col("doc_id"), pmod(Text.md5Long(col("g")), lit(DsirB.toLong)).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+    val isTarget = col("doc_id") % 7 === 0
+    val ct = ndb.where(isTarget).groupBy("b").agg(sum("n").as("ct"))
+    val cr = ndb.where(!isTarget).groupBy("b").agg(sum("n").as("cr"))
+    val w = Window.partitionBy() // ≤ DsirB rows by construction
+    val bkt = ct.join(cr, Seq("b"), "full_outer")
+      .select(col("b"),
+        coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+      .withColumn("nt", sum("ct").over(w))
+      .withColumn("nr", sum("cr").over(w))
+      .select(col("b"),
+        floor(lit(1e9) *
+          ((col("ct") + 1).cast("double") / (col("nt") + DsirB).cast("double")) /
+          ((col("cr") + 1).cast("double") / (col("nr") + DsirB).cast("double")))
+          .cast("long").as("s"))
+    ndb.where(!isTarget)
+      .join(broadcast(bkt), "b")
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_grams"), sum(col("n") * col("s")).as("score"))
+      .withColumn("w_ppb", expr("score DIV n_grams"))
+      .orderBy(col("w_ppb").desc, col("doc_id"))
+      .limit(DsirK)
+      .select("doc_id", "n_grams", "score", "w_ppb")
+  }
+
+  val v14Oracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS tk
+       |  FROM documents),
+       |uni AS (SELECT doc_id, unnest(tk) AS g FROM toks),
+       |pos AS (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks WHERE len(tk) >= 2),
+       |bi AS (SELECT doc_id, tk[CAST(i AS INT)] || ' ' || tk[CAST(i + 1 AS INT)] AS g FROM pos),
+       |ndb AS (
+       |  SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT % $DsirB AS b, count(1) AS n
+       |  FROM (SELECT doc_id, g FROM uni UNION ALL SELECT doc_id, g FROM bi) GROUP BY 1, 2),
+       |tc AS (SELECT b, CAST(sum(n) AS BIGINT) AS ct FROM ndb WHERE doc_id % 7 = 0 GROUP BY b),
+       |rc AS (SELECT b, CAST(sum(n) AS BIGINT) AS cr FROM ndb WHERE doc_id % 7 <> 0 GROUP BY b),
+       |bkt AS (
+       |  SELECT b, coalesce(ct, 0) AS ct, coalesce(cr, 0) AS cr
+       |  FROM tc FULL OUTER JOIN rc USING (b)),
+       |sc AS (
+       |  SELECT b, CAST(floor(1e9 *
+       |           (CAST(ct + 1 AS DOUBLE) / CAST(sum(ct) OVER () + $DsirB AS DOUBLE)) /
+       |           (CAST(cr + 1 AS DOUBLE) / CAST(sum(cr) OVER () + $DsirB AS DOUBLE))) AS BIGINT) AS s
+       |  FROM bkt)
+       |SELECT ndb.doc_id, CAST(sum(ndb.n) AS BIGINT) AS n_grams,
+       |       CAST(sum(ndb.n * sc.s) AS BIGINT) AS score,
+       |       CAST(sum(ndb.n * sc.s) AS BIGINT) // CAST(sum(ndb.n) AS BIGINT) AS w_ppb
+       |FROM ndb JOIN sc USING (b) WHERE ndb.doc_id % 7 <> 0
+       |GROUP BY ndb.doc_id
+       |ORDER BY w_ppb DESC, doc_id LIMIT $DsirK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v14_dsir_select" -> (v14DsirSelect _),
     "v13_ccnet_buckets" -> (v13CcnetBuckets _),
     "v12_attrition" -> (v12Attrition _),
     "v10_pipeline" -> (v10Pipeline _),
@@ -875,6 +967,7 @@ object CorpusQueries {
     "v8_chunk" -> (v8Chunk _))
 
   val oracles: Map[String, String] = Map(
+    "v14_dsir_select" -> v14Oracle,
     "v13_ccnet_buckets" -> v13Oracle,
     "v12_attrition" -> v12Oracle,
     "v10_pipeline" -> v10Oracle,
