@@ -147,8 +147,12 @@ object Bpe {
     // fresh (count, a, b) snapshot; on pop, entries whose count no
     // longer matches pairCount are stale and discarded. Each live pair
     // always has a snapshot at its current count, so the first fresh pop
-    // IS argmax by (count desc, a, b code-point asc) — bit-identical to
-    // the scan it replaces. Heap growth is bounded by total diff work.
+    // IS argmax by (count desc, a, b code-point asc) — bit-identical to a
+    // code-point-collated scan (and it FIXES the tie-break the old scan
+    // had: Scala String `<` orders by UTF-16 code unit, which disagrees
+    // with the oracle's binary collation on supplementary-plane symbols;
+    // BpeSpec pins the corrected order). Heap growth is bounded by total
+    // diff work.
     val heapOrd: Ordering[(Long, String, String)] =
       new Ordering[(Long, String, String)] {
         def compare(x: (Long, String, String), y: (Long, String, String)): Int = {

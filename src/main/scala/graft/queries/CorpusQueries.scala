@@ -817,28 +817,32 @@ object CorpusQueries {
     * Scale shape: the tercile cutoffs are order statistics over the
     * per-VALUE histogram via [[StatQueries.cumBelow]]'s two-phase
     * distributed prefix sum (never a data-sized single-partition
-    * window); the corpus size n is a 1-row broadcast computed from a
-    * cheap token-count scan — NOT from the scored relation, so the
-    * scoring lineage is never re-executed for the scalar (the
-    * crossJoin-scalar trap). Per-doc assignment is one equi-join against
-    * the distinct-value-sized value→bucket map.
+    * window). The scored relation feeds THREE consumers (the value
+    * histogram, the corpus-size scalar, the final assignment join), so it
+    * is tracked-cached once: the t9 scoring lineage — the expensive
+    * tokenize + explode + two model joins — executes once, and the 1-row
+    * `n` broadcast re-reads the doc-id-sized cache instead of paying a
+    * second full tokenize of `documents` (r12 verdict #4). Per-doc
+    * assignment is one equi-join against the distinct-value-sized
+    * value→bucket map.
     */
   def v13CcnetBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val scored = TextQueries.t9Scores(spark, dir)
-      .withColumn("avg_ppb", expr("score_ppb DIV n_bigrams"))
+    import DedupQueries.tracked
+    val scored = tracked(
+      TextQueries.t9Scores(spark, dir)
+        .withColumn("avg_ppb", expr("score_ppb DIV n_bigrams"))
+        .select("doc_id", "avg_ppb").cache())
     val perV = scored.groupBy(col("avg_ppb").as("v")).agg(count(lit(1)).as("cnt"))
-    val n = broadcast(
-      Tables.documents(spark, dir)
-        .select(Text.tokens(col("text")).as("tk"))
-        .where(size(col("tk")) >= 2)
-        .agg(count(lit(1)).as("n")))
+    // scored rows ARE the docs with ≥2 tokens (t9 filters size(tk) ≥ 2
+    // before the bigram groupBy), mirroring the oracle's count over avgd
+    val n = broadcast(scored.agg(count(lit(1)).as("n")))
     val buckets = StatQueries.cumBelow(perV, Seq.empty, "cnt")
       .crossJoin(n)
       .select(col("v"),
         when((col("n") - col("cum") - col("cnt")) * 3 < col("n"), "head")
           .when((col("n") - col("cum") - col("cnt")) * 3 < col("n") * 2, "middle")
           .otherwise("tail").as("bucket"))
-    scored.select("doc_id", "avg_ppb")
+    scored
       .join(buckets, col("avg_ppb") === buckets("v"))
       .select("doc_id", "avg_ppb", "bucket")
       .orderBy("doc_id")
@@ -885,7 +889,16 @@ object CorpusQueries {
     * the B-row score table; the final top-k is a TakeOrdered, no global
     * sort materialization. At 100 TB per-bucket counts stay < 2⁵³
     * (exact as doubles) until ~10¹⁵ grams — rescale counts to ppm past
-    * that.
+    * that. Score MAGNITUDE needs separate headroom: s ≈ 1e9·(ct+1)·
+    * (Nr+B) / ((cr+1)·(Nt+B)), so a target-heavy bucket that is sparse
+    * in raw data scores up to ~1e9·Nr/Nt, and the per-doc sum(n·s) can
+    * overflow BIGINT long before the count bound when the raw/target
+    * size ratio is extreme (Nr/Nt ≈ 6 here keeps s ≤ ~6e9; a 1000:1
+    * corpus-to-target ratio pushes s to ~1e12 and a 10⁶-gram doc to
+    * ~10¹⁸ ≈ Long.MaxValue). Deployment rule: shrink the 1e9 multiplier
+    * by the corpus ratio (use 1e9·Nt/Nr) or clamp s at a fixed cap —
+    * top-k by the gram-weighted mean is invariant to the common scale
+    * factor, so selection is unchanged.
     */
   def v14DsirSelect(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)

@@ -364,7 +364,61 @@ object MultimodalQueries {
       |FROM comp c JOIN csizes s USING (asset_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** m9: keyframe / scene-cut extraction — the temporal segmentation a
+    * video-corpus pipeline runs BEFORE frame dedup (keep one keyframe per
+    * scene, drop the in-scene near-identical frames). Each m4 GIF is
+    * REALLY decoded frame-by-frame IN ORDER; a frame is a keyframe when it
+    * opens the video (frame 0) or when its luminance mass jumps ≥
+    * [[SceneCutT]] against the previous frame. The fixture's seed formula
+    * gives adjacent frames a smooth drift of exactly 1344 (192 px × the
+    * +7 seed step) with larger mod-256 wrap jumps (2496–4544 measured) at
+    * cohort-dependent positions, so both cut and non-cut transitions are
+    * exercised; the oracle replays the same integers closed-form and never
+    * decodes.
+    *
+    * Scale shape: executor-side frame expansion (flatMap over the
+    * container, like m4) then ONE window shuffle keyed by video — the lag
+    * partition is a single video's frames (bounded by container length,
+    * never corpus-sized), and output is keyframes only, a fraction of the
+    * frame count. At 100 TB this is the standard decode → per-video
+    * window → filter cascade; no stage holds more than a partition of
+    * decoded frames.
+    */
+  def m9SceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vids = MultimodalOps.syntheticVideos(spark, Tables.documents(spark, dir))
+    val lum = MultimodalOps.decodedFrameLuma(spark, vids).toDF()
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    lum.withColumn("delta", col("luma_sum") - lag("luma_sum", 1).over(w))
+      .where(col("frame_idx") === 0 || abs(col("delta")) >= SceneCutT)
+      .select(col("doc_id"), col("frame_idx"), col("luma_sum"),
+        coalesce(col("delta"), lit(0L)).as("delta"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  /** Between the fixture's smooth drift (1344) and its wrap jumps (≥2496). */
+  private val SceneCutT = 2000L
+
+  val m9Oracle: String =
+    s"""WITH df AS (
+       |  SELECT doc_id, CAST(fr.i AS INTEGER) AS frame_idx,
+       |         (doc_id % 50) * 1000 + fr.i AS seed
+       |  FROM documents, unnest(range(0, doc_id % 4 + 2)) AS fr(i)),
+       |lum AS (
+       |  SELECT doc_id, frame_idx,
+       |         CAST(sum((seed * 7 + x.i * 3 + y.i * 5) % 256) AS BIGINT) AS luma_sum
+       |  FROM df, unnest(range(0, 16)) AS x(i), unnest(range(0, 12)) AS y(i)
+       |  GROUP BY doc_id, frame_idx),
+       |d AS (
+       |  SELECT doc_id, frame_idx, luma_sum,
+       |         luma_sum - lag(luma_sum) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS delta
+       |  FROM lum)
+       |SELECT doc_id, frame_idx, luma_sum, CAST(coalesce(delta, 0) AS BIGINT) AS delta
+       |FROM d WHERE frame_idx = 0 OR abs(delta) >= $SceneCutT
+       |ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m9_scene_cuts" -> (m9SceneCuts _),
     "m8_crossmodal_dedup" -> (m8CrossModalDedup _),
     "m7_phash_neardup" -> (m7PhashNeardup _),
     "m6_perceptual_dedup" -> (m6PerceptualDedup _),
@@ -375,6 +429,7 @@ object MultimodalQueries {
     "m5_audio_decode" -> (m5AudioDecode _))
 
   val oracles: Map[String, String] = Map(
+    "m9_scene_cuts" -> m9Oracle,
     "m8_crossmodal_dedup" -> m8Oracle,
     "m7_phash_neardup" -> m7Oracle,
     "m6_perceptual_dedup" -> m6Oracle,

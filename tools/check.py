@@ -50,7 +50,11 @@ def compare():
         if not spark_files:
             print(f"FAIL {name}: no spark output"); n_bad += 1; continue
         try:
-            ddf = con.sql(sql).df()
+            # bind the oracle SQL ONCE; the relation serves both the value
+            # fetch and the declared-type gate below (the heavy unrolled
+            # oracles — 32 epoch CTEs, 256 BPE rounds — pay seconds per bind)
+            drel = con.sql(sql)
+            ddf = drel.df()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}"); n_bad += 1; continue
         sdf = con.sql(f"SELECT * FROM '{os.path.join(OUT, name)}/*.parquet'").df()
@@ -62,7 +66,6 @@ def compare():
         # HUGEINT oracle column failed it while pandas-coerced values here
         # matched). Compare DuckDB's declared oracle types against the
         # Spark parquet schema, both in DuckDB's type vocabulary.
-        drel = con.sql(sql)
         dtypes = dict(zip(drel.columns, (str(t) for t in drel.types)))
         stypes = {r[0]: r[1] for r in con.execute(
             f"DESCRIBE SELECT * FROM '{os.path.join(OUT, name)}/*.parquet'").fetchall()}
