@@ -264,14 +264,147 @@ object ScaleProbe {
     val wm = Bpe.trainInMemory(whist, 32768)
     val wSec = (System.nanoTime() - s0) / 1e9
     println(f"[bpedepth] word  depth= 32768 merges=${wm.merges.length}%6d wall=$wSec%8.2fs")
+    // Cap-saturating run: the ×100 corpus tops out well under MaxTypes, so
+    // the trainer's driver-memory bound (10⁶ types) had only been
+    // extrapolated. Upsample the REAL tail with deterministic variants —
+    // base word + '·' + base-36 digit, counts 1–3 — until the cap binds:
+    // variants share the base's internal pairs, so the pair table gains
+    // realistic tail mass, not random noise. Winner selection is heap-
+    // driven; histogram order doesn't matter past the cap selection.
+    val need = Bpe.MaxTypes - whist.length
+    val synth = Array.tabulate(math.max(0, need)) { i =>
+      val w = whist(i % whist.length)._1
+      (w + "·" + Integer.toString(i % 36, 36), 1L + i % 3)
+    }
+    val capHist = whist ++ synth
+    val s1 = System.nanoTime()
+    val cm = Bpe.trainInMemory(capHist, 32768)
+    val capSec = (System.nanoTime() - s1) / 1e9
+    println(f"[bpedepth] word  depth= 32768 types=${capHist.length} (cap) " +
+      f"merges=${cm.merges.length}%6d wall=$capSec%8.2fs")
     val dj = byteRows.map { case (d, m, sec) =>
       s""""$d":{"merges":$m,"sec":$sec}""" }.mkString("{", ",", "}")
     val line = s"""{"metric":"bpe_depth_probe","factor":$factor,"byte_types":${bhist.length},""" +
       s""""byte_hist_sec":$bhSec,"byte_depths":$dj,"word_types":${whist.length},""" +
-      s""""word_hist_sec":$whSec,"word_32768":{"merges":${wm.merges.length},"sec":$wSec}}"""
+      s""""word_hist_sec":$whSec,"word_32768":{"merges":${wm.merges.length},"sec":$wSec},""" +
+      s""""word_cap_32768":{"types":${capHist.length},"merges":${cm.merges.length},"sec":$capSec}}"""
     println(line)
     Files.createDirectories(Paths.get("target"))
     Files.write(Paths.get("target/bench_bpedepth.json"), line.getBytes("UTF-8"))
+  }
+
+  /** `--maint [baseDir] [factor] [outDir]`: maintenance-operator probe for
+    * the two verbs a 100 TB deployment runs routinely but no query ever
+    * exercises at scale: [[graft.operators.IvfIndex.recenter]] (index
+    * drift repair) and [[graft.sources.VersionedStore.optimizeCurrent]]
+    * (stats re-clustering).
+    *
+    * Recenter: build an IVF index over the ×factor embeddings, drift it
+    * with 5 jittered clones of one cell's vectors (the hot-cell regime a
+    * drifting crawl produces — same fixture shape `IvfIndexSpec` pins for
+    * correctness), then time the LOCAL hot-cell repair against the full
+    * rebuild it replaces, and report the list-size imbalance it removes
+    * (max/mean list rows = what one probed hot cell costs a serve).
+    *
+    * Optimize: a many-version store (20 committed snapshots of history,
+    * then a live snapshot hash-scattered across ~192 files so every file
+    * spans the full doc_id range), Delta log exported; measure the
+    * readWhere file-skipping rate and scan wall on a 1% doc_id range
+    * BEFORE, time optimizeCurrent(doc_id), re-export, measure AFTER —
+    * the whole point of the verb is turning "stats keep nothing" into
+    * "stats keep a couple of files".
+    */
+  private def maintProbe(spark: SparkSession, baseDir: String, factor: Int, outDir: String): Unit = {
+    import graft.functions.Vectors
+    import graft.operators.IvfIndex
+    import graft.sources.{DeltaLogReader, VersionedStore}
+    synthesize(spark, baseDir, outDir, factor)
+    def tick[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def rmrf(dir: String): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(dir)
+      hp.getFileSystem(hconf).delete(hp, true); ()
+    }
+
+    // ---- IvfIndex.recenter on a drifted ×factor index ----
+    val ivfBase = s"$outDir/maint_ivf"
+    val rebuildBase = s"$outDir/maint_ivf_rebuild"
+    rmrf(ivfBase); rmrf(rebuildBase)
+    val emb = Tables.embeddings(spark, outDir)
+    val cells = 64
+    val (idx, tBuild) = tick(IvfIndex.build(spark, emb, ivfBase, cells = cells, lloydIters = 2))
+    val hotSrc = spark.read.parquet(s"$ivfBase/assignments").where(col("cid") === 0)
+      .select(col("vec_id"), col("v")).localCheckpoint(true)
+    val reps = spark.range(1, 6).select(col("id").as("r"))
+    val inc = hotSrc.crossJoin(reps)
+      .select((col("vec_id") + col("r") * 1000000000L).as("vec_id"),
+        transform(col("v"), x => x + col("r").cast("double") / 1000.0).as("embedding"))
+      .localCheckpoint(true)
+    val (_, tAppend) = tick(idx.append(spark, inc))
+    def listStats(base: String): (Long, Double, Long) = {
+      val s = spark.read.parquet(s"$base/assignments").groupBy("cid").count()
+        .agg(max("count").as("mx"), avg("count").as("mean"), count(lit(1)).as("n")).collect()(0)
+      (s.getLong(0), s.getDouble(1), s.getLong(2))
+    }
+    val (mxB, meanB, cellsB) = listStats(ivfBase)
+    val (retired, tRecenter) = tick(idx.recenter(spark, hotFactor = 2.0, lloydIters = 2))
+    val (mxA, meanA, cellsA) = listStats(ivfBase)
+    // the alternative recenter replaces: a full rebuild over the same
+    // drifted vector set (base corpus + appended increment)
+    val allVecs = emb.select(col("vec_id"), Vectors.toDouble(col("embedding")).as("embedding"))
+      .unionByName(inc)
+    val (_, tRebuild) = tick { IvfIndex.build(spark, allVecs, rebuildBase, cells = cells, lloydIters = 2); () }
+    println(f"[maint] ivf build=$tBuild%.1fs append=$tAppend%.1fs recenter=$tRecenter%.1fs " +
+      f"rebuild=$tRebuild%.1fs retired=${retired.size} cells=$cellsB->$cellsA " +
+      f"maxlist=$mxB->$mxA mean=$meanB%.0f->$meanA%.0f")
+
+    // ---- VersionedStore.optimizeCurrent on a many-version store ----
+    val storeBase = s"$outDir/maint_store"
+    rmrf(storeBase)
+    val store = new VersionedStore(storeBase)
+    val docs = Tables.documents(spark, outDir).select(col("doc_id"), col("text"))
+    (1L to 20L).foreach { i =>
+      store.write(spark, docs.where(col("doc_id") % 20L === i % 20L).limit(2000)); ()
+    }
+    val unclustered = docs.repartition(192, md5(col("doc_id").cast("string")))
+    val (vLive, tWrite) = tick(store.write(spark, unclustered))
+    store.exportDeltaLog(spark, checkpointEvery = 10)
+    val maxId = docs.agg(max("doc_id")).collect()(0).getLong(0)
+    val (lo, hi) = ("0", (maxId / 100L).toString)
+    def kept(): (Int, Int) = {
+      val st = DeltaLogReader.resolve(spark, storeBase, None)
+      (DeltaLogReader.pruneFiles(spark, st, "doc_id", lo, hi).size, st.live.size)
+    }
+    def scanSec(): Double =
+      tick(DeltaLogReader.readWhere(spark, storeBase, "doc_id", lo, hi)
+        .queryExecution.toRdd.count())._2
+    val (keptB, totB) = kept()
+    val scanB = scanSec()
+    val liveBytes = new org.apache.hadoop.fs.Path(s"$storeBase/v=$vLive")
+      .getFileSystem(hconf).getContentSummary(
+        new org.apache.hadoop.fs.Path(s"$storeBase/v=$vLive")).getLength
+    val targetBytes = math.max(1L << 16, liveBytes / 128)
+    val (_, tOpt) = tick(store.optimizeCurrent(spark, Seq("doc_id"), targetBytes = targetBytes))
+    store.exportDeltaLog(spark, checkpointEvery = 10)
+    val (keptA, totA) = kept()
+    val scanA = scanSec()
+    println(f"[maint] store write=$tWrite%.1fs optimize=$tOpt%.1fs " +
+      f"kept=$keptB/$totB->$keptA/$totA scan=$scanB%.2fs->$scanA%.2fs")
+
+    val line = s"""{"metric":"maint_probe","factor":$factor,""" +
+      s""""recenter":{"build_sec":$tBuild,"append_sec":$tAppend,"recenter_sec":$tRecenter,""" +
+      s""""rebuild_sec":$tRebuild,"retired":${retired.size},"cells_before":$cellsB,""" +
+      s""""cells_after":$cellsA,"max_list_before":$mxB,"max_list_after":$mxA,""" +
+      s""""mean_list_before":$meanB,"mean_list_after":$meanA},""" +
+      s""""optimize":{"write_sec":$tWrite,"optimize_sec":$tOpt,""" +
+      s""""files_kept_before":$keptB,"files_total_before":$totB,""" +
+      s""""files_kept_after":$keptA,"files_total_after":$totA,""" +
+      s""""scan_sec_before":$scanB,"scan_sec_after":$scanA}}"""
+    println(line)
+    Files.createDirectories(Paths.get("target"))
+    Files.write(Paths.get("target/bench_maint.json"), line.getBytes("UTF-8"))
   }
 
   /** `--zipfskew [nEdges] [hubs]`: graph-family skew stress. The synthetic
@@ -622,6 +755,14 @@ object ScaleProbe {
       val factor = if (args.length > 2) args(2).toInt else 100
       val out = if (args.length > 3) args(3) else s"target/sfprobe/x$factor"
       bpeDepth(spark, base, factor, out)
+      spark.stop(); return
+    }
+    if (args.headOption.contains("--maint")) {
+      val spark = GraftSession.prepare(GraftSession.local("graft-maint"))
+      val base = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+      val factor = if (args.length > 2) args(2).toInt else 100
+      val out = if (args.length > 3) args(3) else s"target/sfprobe/x$factor"
+      maintProbe(spark, base, factor, out)
       spark.stop(); return
     }
     if (args.headOption.contains("--zipfskew")) {
