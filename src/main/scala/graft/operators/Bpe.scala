@@ -71,13 +71,17 @@ object Bpe {
     */
   val MaxTypes = 1000000
 
-  /** The trained model: ranked merges (a, b, pairCount) and the final
+  /** The trained model: ranked merges (a, b, pairCount), the final
     * type→subword-count table (w, n_sym) — the broadcast side of every
-    * encode join, taken directly from the trainer's end state instead of
-    * re-deriving it with a merges-deep replace chain.
+    * encode join — and the full per-type segmentation (w, cnt, syms),
+    * all taken directly from the trainer's end state instead of
+    * re-deriving them with a merges-deep replace chain. `segs` feeds the
+    * t20 vocab-utilization audit; it is the same `words` array the
+    * trainer already holds, so exposing it costs nothing extra.
     */
   final case class BpeModel(merges: Seq[(String, String, Long)],
-                            types: Seq[(String, Long)])
+                            types: Seq[(String, Long)],
+                            segs: Seq[(String, Long, Seq[String])])
 
   /** Word-type relation (w, cnt) over whitespace tokens of normText. */
   def wordTypes(spark: SparkSession, dir: String): DataFrame =
@@ -210,7 +214,8 @@ object Bpe {
       r += 1
     }
     BpeModel(merges.toSeq,
-      hist.indices.map(i => (hist(i)._1, words(i).length.toLong)))
+      hist.indices.map(i => (hist(i)._1, words(i).length.toLong)),
+      hist.indices.map(i => (hist(i)._1, cnts(i), words(i).toSeq)))
   }
 
   /** Type→subword-count DataFrame (w, n_sym) from the trained model. */

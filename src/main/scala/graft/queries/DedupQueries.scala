@@ -603,6 +603,78 @@ object DedupQueries {
        |FROM comp c JOIN sizes s USING (component)
        |ORDER BY doc_id""".stripMargin
 
+  /** d21: QUALITY-AWARE canonical selection — the survivor policy
+    * production pipelines actually run, vs the min-id rule every other
+    * dedup query uses: within each near-dup cluster (d7's components),
+    * keep the member with the best quality signal, tie-broken by length
+    * then id — a re-crawl of a page with cleaner text REPLACES the older
+    * crawl instead of losing to its smaller doc_id. Quality is t3's
+    * integer 0–4 score (deterministic cross-engine by construction);
+    * output is the per-doc verdict table a curation pass consumes:
+    * component, its canonical doc, and keep/drop.
+    *
+    * Scale shape: d7's collapsed component machinery (never pairwise in
+    * cluster size) + one doc-keyed join against the quality relation +
+    * ONE hash aggregation per component — the argmax is `max(struct(q,
+    * n_tokens, -doc_id, doc_id))`, a partial-aggregable struct max, so a
+    * boilerplate mega-cluster costs a merge of per-partition maxima, not
+    * a cluster-sized sort window.
+    */
+  def d21QualityCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = d7DupClusters(spark, dir)
+    val q = TextQueries.t3Quality(spark, dir)
+      .select(col("doc_id"), col("quality_score").cast("long").as("q"), col("n_tokens"))
+    val labeled = clusters.join(q, "doc_id")
+    val canon = labeled.groupBy("component")
+      .agg(max(struct(col("q"), col("n_tokens"),
+        (-col("doc_id")).as("neg"), col("doc_id").as("d"))).as("best"))
+      .select(col("component"), col("best.d").as("canonical_doc"))
+    labeled.join(canon, "component")
+      .select(col("doc_id"), col("component"), col("cluster_size"),
+        col("canonical_doc"), (col("doc_id") === col("canonical_doc")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val d21Oracle: String = {
+    val stop = graft.functions.Text.langMarkers.flatMap(_._2)
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH RECURSIVE $simhashPairsSqlBase,
+       |und AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs),
+       |reach(id, m) AS (
+       |  SELECT DISTINCT a, a FROM und
+       |  UNION
+       |  SELECT r.id, u.b FROM reach r JOIN und u ON u.a = r.m),
+       |comp AS (SELECT id AS doc_id, min(m) AS component FROM reach GROUP BY 1),
+       |sizes AS (SELECT component, count(*) AS csize FROM comp GROUP BY 1),
+       |tqt AS (
+       |  SELECT doc_id, text, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') tk
+       |  FROM documents),
+       |tqm AS (
+       |  SELECT doc_id, length(text) AS n_chars, len(tk) AS n_tokens,
+       |         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+       |         len(list_filter(tk, x -> list_contains($stop, x))) AS n_stop
+       |  FROM tqt),
+       |tq AS (
+       |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |         CAST(CAST(n_chars BETWEEN 40 AND 20000 AS INTEGER) + CAST(n_tokens >= 8 AS INTEGER)
+       |              + CAST((CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) <= 0.2 AS INTEGER)
+       |              + CAST((CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) >= 0.01 AS INTEGER) AS BIGINT) AS q
+       |  FROM tqm),
+       |lab AS (
+       |  SELECT c.doc_id, c.component, s.csize AS cluster_size, tq.q, tq.n_tokens
+       |  FROM comp c JOIN sizes s USING (component) JOIN tq USING (doc_id)),
+       |canon AS (
+       |  SELECT component, doc_id AS canonical_doc FROM (
+       |    SELECT component, doc_id,
+       |           row_number() OVER (PARTITION BY component ORDER BY q DESC, n_tokens DESC, doc_id) AS rn
+       |    FROM lab) WHERE rn = 1)
+       |SELECT l.doc_id, CAST(l.component AS BIGINT) AS component,
+       |       CAST(l.cluster_size AS BIGINT) AS cluster_size,
+       |       c.canonical_doc, l.doc_id = c.canonical_doc AS keep
+       |FROM lab l JOIN canon c USING (component)
+       |ORDER BY l.doc_id""".stripMargin
+  }
+
   /** d8: triangle count in the near-dup pair graph — the density signal
     * that distinguishes a genuine duplicate cluster (clique-like, many
     * triangles) from chained false positives (path-like, none).
@@ -1771,6 +1843,7 @@ object DedupQueries {
        |ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d21_quality_canonical" -> (d21QualityCanonical _),
     "d20_incremental_cc" -> (d20IncrementalCc _),
     "d19_setsim_join" -> (d19SetSimJoin _),
     "d19b_top_setsim" -> (d19bTopSetSim _),
@@ -1795,6 +1868,7 @@ object DedupQueries {
     "d14_incremental_lsh" -> (d14IncrementalLsh _))
 
   val oracles: Map[String, String] = Map(
+    "d21_quality_canonical" -> d21Oracle,
     "d20_incremental_cc" -> d20Oracle,
     "d19_setsim_join" -> d19Oracle,
     "d19b_top_setsim" -> d19bOracle,

@@ -600,11 +600,20 @@ object SimilarityQueries {
     * iterations — shared by [[s5Kmeans]] (cluster stats) and
     * [[s6Semdedup]] (within-cluster pruning).
     */
-  private def kmFit(spark: SparkSession, dir: String): DataFrame = {
-    // quantized view over the shared widened relation (v is the exact
-    // double widening, so round(v·KmQ) ≡ the direct-from-float form)
-    val q = ivfEmb(spark, dir).select(col("vec_id"),
+  /** The quantized embedding view kmFit/kmCentroids/the s11 stream twin
+    * all share (v is the exact double widening, so round(v·KmQ) ≡ the
+    * direct-from-float form).
+    */
+  private def kmQuantized(spark: SparkSession, dir: String): DataFrame =
+    ivfEmb(spark, dir).select(col("vec_id"),
       expr(s"transform(v, x -> CAST(round(x * $KmQ) AS BIGINT))").as("qv"))
+
+  /** The trained centroid set alone — driver-held k·dim ints, exposed so
+    * the streaming serve twin can assign with EXACTLY the batch centroids
+    * (bit-for-bit stream ≡ batch in `StreamingSpec`).
+    */
+  private[graft] def kmCentroids(spark: SparkSession, dir: String): Seq[(Int, Array[Long])] = {
+    val q = kmQuantized(spark, dir)
     // k from the manifest row count (parquet footers, driver-side) — the
     // former q.count() here was a full corpus scan per run just to size k
     val k = kmKFor(Tables.rowCountFromFooters(spark, dir, "embeddings"))
@@ -625,8 +634,11 @@ object SimilarityQueries {
         (cid, byPos.map(r => math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong).toArray)
       }
     }
-    kmAssign(q, cents)
+    cents
   }
+
+  private def kmFit(spark: SparkSession, dir: String): DataFrame =
+    kmAssign(kmQuantized(spark, dir), kmCentroids(spark, dir))
 
   def s5Kmeans(spark: SparkSession, dir: String): DataFrame =
     kmFit(spark, dir)
@@ -639,7 +651,25 @@ object SimilarityQueries {
     * inside this corpus's closest-pair band, the SemDedup percentile-style
     * cut).
     */
-  private val SemTau = 120000000L
+  private[graft] val SemTau = 120000000L
+
+  /** Quantize an embedding column exactly as [[kmQuantized]] does —
+    * shared with the streaming twin so stream-side assignment is
+    * bit-identical to the batch fit.
+    */
+  private[graft] def kmQuantize(emb: Column): Column =
+    transform(emb, x => round(x.cast("double") * KmQ).cast("long"))
+
+  /** Static eval-side index for the s11 streaming twin: the deterministic
+    * eval slice (vec_id ≡ 0 mod 20) cell-assigned under `cents`, widened
+    * forms precomputed for the codegen'd distance.
+    */
+  private[graft] def s11EvalIndex(spark: SparkSession, dir: String,
+      cents: Seq[(Int, Array[Long])]): DataFrame =
+    kmAssign(kmQuantized(spark, dir).where(col("vec_id") % 20 === 0), cents)
+      .withColumn("edv", expr("transform(qv, x -> CAST(x AS DOUBLE))"))
+      .withColumn("en2", Vectors.dotD(col("edv"), col("edv")))
+      .select(col("cid"), col("vec_id").as("eval_id"), col("edv"), col("en2"))
 
   /** s6: SemDedup-style pruning — k-means first, then near-duplicate
     * detection ONLY within each cluster: a vector is pruned when a
@@ -673,6 +703,43 @@ object SimilarityQueries {
       .agg(min("keep_id").as("kept_by"))
       .orderBy("pruned_id")
       .select("pruned_id", "cid", "kept_by")
+  }
+
+  /** s11: SEMANTIC decontamination — the embedding-space complement of
+    * v2's n-gram pass: an eval/benchmark item that was paraphrased into
+    * the crawl shares almost no 8-grams but sits next to its source in
+    * embedding space. A deterministic slice (vec_id ≡ 0 mod 20) plays the
+    * benchmark set; a TRAINING vector is flagged when any same-cluster
+    * eval vector sits within [[SemTau]] (s6's quantized-L2 band — the two
+    * verbs share one similarity contract on purpose: "too close to keep"
+    * means the same thing for intra-corpus pruning and eval leakage).
+    * Output per flagged vector: how many eval items hit it and the
+    * smallest hitting id — the ledger a curation pass joins against
+    * before packing (v2's placement rule, applied to the semantic tier).
+    *
+    * Scale shape: s6's exactly — the cross-set join runs ONLY within
+    * k-means cells (one cid-keyed shuffle; at scale k ∝ n bounds
+    * E[cluster]), the distance is the codegen'd |a|²+|b|²−2·a·b
+    * expansion, and the eval side is a ~5% slice so the per-cell pair
+    * count is 0.05·|cell|². Directional verdicts (train only) keep the
+    * output linear in flagged docs.
+    */
+  def s11SemanticDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val fit = kmFit(spark, dir).select(col("vec_id"), col("qv"), col("cid"))
+      .withColumn("dv", expr("transform(qv, x -> CAST(x AS DOUBLE))"))
+      .withColumn("n2", Vectors.dotD(col("dv"), col("dv")))
+    val ev = fit.where(col("vec_id") % 20 === 0)
+      .select(col("cid"), col("vec_id").as("eval_id"), col("dv").as("da"), col("n2").as("na2"))
+    val tr = fit.where(col("vec_id") % 20 =!= 0)
+      .select(col("cid"), col("vec_id"), col("dv").as("db"), col("n2").as("nb2"))
+    val pairDist = (col("na2") + col("nb2")
+      - lit(2.0) * Vectors.dotD(col("da"), col("db"))).cast("long")
+    tr.join(ev, Seq("cid"))
+      .where(pairDist < SemTau)
+      .groupBy("vec_id", "cid")
+      .agg(count(lit(1)).as("n_eval_hits"), min("eval_id").as("flagged_by"))
+      .orderBy("vec_id")
+      .select("vec_id", "cid", "n_eval_hits", "flagged_by")
   }
 
   private def kmDistSql(v: String, c: String): String =
@@ -730,6 +797,20 @@ object SimilarityQueries {
        |SELECT pruned_id, cid, min(keep_id) AS kept_by
        |FROM p WHERE d < $SemTau
        |GROUP BY pruned_id, cid ORDER BY pruned_id""".stripMargin
+
+  /** s11's oracle — declared after [[kmCtes]] (val init order). */
+  val s11Oracle: String =
+    s"""$kmCtes,
+       |p AS (
+       |  SELECT b.vec_id, b.cid, a.vec_id AS eval_id,
+       |         ${kmDistSql("qa.qv", "qb.qv")} AS d
+       |  FROM aF a JOIN aF b ON a.cid = b.cid
+       |   AND a.vec_id % 20 = 0 AND b.vec_id % 20 <> 0
+       |  JOIN q qa ON qa.vec_id = a.vec_id
+       |  JOIN q qb ON qb.vec_id = b.vec_id)
+       |SELECT vec_id, cid, CAST(count(1) AS BIGINT) AS n_eval_hits, min(eval_id) AS flagged_by
+       |FROM p WHERE d < $SemTau
+       |GROUP BY vec_id, cid ORDER BY vec_id""".stripMargin
 
   private val HardNegK = 3
   private val NegMargin = 0.2
@@ -797,6 +878,7 @@ object SimilarityQueries {
        |ORDER BY anchor, role, rank""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s11_semantic_decontam" -> (s11SemanticDecontam _),
     "s10_hard_negatives" -> (s10HardNegatives _),
     "s1_brute_topk" -> (s1BruteTopK _),
     "s2_lsh_topk" -> (s2LshTopK _),
@@ -809,6 +891,7 @@ object SimilarityQueries {
     "s9_ivfpq" -> (s9IvfPq _))
 
   val oracles: Map[String, String] = Map(
+    "s11_semantic_decontam" -> s11Oracle,
     "s10_hard_negatives" -> s10Oracle,
     "s1_brute_topk" -> s1Oracle,
     "s2_lsh_topk" -> s2Oracle,

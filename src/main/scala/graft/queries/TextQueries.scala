@@ -904,7 +904,64 @@ object TextQueries {
        |       CAST(sum(coalesce(tt.n_sym, octet_length(encode(dw.w)))) AS BIGINT) AS n_bbpe
        |FROM dw LEFT JOIN tt USING (w) GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** t20: VOCAB-UTILIZATION audit of the trained tokenizer — the QA pass a
+    * tokenizer-training pipeline runs before committing a vocab: for every
+    * merged vocab entry, how many word TYPES and word-token OCCURRENCES
+    * use it in the FINAL segmentation. Early merges get consumed by later
+    * ones ("th" disappears into "the"), so `n_types = 0` rows are genuine
+    * findings — dead vocab slots a budget-constrained vocabulary should
+    * reclaim. The oracle explodes the replayed final segmentation
+    * (`w16.sym`, the same unrolled-merge CTEs t14/t15 gate on), so a hash
+    * match certifies that the trainer's end-state segmentation — not just
+    * its counts — is byte-identical cross-engine.
+    *
+    * Scale shape: training is the t15 path (capped histogram + driver
+    * merge loop); the audit itself is one explode + keyed aggregation over
+    * the ≤[[graft.operators.Bpe.MaxTypes]]-row segmentation relation and a
+    * broadcast join against the rounds-sized vocab — never touches the
+    * corpus again.
+    */
+  def t20VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Bpe
+    val s2 = spark; import s2.implicits._
+    val model = Bpe.train(spark, dir, Bpe.EncodeRounds)
+    val vocab = model.merges.zipWithIndex
+      .map { case ((a, b, _), i) => (i + 1, a + b) }.toDF("rank", "sym")
+    val segs = model.segs.toDF("w", "cnt", "seg")
+    val use = segs.select(col("w"), col("cnt"), explode(col("seg")).as("sym"))
+      .groupBy("sym")
+      .agg(countDistinct("w").as("n_types"), sum("cnt").as("n_occurrences"))
+    broadcast(vocab).join(use, Seq("sym"), "left")
+      .select(col("rank"), col("sym"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        coalesce(col("n_occurrences"), lit(0L)).as("n_occurrences"))
+      .orderBy("rank")
+  }
+
+  val t20Oracle: String = {
+    val R = graft.operators.Bpe.EncodeRounds
+    val branches = (1 to R).map { k =>
+      s"SELECT CAST($k AS INTEGER) AS rank, a || b AS sym FROM b$k"
+    }.mkString("\n  UNION ALL ")
+    s"""${graft.operators.Bpe.oracleCtes(R)},
+       |v AS MATERIALIZED (
+       |  $branches),
+       |segs AS MATERIALIZED (
+       |  SELECT w, cnt,
+       |         unnest(list_filter(string_split(replace(sym, chr(1), ''), chr(2)), x -> x <> '')) AS sym
+       |  FROM w$R),
+       |u AS (
+       |  SELECT sym, CAST(count(DISTINCT w) AS BIGINT) AS n_types,
+       |         CAST(sum(cnt) AS BIGINT) AS n_occurrences
+       |  FROM segs GROUP BY sym)
+       |SELECT v.rank, v.sym,
+       |       CAST(coalesce(u.n_types, 0) AS BIGINT) AS n_types,
+       |       CAST(coalesce(u.n_occurrences, 0) AS BIGINT) AS n_occurrences
+       |FROM v LEFT JOIN u USING (sym) ORDER BY rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t20_vocab_coverage" -> (t20VocabCoverage _),
     "t19_gold_classifier" -> (t19GoldLabelTrain _),
     "t17_classifier_train" -> (t17ClassifierTrain _),
     "t16_byte_bpe" -> (t16ByteBpe _),
@@ -925,6 +982,7 @@ object TextQueries {
     "t7_nfc_normalize" -> (t7NfcNormalize _))
 
   val oracles: Map[String, String] = Map(
+    "t20_vocab_coverage" -> t20Oracle,
     "t19_gold_classifier" -> t19Oracle,
     "t17_classifier_train" -> t17Oracle,
     "t16_byte_bpe" -> t16Oracle,

@@ -358,6 +358,45 @@ object StreamingOps extends Serializable {
     * update mode; bound it with the foreachBatch sink pattern when doc
     * ids are unbounded).
     */
+  /** Stream-static SEMANTIC decontamination — s11's serve twin, the
+    * embedding-space sibling of [[decontaminateStream]]: each crawl
+    * micro-batch of embeddings `(vec_id, embedding)` is quantized and
+    * cell-assigned with the SAME literal-centroid argmin the batch fit
+    * uses (a stateless projection — centroids ride in the plan as
+    * literals, so assignment adds no stream state), then cell-joined
+    * against the PERSISTED quantized eval index and flagged inside
+    * [[graft.queries.SimilarityQueries.SemTau]]'s band. Frozen-index
+    * semantics like the n-gram twin: a benchmark release refreshes the
+    * eval index and stream-static re-planning picks it up per batch, no
+    * restart. The trailing per-vector ledger aggregation runs in
+    * update/complete mode (the [[streamStaticSpanDedup]] note applies:
+    * production bounds state via foreachBatch routing).
+    *
+    * @param increment streaming (vec_id BIGINT, embedding ARRAY<FLOAT|DOUBLE>)
+    * @param cents     driver-held quantized centroids (the batch fit's
+    *                  k·dim ints) — ≤ 16 keeps assignment on the literal
+    *                  path; a bigger serve index belongs to IvfIndex cells
+    * @param evalIndex static (cid, eval_id, edv ARRAY<DOUBLE>, en2 DOUBLE)
+    *                  — [[graft.queries.SimilarityQueries.s11EvalIndex]]
+    */
+  def streamStaticSemanticDecontam(increment: DataFrame,
+      cents: Seq[(Int, Array[Long])], evalIndex: DataFrame): DataFrame = {
+    import graft.queries.SimilarityQueries
+    require(cents.length <= 16,
+      s"${cents.length} cells — the stream twin runs the literal argmin only; larger serve indexes use IvfIndex cells")
+    val q = increment.select(col("vec_id"),
+      SimilarityQueries.kmQuantize(col("embedding")).as("qv"))
+    val assigned = SimilarityQueries.kmAssign(q, cents)
+      .withColumn("dv", expr("transform(qv, x -> CAST(x AS DOUBLE))"))
+      .withColumn("n2", graft.functions.Vectors.dotD(col("dv"), col("dv")))
+    val pairDist = (col("n2") + col("en2")
+      - lit(2.0) * graft.functions.Vectors.dotD(col("dv"), col("edv"))).cast("long")
+    assigned.join(evalIndex, Seq("cid"))
+      .where(pairDist < SimilarityQueries.SemTau)
+      .groupBy("vec_id", "cid")
+      .agg(count(lit(1)).as("n_eval_hits"), min("eval_id").as("flagged_by"))
+  }
+
   def decontaminateStream(increment: DataFrame, evalIndex: DataFrame): DataFrame = {
     import graft.functions.Text
     val grams = increment

@@ -146,6 +146,30 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](codec.decodeGifFrames(Array[Byte](1, 2, 3)))
   }
 
+  test("decodedFrameLuma preserves container order: frame_idx follows the seed sequence") {
+    import spark.implicits._
+    // m9's whole contract is TEMPORAL: frame_idx must be the container
+    // position (decodedFrameFingerprints deliberately drops order). Seeds
+    // with strictly increasing luminance mass pin the mapping: if the
+    // decode reordered frames, the per-index luma would not match the
+    // per-seed formula.
+    val seeds = Seq(100L, 200L, 300L, 100L)
+    val vids = Seq(graft.multimodal.PayloadRow(7L, MediaGen.gifBytes(seeds, 16, 12))).toDS()
+    val got = MultimodalOps.decodedFrameLuma(spark, vids)
+      .collect().sortBy(_.frame_idx)
+    assert(got.map(_.frame_idx).toSeq == Seq(0, 1, 2, 3))
+    got.foreach { fl =>
+      val seed = seeds(fl.frame_idx)
+      val expect = (for (y <- 0 until 12; x <- 0 until 16)
+        yield MediaGen.grayPixel(seed, x, y).toLong).sum
+      assert(fl.luma_sum == expect, s"frame ${fl.frame_idx} luma")
+    }
+    // identical seeds at different positions stay distinguishable BY
+    // POSITION while agreeing in content — the property the scene-cut lag
+    // window rides on
+    assert(got(0).luma_sum == got(3).luma_sum)
+  }
+
   test("thumbnail is nearest-neighbor on decoded pixels (hand case)") {
     val codec = new MediaCodec()
     // 4x4 image, thumbnail 2x2 picks pixels at (0,0),(2,0),(0,2),(2,2)

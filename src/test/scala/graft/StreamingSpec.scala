@@ -713,6 +713,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("stream-static semantic decontamination == batch s11; planted eval clone flagged") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.queries.SimilarityQueries
+    implicit val sqlCtx = spark.sqlContext
+
+    // the batch fit's own centroids — stream assignment must be bit-equal
+    val cents = SimilarityQueries.kmCentroids(spark, sfDir)
+    val index = SimilarityQueries.s11EvalIndex(spark, sfDir, cents).cache()
+    index.count() // materialize the static side once, not per micro-batch
+
+    val train = SimilarityQueries.ivfEmb(spark, sfDir)
+      .where(col("vec_id") % 20 =!= 0)
+      .select(col("vec_id"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    // planted contamination: an exact clone of the LOWEST eval id under a
+    // fresh train-shaped id — distance 0, must be flagged by its source
+    val evalRow = SimilarityQueries.ivfEmb(spark, sfDir)
+      .where(col("vec_id") % 20 === 0).orderBy("vec_id")
+      .select(col("vec_id"), col("v")).collect().head
+    val plantedId = 900001L
+    val rows = train :+ ((plantedId, evalRow.getSeq[Double](1).toArray))
+
+    val mem = MemoryStream[(Long, Array[Double])]
+    val q = StreamingOps.streamStaticSemanticDecontam(
+        mem.toDS().toDF("vec_id", "embedding"), cents, index)
+      .writeStream.format("memory").queryName("sdecon").outputMode("complete").start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sdecon").orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+
+    val planted = got.find(_._1 == plantedId)
+    assert(planted.nonEmpty && planted.get._4 == evalRow.getLong(0),
+      s"planted eval clone must be flagged by its source: $planted")
+
+    // real-slice verdicts ≡ batch s11, bit-for-bit
+    val batch = SimilarityQueries.s11SemanticDecontam(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.filterNot(_._1 == plantedId) == batch)
+    index.unpersist()
+  }
+
   test("batch sessionization totals are exact decimal sums (order-independent)") {
     val df = EventQueries.e3Sessions(spark, sfDir)
     val total = df.agg(sum(col("total_value").cast("decimal(18,2)")).cast("double")).head.getDouble(0)
