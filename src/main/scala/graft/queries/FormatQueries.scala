@@ -125,6 +125,39 @@ object FormatQueries {
       |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** f7: Avro round-trip — the row-oriented interchange format every
+    * Kafka-fed ingestion tier speaks (Spark 4 bundles the avro source in
+    * spark-sql; no external package). Same exactness discipline as
+    * f1/f4: prices cross the format boundary as integer cents, and the
+    * oracle computes the aggregate straight from the original parquet, so
+    * a hash match certifies write → read fidelity. This distribution
+    * bundles the avro classes in spark-sql WITHOUT the service-registry
+    * entry (the short name "avro" is in the separate spark-avro artifact),
+    * so the source is addressed by its implementation class — the
+    * documented fallback `DataSource.lookupDataSource` supports. Scale note: avro is
+    * splittable (block-compressed container) but ROW-oriented — fine for
+    * the ingest hop it models, wrong for analytic scans; the pipeline's
+    * first move is always a columnar rewrite (f1's CSV note applies).
+    */
+  private val AvroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  def f7AvroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("graft-avro")
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .write.mode("overwrite").format(AvroFmt).save(out)
+    spark.read.format(AvroFmt).load(out)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"), sum("cents").as("total_cents"))
+      .orderBy("l_returnflag")
+  }
+
+  val f7Oracle: String =
+    """SELECT l_returnflag, count(1) AS n_items,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** f5: semi-structured VARIANT ingestion — the modern JSON-lake shape
     * (Spark 4's `VariantType`). Orders become nested JSON payloads,
     * `parse_json` turns them into a VARIANT column, the column round-trips
@@ -204,7 +237,8 @@ object FormatQueries {
     "f1_csv_roundtrip" -> (f1CsvRoundtrip _),
     "f2_json_roundtrip" -> (f2JsonRoundtrip _),
     "f3_schema_evolution" -> (f3SchemaEvolution _),
-    "f4_orc_roundtrip" -> (f4OrcRoundtrip _))
+    "f4_orc_roundtrip" -> (f4OrcRoundtrip _),
+    "f7_avro_roundtrip" -> (f7AvroRoundtrip _))
 
   val oracles: Map[String, String] = Map(
     "f6_delta_roundtrip" -> f6Oracle,
@@ -212,5 +246,6 @@ object FormatQueries {
     "f1_csv_roundtrip" -> f1Oracle,
     "f2_json_roundtrip" -> f2Oracle,
     "f3_schema_evolution" -> f3Oracle,
-    "f4_orc_roundtrip" -> f4Oracle)
+    "f4_orc_roundtrip" -> f4Oracle,
+    "f7_avro_roundtrip" -> f7Oracle)
 }

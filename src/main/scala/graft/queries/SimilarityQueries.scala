@@ -798,6 +798,55 @@ object SimilarityQueries {
        |FROM p WHERE d < $SemTau
        |GROUP BY pruned_id, cid ORDER BY pruned_id""".stripMargin
 
+  private val KnnK = 5 // neighbors per leave-one-out prediction
+
+  /** s12: kNN LABEL PROBE — the embedding-quality evaluation a pipeline
+    * runs before trusting an embedding column for dedup/ANN/curation (the
+    * standard "linear/kNN probe" from representation learning, expressed
+    * as a query): leave-one-out k-nearest-neighbor classification of the
+    * `label` column, neighbors drawn from the vector's own k-means cell.
+    * Per vector: the majority label of its [[KnnK]] nearest clustermates
+    * (quantized-L2 distance — integer-exact, no sqrt; ties: nearer rank by
+    * id, vote ties by smaller label) next to its true label. The
+    * agreement rate IS the probe metric; emitting per-vector verdicts
+    * keeps the output joinable (which cohorts confuse) and the hash
+    * gate meaningful row-by-row. Vectors alone in their cell have no
+    * neighbors and produce no verdict — both engines agree by the same
+    * inner flow.
+    *
+    * Scale shape: s6's exactly — cell-local candidate pairs (k ∝ n bounds
+    * E[cell] ≈ 256), one cid-keyed shuffle, two bounded windows (top-k per
+    * vector: partition = one vector's clustermates; vote argmax:
+    * partition = ≤ k rows).
+    */
+  def s12KnnProbe(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val fit = kmFit(spark, dir).select(col("vec_id"), col("qv"), col("cid"))
+      .join(labels, "vec_id")
+      .withColumn("dv", expr("transform(qv, x -> CAST(x AS DOUBLE))"))
+      .withColumn("n2", Vectors.dotD(col("dv"), col("dv")))
+    val q = fit.select(col("cid"), col("vec_id").as("qid"),
+      col("dv").as("da"), col("n2").as("na2"), col("label").as("true_label"))
+    val c = fit.select(col("cid"), col("vec_id"),
+      col("dv").as("db"), col("n2").as("nb2"), col("label").as("nb_label"))
+    val pairDist = (col("na2") + col("nb2")
+      - lit(2.0) * Vectors.dotD(col("da"), col("db"))).cast("long")
+    val top = q.join(c, Seq("cid")).where(col("vec_id") =!= col("qid"))
+      .withColumn("d", pairDist)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d"), col("vec_id"))))
+      .where(col("rn") <= KnnK)
+    val pred = top.groupBy("qid", "true_label", "nb_label")
+      .agg(count(lit(1)).as("v"))
+      .withColumn("vr", row_number().over(
+        Window.partitionBy("qid").orderBy(col("v").desc, col("nb_label"))))
+      .where(col("vr") === 1)
+    pred.select(col("qid").as("vec_id"), col("true_label"),
+        col("nb_label").as("pred_label"),
+        (col("true_label") === col("nb_label")).as("correct"))
+      .orderBy("vec_id")
+  }
+
   /** s11's oracle — declared after [[kmCtes]] (val init order). */
   val s11Oracle: String =
     s"""$kmCtes,
@@ -811,6 +860,32 @@ object SimilarityQueries {
        |SELECT vec_id, cid, CAST(count(1) AS BIGINT) AS n_eval_hits, min(eval_id) AS flagged_by
        |FROM p WHERE d < $SemTau
        |GROUP BY vec_id, cid ORDER BY vec_id""".stripMargin
+
+  /** s12's oracle — declared after [[kmCtes]] (val init order). */
+  val s12Oracle: String =
+    s"""$kmCtes,
+       |lbl AS (SELECT vec_id, label FROM embeddings),
+       |p AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+       |         ${kmDistSql("qa.qv", "qb.qv")} AS d
+       |  FROM aF a JOIN aF b ON a.cid = b.cid AND b.vec_id <> a.vec_id
+       |  JOIN q qa ON qa.vec_id = a.vec_id
+       |  JOIN q qb ON qb.vec_id = b.vec_id),
+       |top AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rn
+       |    FROM p) WHERE rn <= $KnnK),
+       |votes AS (
+       |  SELECT t.qid, l.label AS nb_label, count(1) AS v
+       |  FROM top t JOIN lbl l ON l.vec_id = t.nid GROUP BY 1, 2),
+       |pred AS (
+       |  SELECT qid, nb_label FROM (
+       |    SELECT qid, nb_label, row_number() OVER (PARTITION BY qid ORDER BY v DESC, nb_label) AS rn
+       |    FROM votes) WHERE rn = 1)
+       |SELECT pr.qid AS vec_id, l.label AS true_label, pr.nb_label AS pred_label,
+       |       l.label = pr.nb_label AS correct
+       |FROM pred pr JOIN lbl l ON l.vec_id = pr.qid
+       |ORDER BY vec_id""".stripMargin
 
   private val HardNegK = 3
   private val NegMargin = 0.2
@@ -878,6 +953,7 @@ object SimilarityQueries {
        |ORDER BY anchor, role, rank""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s12_knn_probe" -> (s12KnnProbe _),
     "s11_semantic_decontam" -> (s11SemanticDecontam _),
     "s10_hard_negatives" -> (s10HardNegatives _),
     "s1_brute_topk" -> (s1BruteTopK _),
@@ -891,6 +967,7 @@ object SimilarityQueries {
     "s9_ivfpq" -> (s9IvfPq _))
 
   val oracles: Map[String, String] = Map(
+    "s12_knn_probe" -> s12Oracle,
     "s11_semantic_decontam" -> s11Oracle,
     "s10_hard_negatives" -> s10Oracle,
     "s1_brute_topk" -> s1Oracle,
