@@ -417,7 +417,50 @@ object MultimodalQueries {
        |FROM d WHERE frame_idx = 0 OR abs(delta) >= $SceneCutT
        |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** m10: audio SILENCE SEGMENTATION — the voice-activity-detection
+    * precursor an audio-corpus pipeline runs before transcription or
+    * chunking (trim silence, split on pauses): each m5 WAV is REALLY
+    * decoded and its maximal low-amplitude runs (|sample − 128| <
+    * [[SilenceTol]], length ≥ [[SilenceMinLen]]) become segment rows.
+    * The run scan lives inside the decode loop ([[graft.multimodal
+    * .MultimodalOps.decodedSilenceSegments]]), so at 100 TB the
+    * sample-rate-sized stream never materializes as rows — only the
+    * sparse segments do. The oracle replays the PCM seed formula with the
+    * gaps-and-islands idiom (i − row_number per doc), certifying run
+    * boundaries, lengths, and ordering end-to-end through the real RIFF
+    * decode.
+    */
+  def m10SilenceSegments(spark: SparkSession, dir: String): DataFrame = {
+    val wavs = MultimodalOps.syntheticAudio(spark, Tables.documents(spark, dir))
+    MultimodalOps.decodedSilenceSegments(spark, wavs, SilenceTol, SilenceMinLen)
+      .toDF()
+      .orderBy("doc_id", "seg_idx")
+  }
+
+  /** Fixture band: the 17-step PCM walk dwells < 32 around mid-scale for
+    * runs of 2–4 samples, so every doc has segments and the min-length
+    * gate is exercised on both sides.
+    */
+  private val SilenceTol = 32
+  private val SilenceMinLen = 2
+
+  val m10Oracle: String =
+    s"""WITH d AS (SELECT doc_id, doc_id % 500 + 100 AS n FROM documents),
+       |s AS (SELECT doc_id, i.i AS i, (doc_id * 11 + i.i * 17) % 256 AS v
+       |      FROM d, unnest(range(0, d.n)) AS i(i)),
+       |sil AS (SELECT doc_id, i FROM s WHERE abs(v - 128) < $SilenceTol),
+       |g AS (SELECT doc_id, i, i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+       |      FROM sil),
+       |seg AS (SELECT doc_id, min(i) AS start_i, max(i) AS end_i, count(1) AS n_samples
+       |        FROM g GROUP BY doc_id, grp HAVING count(1) >= $SilenceMinLen)
+       |SELECT doc_id,
+       |       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_i) - 1 AS INTEGER) AS seg_idx,
+       |       CAST(start_i AS BIGINT) AS start_i, CAST(end_i AS BIGINT) AS end_i,
+       |       CAST(n_samples AS BIGINT) AS n_samples
+       |FROM seg ORDER BY doc_id, seg_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m10_silence_segments" -> (m10SilenceSegments _),
     "m9_scene_cuts" -> (m9SceneCuts _),
     "m8_crossmodal_dedup" -> (m8CrossModalDedup _),
     "m7_phash_neardup" -> (m7PhashNeardup _),
@@ -429,6 +472,7 @@ object MultimodalQueries {
     "m5_audio_decode" -> (m5AudioDecode _))
 
   val oracles: Map[String, String] = Map(
+    "m10_silence_segments" -> m10Oracle,
     "m9_scene_cuts" -> m9Oracle,
     "m8_crossmodal_dedup" -> m8Oracle,
     "m7_phash_neardup" -> m7Oracle,
