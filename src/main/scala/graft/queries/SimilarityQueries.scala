@@ -613,12 +613,17 @@ object SimilarityQueries {
     * (bit-for-bit stream ≡ batch in `StreamingSpec`).
     */
   private[graft] def kmCentroids(spark: SparkSession, dir: String): Seq[(Int, Array[Long])] =
-    kmCentCache.computeIfAbsent(dir, _ => kmTrainCentroids(spark, dir))
+    kmCentCache.computeIfAbsent(
+      Tables.fitKey(spark, dir, "embeddings"), _ => kmTrainCentroids(spark, dir))
 
   /** Per-JVM centroid memo (the clsCache precedent): four queries
     * (s5/s6/s11/s12) ride the same deterministic fit, so the battery and
     * Verify pay the Lloyd collects once per corpus directory — k·dim
-    * longs of driver state, no executor memory pinned.
+    * longs of driver state, no executor memory pinned. Keyed by
+    * `Tables.fitKey` (dir + manifest fingerprint), so rewriting an
+    * embeddings dir in-place within one JVM refreshes the fit instead of
+    * serving stale centroids (`MemoStalenessSpec`); superseded entries are
+    * k·dim longs each — negligible.
     */
   private val kmCentCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Array[Long])]]()

@@ -491,7 +491,7 @@ object TextQueries {
     * were synthetic.
     */
   private[queries] def trainedWeights(spark: SparkSession, dir: String): Array[Long] =
-    clsCache.computeIfAbsent(dir, _ => {
+    clsCache.computeIfAbsent(Tables.fitKey(spark, dir, "documents"), _ => {
       val (tfRaw, y) = clsFeatures(spark, dir)
       val ck = tfRaw.join(y, "doc_id").localCheckpoint()
       try runTraining(spark, ck, y.count()) finally freeLocalCheckpoint(ck)
@@ -506,7 +506,7 @@ object TextQueries {
     * classifier retrains when a new labeled batch lands.
     */
   private[queries] def trainedWeightsGold(spark: SparkSession, dir: String): Array[Long] =
-    clsGoldCache.computeIfAbsent(dir, _ => {
+    clsGoldCache.computeIfAbsent(Tables.fitKey(spark, dir, "documents"), _ => {
       val (tfRaw, y) = clsFeatures(spark, dir)
       val yt = y.where(col("doc_id") % 5 < 2)
       val ck = tfRaw.join(yt, "doc_id").localCheckpoint()
@@ -523,11 +523,22 @@ object TextQueries {
     * after training (the weights array is the only live output), so losing
     * recomputability is fine.
     */
-  private def freeLocalCheckpoint(df: DataFrame): Unit =
+  private def freeLocalCheckpoint(df: DataFrame): Unit = {
+    var freed = 0
     df.queryExecution.analyzed.foreach {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking = true)
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = true); freed += 1
       case _ => ()
     }
+    // A checkpointed frame that exposes no LogicalRDD leaf means a Spark
+    // upgrade moved the class and the blocks would silently stay resident
+    // for the JVM lifetime (the exact 3.2× bench thrash this fixes) —
+    // surface the regression instead of reverting to the leak.
+    if (freed == 0)
+      System.err.println(
+        "WARN graft: freeLocalCheckpoint found no LogicalRDD leaf to unpersist — " +
+          "checkpoint blocks stay resident (plan: " + df.queryExecution.analyzed.nodeName + ")")
+  }
 
   /** The shared heavy-ball training loop over an already-labeled,
     * already-checkpointed feature relation (doc_id, bucket, c, y) with n
@@ -559,6 +570,9 @@ object TextQueries {
 
   /** Per-JVM training memo: t11 and t17 share one training run per
     * corpus directory (the battery and Verify both run them in one JVM).
+    * Keyed by `Tables.fitKey` (dir + manifest fingerprint) so an in-JVM
+    * rewrite of the documents table retrains instead of serving stale
+    * weights — same staleness contract as the k-means centroid memo.
     */
   private val clsCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()

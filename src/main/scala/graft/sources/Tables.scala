@@ -38,6 +38,40 @@ object Tables {
     }.sum
   }
 
+  /** Cheap manifest fingerprint of a corpus table — file names, lengths and
+    * modification times from one driver-side listing (no footer opens, no
+    * Spark job). The stand-in for a production catalog's table version:
+    * anything memoizing a fit over the table keys on this, never on the
+    * path alone.
+    */
+  def manifestFingerprint(spark: SparkSession, dir: String, name: String): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = p.getFileSystem(conf)
+    val st = fs.getFileStatus(p)
+    val files =
+      if (st.isDirectory) fs.listStatus(p).filter(_.isFile).sortBy(_.getPath.getName)
+      else Array(st)
+    files.map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+      .mkString(";")
+  }
+
+  /** Memo key for a per-JVM fit over `dir/name`: `dir|fingerprint`. A
+    * rewrite of the table under the same path changes the key, so the memo
+    * retrains instead of silently serving centroids/weights fit on the old
+    * data. On a fingerprint CHANGE this also refreshes Spark's cached
+    * relations over the path — cached scans match on root path alone
+    * (`InMemoryFileIndex` equality), so without the refresh the retrain
+    * would read the stale cached snapshot rather than the new files.
+    */
+  def fitKey(spark: SparkSession, dir: String, name: String): String = {
+    val fp = manifestFingerprint(spark, dir, name)
+    val prev = fpSeen.put(s"$dir/$name", fp)
+    if (prev != null && prev != fp) spark.catalog.refreshByPath(s"$dir/$name.parquet")
+    s"$dir|$fp"
+  }
+  private val fpSeen = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Normalize `events.ts` to session-zoned TIMESTAMP whatever the driver
     * wrote this round: TIMESTAMP(NANOS) parquet arrives as raw nanos longs
     * (via the `nanosAsLong` legacy flag — Spark's vectorized reader rejects
