@@ -38,18 +38,22 @@ object Bench {
     // of steady-state engine cost under external noise. A query that throws
     // is reported in "failed" rather than recorded as a near-zero timing
     // (ADVICE r1: silent catch made breakage look like a speedup).
-    // Release tracked caches at every FAMILY boundary (names sort by
-    // family prefix, so families are contiguous): releasing only at
+    // Release tracked caches at every FAMILY boundary: releasing only at
     // battery start/end let all 182 queries' tracked(...cache()) relations
     // accumulate across the measured pass, and once residency crossed the
     // eviction threshold the biggest cache consumer (v10) thrashed —
     // recorded 10.97 s vs 3.28 s in an isolated JVM (r12 verdict #1).
-    // Cross-family sharing just re-persists on next use (min-of-3 absorbs
-    // the rebuild in run 1, same as a cold family start today).
-    var prevFamily: String = null
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val family = name.takeWhile(_.isLetter)
-      if (prevFamily != null && family != prevFamily) queries.DedupQueries.unpersistShared()
+    // A family = the owning query MODULE (the unit that shares tracked
+    // caches), looked up via SparkEntry.moduleOf — not parsed from the
+    // name prefix. Sorting by (module, name) keeps families contiguous by
+    // construction. Cross-family sharing just re-persists on next use
+    // (min-of-3 absorbs the rebuild in run 1, same as a cold family start).
+    var prevFamily: Int = -1
+    val results = selected.toSeq
+      .sortBy { case (name, _) => (SparkEntry.moduleOf(name), name) }
+      .map { case (name, fn) =>
+      val family = SparkEntry.moduleOf(name)
+      if (prevFamily != -1 && family != prevFamily) queries.DedupQueries.unpersistShared()
       prevFamily = family
       val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()

@@ -31,6 +31,15 @@ object SparkEntry {
       (YqlTextQueries.queries, YqlTextQueries.oracles)
     )
 
+  /** Query name → owning module index. The bench derives its cache-release
+    * family boundaries from this (the module is the unit that shares
+    * tracked caches), never from parsing name prefixes — a future
+    * multi-letter family sharing a first letter would have silently merged
+    * letter-parsed boundaries.
+    */
+  private[graft] lazy val moduleOf: Map[String, Int] =
+    modules.zipWithIndex.flatMap { case ((qs, _), i) => qs.keys.map(_ -> i) }.toMap
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     RefQ.q3Federation(spark, "/root/testdata/sf0.001")

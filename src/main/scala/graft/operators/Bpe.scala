@@ -71,17 +71,23 @@ object Bpe {
     */
   val MaxTypes = 1000000
 
-  /** The trained model: ranked merges (a, b, pairCount), the final
+  /** The trained model: ranked merges (a, b, pairCount) and the final
     * type→subword-count table (w, n_sym) — the broadcast side of every
-    * encode join — and the full per-type segmentation (w, cnt, syms),
-    * all taken directly from the trainer's end state instead of
-    * re-deriving them with a merges-deep replace chain. `segs` feeds the
-    * t20 vocab-utilization audit; it is the same `words` array the
-    * trainer already holds, so exposing it costs nothing extra.
+    * encode join — taken directly from the trainer's end state instead of
+    * re-deriving them with a merges-deep replace chain. The full per-type
+    * segmentation (w, cnt, syms) is exposed LAZILY via [[segs]]: only the
+    * t20 vocab-utilization audit reads it, and materializing up to
+    * MaxTypes copied rows eagerly would tax driver memory for every other
+    * trainer caller (t14/t15/t16/n13, the cap-saturating probe run).
     */
-  final case class BpeModel(merges: Seq[(String, String, Long)],
-                            types: Seq[(String, Long)],
-                            segs: Seq[(String, Long, Seq[String])])
+  final class BpeModel(val merges: Seq[(String, String, Long)],
+                       val types: Seq[(String, Long)],
+                       segsF: () => Seq[(String, Long, Seq[String])]) {
+    /** Per-type segmentation view over the trainer's end-state arrays —
+      * computed on demand, no copy held by the model itself.
+      */
+    def segs: Seq[(String, Long, Seq[String])] = segsF()
+  }
 
   /** Word-type relation (w, cnt) over whitespace tokens of normText. */
   def wordTypes(spark: SparkSession, dir: String): DataFrame =
@@ -213,9 +219,11 @@ object Bpe {
       }
       r += 1
     }
-    BpeModel(merges.toSeq,
+    new BpeModel(merges.toSeq,
       hist.indices.map(i => (hist(i)._1, words(i).length.toLong)),
-      hist.indices.map(i => (hist(i)._1, cnts(i), words(i).toSeq)))
+      // thunk over the trainer's final arrays (immutable once training
+      // returns) — evaluated only if a caller actually reads .segs
+      () => hist.indices.map(i => (hist(i)._1, cnts(i), words(i).toSeq)))
   }
 
   /** Type→subword-count DataFrame (w, n_sym) from the trained model. */

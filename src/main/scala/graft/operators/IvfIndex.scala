@@ -130,25 +130,29 @@ final class IvfIndex private (val base: String) {
     // are safe — footers are immutable once written — and an object store
     // serves them at far higher aggregate throughput than one-at-a-time.
     import scala.collection.parallel.CollectionConverters._
-    def footerCount(dir: org.apache.hadoop.fs.Path): Long = {
-      val files = fs.listStatus(dir)
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      val par = files.toSeq.par
-      par.tasksupport = IvfIndex.FooterPool
-      par.map { st =>
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf))
-        try r.getRecordCount finally r.close()
-      }.sum
-    }
     val dirs = fs.listStatus(aBase)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("cid="))
       .toSeq
+    // Two single-level parallel stages, never nested: nesting dirs.par
+    // around files.par shares the one FooterPool, and ForkJoin join-assist
+    // keeps it correct but leaves outer tasks blocked on inner sums —
+    // flat work lists keep all 16 threads on real I/O.
     val dpar = dirs.par
     dpar.tasksupport = IvfIndex.FooterPool
-    val sizes = dpar
-      .map(st => (st.getPath.getName.stripPrefix("cid=").toInt, footerCount(st.getPath)))
-      .seq.toSeq
+    val listed: Seq[(Int, Seq[org.apache.hadoop.fs.Path])] = dpar.map { st =>
+      val cid = st.getPath.getName.stripPrefix("cid=").toInt
+      (cid, fs.listStatus(st.getPath)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath).toSeq)
+    }.seq
+    val fpar = listed.flatMap { case (cid, fl) => fl.map(cid -> _) }.par
+    fpar.tasksupport = IvfIndex.FooterPool
+    val counts: Map[Int, Long] = fpar.map { case (cid, p) =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try (cid, r.getRecordCount) finally r.close()
+    }.seq.groupBy(_._1).map { case (cid, xs) => cid -> xs.map(_._2).sum }
+    val sizes = listed.map { case (cid, _) => (cid, counts.getOrElse(cid, 0L)) }
     require(sizes.nonEmpty, s"$base has no inverted lists to recenter")
     val mean = sizes.map(_._2).sum.toDouble / sizes.size
     val hot = sizes.filter(_._2 > hotFactor * mean).sortBy(_._1)
@@ -292,9 +296,10 @@ object IvfIndex {
   /** Bounded pool for parallel parquet-footer metadata reads (recenter's
     * hot-cell detection) — footers are immutable, so concurrent opens are
     * safe, and 16-way keeps a thousands-of-files index's detection pass
-    * I/O-bound instead of latency-bound.
+    * I/O-bound instead of latency-bound. Lazy: a JVM that never calls
+    * recenter never creates the pool's threads.
     */
-  private[operators] val FooterPool =
+  private[operators] lazy val FooterPool =
     new scala.collection.parallel.ForkJoinTaskSupport(
       new java.util.concurrent.ForkJoinPool(16))
 

@@ -867,6 +867,12 @@ object CorpusQueries {
   private val DsirB = 4096 // hashed n-gram feature buckets
   private val DsirK = 100  // selected docs
 
+  /** BIGINT-overflow guard on the per-bucket ratio score (see v14's
+    * Scaladoc): s ≤ 1e10 keeps sum(n·s) < 2⁶³ for any doc under ~9·10⁸
+    * grams regardless of the raw/target corpus ratio.
+    */
+  private val DsirScoreCap = 10000000000L
+
   /** v14: DSIR-style data selection — importance resampling over hashed
     * n-gram features (the published data-selection method: weight raw
     * docs by how target-domain-like their n-gram distribution is, keep
@@ -891,14 +897,17 @@ object CorpusQueries {
     * (exact as doubles) until ~10¹⁵ grams — rescale counts to ppm past
     * that. Score MAGNITUDE needs separate headroom: s ≈ 1e9·(ct+1)·
     * (Nr+B) / ((cr+1)·(Nt+B)), so a target-heavy bucket that is sparse
-    * in raw data scores up to ~1e9·Nr/Nt, and the per-doc sum(n·s) can
+    * in raw data scores up to ~1e9·Nr/Nt, and the per-doc sum(n·s) could
     * overflow BIGINT long before the count bound when the raw/target
     * size ratio is extreme (Nr/Nt ≈ 6 here keeps s ≤ ~6e9; a 1000:1
     * corpus-to-target ratio pushes s to ~1e12 and a 10⁶-gram doc to
-    * ~10¹⁸ ≈ Long.MaxValue). Deployment rule: shrink the 1e9 multiplier
-    * by the corpus ratio (use 1e9·Nt/Nr) or clamp s at a fixed cap —
-    * top-k by the gram-weighted mean is invariant to the common scale
-    * factor, so selection is unchanged.
+    * ~10¹⁸ ≈ Long.MaxValue). That rule is ENFORCED in code, not prose:
+    * s clamps at [[DsirScoreCap]] on both engines, bounding sum(n·s) ≤
+    * cap·n_grams — overflow-free for docs up to ~9·10⁸ grams at any
+    * corpus ratio. The cap never binds below raw/target ratio ≈ 10 (the
+    * gate sits at ≈ 6, so gate outputs are unchanged), and the buckets it
+    * compresses are exactly the extreme-ratio ones whose magnitude is
+    * smoothing noise, not signal.
     */
   def v14DsirSelect(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
@@ -923,10 +932,10 @@ object CorpusQueries {
       .withColumn("nt", sum("ct").over(w))
       .withColumn("nr", sum("cr").over(w))
       .select(col("b"),
-        floor(lit(1e9) *
+        least(floor(lit(1e9) *
           ((col("ct") + 1).cast("double") / (col("nt") + DsirB).cast("double")) /
           ((col("cr") + 1).cast("double") / (col("nr") + DsirB).cast("double")))
-          .cast("long").as("s"))
+          .cast("long"), lit(DsirScoreCap)).as("s"))
     ndb.where(!isTarget)
       .join(broadcast(bkt), "b")
       .groupBy("doc_id")
@@ -953,9 +962,9 @@ object CorpusQueries {
        |  SELECT b, coalesce(ct, 0) AS ct, coalesce(cr, 0) AS cr
        |  FROM tc FULL OUTER JOIN rc USING (b)),
        |sc AS (
-       |  SELECT b, CAST(floor(1e9 *
+       |  SELECT b, least(CAST(floor(1e9 *
        |           (CAST(ct + 1 AS DOUBLE) / CAST(sum(ct) OVER () + $DsirB AS DOUBLE)) /
-       |           (CAST(cr + 1 AS DOUBLE) / CAST(sum(cr) OVER () + $DsirB AS DOUBLE))) AS BIGINT) AS s
+       |           (CAST(cr + 1 AS DOUBLE) / CAST(sum(cr) OVER () + $DsirB AS DOUBLE))) AS BIGINT), $DsirScoreCap) AS s
        |  FROM bkt)
        |SELECT ndb.doc_id, CAST(sum(ndb.n) AS BIGINT) AS n_grams,
        |       CAST(sum(ndb.n * sc.s) AS BIGINT) AS score,
