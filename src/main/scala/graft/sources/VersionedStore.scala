@@ -219,13 +219,8 @@ final class VersionedStore(val base: String) {
       spark: SparkSession, staging: Path, expectedVersion: Long): Option[Long] = {
     val f = fs(spark)
     val claim = new Path(base, s"_claims/claim-$expectedVersion")
-    val claimed =
-      try {
-        f.mkdirs(new Path(base, "_claims"))
-        val out = f.create(claim, false) // create-if-absent: the CAS
-        try out.write(staging.getName.getBytes(StandardCharsets.UTF_8)) finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
+    f.mkdirs(new Path(base, "_claims"))
+    val claimed = createClaim(f, claim, staging.getName)
     if (!claimed || currentVersion(spark) != expectedVersion) {
       f.delete(staging, true)
       None
@@ -322,6 +317,32 @@ final class VersionedStore(val base: String) {
     Some(next)
   }
 
+  /** Create-if-absent — the CAS primitive — with the strongest form each
+    * filesystem offers: POSIX O_EXCL (`File.createNewFile`) for local
+    * paths, so two threads in one JVM can genuinely race a claim and
+    * exactly one wins (`ConcurrentWriterSpec` exercises this live);
+    * `create(overwrite=false)` elsewhere (atomic create on HDFS; a
+    * conditional PUT with If-None-Match on S3, GA since 2024). The payload
+    * (the winner's staging name) is written after the create wins — a
+    * crash in that window leaves an empty claim, which [[recoverClaims]]
+    * refuses with an operator-actionable message.
+    */
+  private def createClaim(f: FileSystem, p: Path, payload: String): Boolean =
+    f match {
+      case _: org.apache.hadoop.fs.LocalFileSystem | _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        val file = new java.io.File(p.toUri.getPath)
+        file.createNewFile() && {
+          java.nio.file.Files.write(file.toPath, payload.getBytes(StandardCharsets.UTF_8))
+          true
+        }
+      case _ =>
+        try {
+          val out = f.create(p, false)
+          try out.write(payload.getBytes(StandardCharsets.UTF_8)) finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+    }
+
   private def writeSmall(f: FileSystem, p: Path, s: String): Unit = {
     val out = f.create(p, true)
     try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
@@ -362,31 +383,45 @@ final class VersionedStore(val base: String) {
     rewriteCurrent(spark, orderBy, targetBytes)
   }
 
+  /** Compaction commits through the SAME CAS protocol as [[writeIf]], not
+    * a blind pointer flip: a rewrite REPLACES the snapshot it read, so
+    * publishing over a version it didn't build on would silently drop a
+    * concurrent ingest's commit (the classic lost update — maintenance and
+    * ingest DO run concurrently at scale). On a lost claim the compactor
+    * is the retrying side: it re-reads the new current and recompacts —
+    * ingest never waits on maintenance. `ConcurrentWriterSpec` races both
+    * orders live.
+    */
   private def rewriteCurrent(spark: SparkSession, orderBy: Seq[String],
                              targetBytes: Long): Long = {
     import org.apache.spark.sql.functions.col
     val f = fs(spark)
-    val v = currentVersion(spark)
-    require(v > 0, s"$base has no committed version to compact")
-    val bytes = f.getContentSummary(versionDir(v)).getLength
-    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val next = (versionsOnDisk(spark) :+ v).max + 1
-    // a partitioned snapshot compacts within its DECLARED layout: shuffle
-    // on the partition columns so each hive partition lands contiguous,
-    // then re-emit the same partitioning (never flattened)
-    val parts = partitioningOf(spark, v)
-    val src = spark.read.parquet(versionDir(v).toString)
-    val keys = (parts ++ orderBy).map(col)
-    val out =
-      if (orderBy.nonEmpty)
-        src.repartitionByRange(nOut, keys: _*).sortWithinPartitions(keys: _*)
-      else if (parts.isEmpty) src.repartition(nOut)
-      else src.repartition(nOut, keys: _*)
-    out.write.partitionBy(parts: _*).parquet(versionDir(next).toString)
-    if (parts.nonEmpty)
-      writeSmall(f, new Path(versionDir(next), "_partitioning"), parts.mkString(","))
-    commitPointer(f, next)
-    next
+    var attempt = 0
+    while (attempt < 5) {
+      attempt += 1
+      val v = currentVersion(spark)
+      require(v > 0, s"$base has no committed version to compact")
+      val bytes = f.getContentSummary(versionDir(v)).getLength
+      val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      // a partitioned snapshot compacts within its DECLARED layout: shuffle
+      // on the partition columns so each hive partition lands contiguous,
+      // then re-emit the same partitioning (never flattened)
+      val parts = partitioningOf(spark, v)
+      val src = spark.read.parquet(versionDir(v).toString)
+      val keys = (parts ++ orderBy).map(col)
+      val out =
+        if (orderBy.nonEmpty)
+          src.repartitionByRange(nOut, keys: _*).sortWithinPartitions(keys: _*)
+        else if (parts.isEmpty) src.repartition(nOut)
+        else src.repartition(nOut, keys: _*)
+      claimAndPublish(spark, stageSnapshot(spark, out, parts), v) match {
+        case Some(next) => return next
+        case None       => () // an ingest writer committed on v first — recompact the new current
+      }
+    }
+    throw new IllegalStateException(
+      s"$base: compaction lost the commit race $attempt times in a row — " +
+        "ingest rate exceeds maintenance throughput; rerun when ingest quiesces")
   }
 
   /** GC: delete superseded snapshots older than the `keep` most recent

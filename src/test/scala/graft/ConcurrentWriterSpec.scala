@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.VersionedStore
+
+/** Maintenance and ingest run CONCURRENTLY on a production table —
+  * compaction cannot be allowed to publish over a commit it never saw.
+  * Both verbs now commit through the same claim CAS: these tests pin (a)
+  * the deterministic interleaving — the side that loses the claim retries
+  * on the new current, and the racing commit's rows survive into the
+  * compacted snapshot — and (b) a live two-thread race where every commit
+  * lands exactly once and the final snapshot is the full union of what
+  * both sides published (the lost-update anomaly a blind pointer flip
+  * would produce).
+  */
+class ConcurrentWriterSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def freshStore() =
+    new VersionedStore(Files.createTempDirectory("graft-cwspec").toString + "/t")
+
+  private def stagingDirs(st: VersionedStore): Seq[String] = {
+    val d = new java.io.File(s"${st.base}/_staging")
+    if (!d.exists()) Nil else d.listFiles().map(_.getName).toSeq
+  }
+
+  test("interleaved claim race: ingest wins, compactor loses + retries on the new current — no lost update") {
+    import spark.implicits._
+    val st = freshStore()
+    st.write(spark, (1 to 100).toDF("n"))                 // v1
+    assert(st.currentVersion(spark) == 1L)
+
+    // Both actors read current = 1 and stage their snapshots...
+    val compStaging = st.stageSnapshot(spark, st.read(spark).repartition(1))
+    val ingestStaging = st.stageSnapshot(spark, (1 to 150).toDF("n"))
+
+    // ...the ingest writer claims first and publishes v2...
+    assert(st.claimAndPublish(spark, ingestStaging, 1L).contains(2L))
+    // ...so the compactor's claim on version 1 MUST lose, and its loser
+    // cleanup removes only its own staging directory.
+    assert(st.claimAndPublish(spark, compStaging, 1L).isEmpty)
+    assert(st.currentVersion(spark) == 2L)
+    assert(stagingDirs(st).isEmpty, "loser left staging debris")
+
+    // The retry (the public verb re-reads current) compacts v2's DATA —
+    // the ingest commit survives into v3; compacting stale v1 would have
+    // silently resurrected the 100-row snapshot.
+    assert(st.compactCurrent(spark) == 3L)
+    assert(st.read(spark).count() == 150L)
+    assert(st.versions(spark) == Seq(1L, 2L, 3L))
+  }
+
+  test("live two-thread race: ingest writeIf loop vs optimizeCurrent — every commit lands exactly once") {
+    import spark.implicits._
+    val st = freshStore()
+    st.write(spark, (1 to 100).toDF("n"))                 // v1
+    val markers = Seq(1000001L, 1000002L, 1000003L, 1000004L)
+
+    // Ingest: the standard optimistic loop — read current, append one
+    // marker, writeIf; on a lost race re-read and retry the transform.
+    val ingestRetries = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ingest = new Thread(() => {
+      markers.foreach { m =>
+        var committed = false
+        while (!committed) {
+          val cur = st.currentVersion(spark)
+          val next = st.read(spark).select(col("n").cast("long").as("n"))
+            .unionByName(Seq(m).toDF("n"))
+          if (st.writeIf(spark, next, cur).isEmpty) ingestRetries.incrementAndGet()
+          else committed = true
+        }
+      }
+    })
+    // Maintenance: two OPTIMIZE passes racing the ingest loop. With 4
+    // ingest commits total, a single optimizeCurrent call can lose its
+    // claim at most 4 times — inside its 5-attempt budget, so the verb
+    // always converges here (a loss implies a concurrent commit).
+    val maintRetries = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maint = new Thread(() => {
+      (1 to 2).foreach { _ =>
+        val before = st.currentVersion(spark)
+        val v = st.optimizeCurrent(spark, Seq("n"), targetBytes = 1L << 20)
+        // every claim loss skipped at least one version number
+        maintRetries.addAndGet((v - before - 1).toInt)
+      }
+    })
+    ingest.start(); maint.start()
+    ingest.join(120000); maint.join(120000)
+    assert(!ingest.isAlive && !maint.isAlive, "race threads did not finish")
+
+    // No lost update: the final snapshot is the base ∪ every marker, no
+    // matter how the six commits interleaved.
+    val finalRows = st.read(spark).select(col("n").cast("long")).collect().map(_.getLong(0)).toSet
+    assert(markers.forall(finalRows), s"lost ingest commits: ${markers.filterNot(finalRows)}")
+    assert((1 to 100).forall(i => finalRows(i.toLong)), "compaction dropped base rows")
+    assert(finalRows.size == 104)
+
+    // Exactly one committed version per successful commit (4 ingest + 2
+    // maintenance + the seed), versions strictly increasing, no staging
+    // debris from any loser.
+    assert(st.versions(spark).size == 7, s"versions: ${st.versions(spark)}")
+    assert(st.currentVersion(spark) == st.versions(spark).max)
+    assert(stagingDirs(st).isEmpty, "a loser left staging debris")
+  }
+}
