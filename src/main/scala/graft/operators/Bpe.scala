@@ -343,6 +343,122 @@ object Bpe {
         sum(octet_length(col("w")).cast("long")).as("n_bytes"),
         sum("n_sym").as("n_bbpe"))
 
+  // ------------------------------------------- distributed (uncapped) BPE
+
+  /** Merge rounds for the DISTRIBUTED trainer's gate query (t21). Each
+    * round is one Spark shuffle job over the TYPE table, so the gate cost
+    * is rounds × a sub-second aggregation; 16 keeps the gate fast while
+    * the probe drives the same loop deeper.
+    */
+  val DistRounds = 16
+
+  /** Lineage-truncation period for deep distributed runs: each round adds
+    * one narrow `replace` to the segmentation column, and past ~100 rounds
+    * the re-analyzed plan tree (not the data) starts to dominate round
+    * latency. A localCheckpoint every 64 rounds materializes the type
+    * table (types ≪ tokens — Zipf — so this is vocabulary-sized, never
+    * corpus-sized) and frees the previous checkpoint's blocks.
+    */
+  val DistCheckpointEvery = 64
+
+  /** Fully-distributed word-level trainer — the beyond-[[MaxTypes]] path.
+    *
+    * [[train]] collects the capped type histogram and runs the merge loop
+    * driver-side; that is the right call at any corpus whose statistically
+    * relevant types fit the cap (the documented contract — the tail below
+    * 10⁶ types is singleton noise for pair statistics). A multilingual
+    * web-scale corpus whose true type inventory EXCEEDS the cap previously
+    * had no in-engine word-level answer ("cap + byte-level fallback").
+    * This loop never caps and never collects the histogram: the type table
+    * stays a DataFrame for the whole train, and the only driver traffic is
+    * the 1-row winner per round.
+    *
+    * Per round, on the sentinel-wrapped segmentation column (the SAME
+    * ` sym ` representation the DuckDB oracle replays):
+    *  1. pair stats = explode adjacent symbol pairs, weighted by type
+    *     count — one shuffle over the TYPE table (types ≪ tokens);
+    *  2. winner = `ORDER BY c DESC, a, b LIMIT 1` (TakeOrderedAndProject;
+    *     Spark's UTF8String comparison is unsigned-byte order, identical
+    *     to DuckDB's binary collation and to [[cpLt]]);
+    *  3. apply = one narrow `replace` — leftmost non-overlapping, the same
+    *     single-pass rule as [[trainSymbols]]' applyMerge and the oracle's
+    *     `replace`.
+    *
+    * Encode-side contract beyond the cap: the final type table cannot be
+    * broadcast (that is the point), so [[docTokens]]' broadcast join
+    * becomes a plain shuffle join on `w` — same plan shape, hash exchange
+    * instead of broadcast exchange.
+    */
+  def trainDistributed(spark: SparkSession, dir: String, rounds: Int = DistRounds): Seq[(String, String, Long)] =
+    distMerges(wordTypes(spark, dir), rounds)
+
+  /** The distributed merge loop over any (w, cnt) type relation —
+    * package-private so specs can drive it on synthetic histograms.
+    */
+  private[graft] def distMerges(types: DataFrame, rounds: Int): Seq[(String, String, Long)] = {
+    import scala.collection.mutable
+    val S = "\u0001"; val E = "\u0002"
+    // round-0 symbolization: one sentinel-wrapped code point per symbol.
+    // Java-regex '.' matches a full code point (surrogate pairs stay
+    // whole), so this agrees with trainInMemory's codePoints split.
+    var cur = types
+      .select(col("cnt"),
+        regexp_replace(col("w"), "(.)", S + "$1" + E).as("sym"))
+      .localCheckpoint()
+    var pinned = cur // the checkpoint whose blocks we currently own
+    val merges = mutable.ArrayBuffer.empty[(String, String, Long)]
+    try {
+      var r = 0
+      var drained = false
+      while (r < rounds && !drained) {
+        val l = filter(split(translate(col("sym"), S, ""), E), x => x =!= lit(""))
+        val win = cur
+          .select(col("cnt"), l.as("l"))
+          .where(size(col("l")) >= 2)
+          .select(col("cnt"), explode(transform(
+            sequence(lit(0), size(col("l")) - 2),
+            i => struct(element_at(col("l"), i + 1).as("a"),
+                        element_at(col("l"), i + 2).as("b")))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum("cnt").as("c"))
+          .orderBy(col("c").desc, col("a"), col("b"))
+          .limit(1).collect()
+        if (win.isEmpty) drained = true
+        else {
+          val (a, b, c) = (win(0).getString(0), win(0).getString(1), win(0).getLong(2))
+          merges += ((a, b, c))
+          cur = cur.withColumn("sym",
+            replace(col("sym"), lit(S + a + E + S + b + E), lit(S + a + b + E)))
+          r += 1
+          if (r % DistCheckpointEvery == 0 && r < rounds) {
+            val ck = cur.localCheckpoint()
+            freeCheckpoint(pinned)
+            pinned = ck; cur = ck
+          }
+        }
+      }
+    } finally freeCheckpoint(pinned)
+    merges.toSeq
+  }
+
+  /** Release a localCheckpoint's executor blocks (same contract and
+    * warning as TextQueries.freeLocalCheckpoint: `df.unpersist()` is a
+    * CacheManager no-op for checkpoints — the blocks live in the
+    * LogicalRDD leaf).
+    */
+  private def freeCheckpoint(df: DataFrame): Unit = {
+    var freed = 0
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = true); freed += 1
+      case _ => ()
+    }
+    if (freed == 0)
+      System.err.println(
+        "WARN graft: Bpe.freeCheckpoint found no LogicalRDD leaf to unpersist — " +
+          "checkpoint blocks stay resident (plan: " + df.queryExecution.analyzed.nodeName + ")")
+  }
+
   /** Byte-level oracle CTEs: pretokenize with the SAME regex, hex-pair
     * byte symbolization via `hex(encode(w))`, then the shared merge-round
     * replay. Same relation names as [[oracleCtes]] (`dw`, `tt`, …) so

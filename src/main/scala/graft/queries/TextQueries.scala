@@ -974,7 +974,37 @@ object TextQueries {
        |FROM v LEFT JOIN u USING (sym) ORDER BY rank""".stripMargin
   }
 
+  /** t21 — the DISTRIBUTED word-level BPE trainer (the beyond-cap path):
+    * same merge semantics as t15, but the type table never leaves the
+    * cluster and never caps. t15 certifies the driver-tier loop against
+    * the DuckDB replay; t21 certifies the distributed loop against the
+    * SAME replay — together they pin the two trainers to each other, so
+    * the beyond-10⁶-types contract ("switch to the distributed path") is
+    * a measured equivalence, not a promise. 16 rounds (Bpe.DistRounds)
+    * keep the gate at rounds × one sub-second type-table shuffle.
+    */
+  def t21DistBpe(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Bpe
+    val spark2 = spark; import spark2.implicits._
+    Bpe.trainDistributed(spark, dir).zipWithIndex
+      .map { case ((a, b, c), i) => (i + 1, a + b, c) }
+      .toDF("rank", "merged", "pair_cnt")
+      .orderBy("rank")
+  }
+
+  val t21Oracle: String = {
+    val R = graft.operators.Bpe.DistRounds
+    val branches = (1 to R).map { k =>
+      s"SELECT CAST($k AS INTEGER) AS rank, a || b AS merged, CAST(c AS BIGINT) AS pair_cnt FROM b$k"
+    }.mkString("\n  UNION ALL ")
+    s"""${graft.operators.Bpe.oracleCtes(R)}
+       |SELECT rank, merged, pair_cnt FROM (
+       |  $branches
+       |) ORDER BY rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t21_dist_bpe" -> (t21DistBpe _),
     "t20_vocab_coverage" -> (t20VocabCoverage _),
     "t19_gold_classifier" -> (t19GoldLabelTrain _),
     "t17_classifier_train" -> (t17ClassifierTrain _),
@@ -996,6 +1026,7 @@ object TextQueries {
     "t7_nfc_normalize" -> (t7NfcNormalize _))
 
   val oracles: Map[String, String] = Map(
+    "t21_dist_bpe" -> t21Oracle,
     "t20_vocab_coverage" -> t20Oracle,
     "t19_gold_classifier" -> t19Oracle,
     "t17_classifier_train" -> t17Oracle,
