@@ -968,7 +968,66 @@ object SimilarityQueries {
        |SELECT qid AS anchor, nid, 'neg' AS role, rank, cos FROM neg WHERE rank <= $HardNegK
        |ORDER BY anchor, role, rank""".stripMargin
 
+  /** s13 — ANN index-quality audit: recall@k of the IVF serve (s3)
+    * against the exact brute-force truth (s1), per query. This is the
+    * standard production monitor for an ANN deployment (FAISS-style
+    * recall@k on a sampled query slice): ground truth is inherently a
+    * brute scan, so the audit's cost contract is |sample| × corpus — the
+    * s1 contract, bounded by the QueryBlock sample, never corpus². Both
+    * legs hash-match their own oracles (s1/s3 green), so the joined
+    * verdict is deterministic; recall = hits/k is exact small-integer
+    * IEEE division on both engines. Previously recall lived only in
+    * driver-side specs (ApproxOpsSpec/IvfIndexSpec floors); s13 makes it
+    * an in-engine relation a deployment can threshold and alert on.
+    */
+  def s13AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.prepare(spark)
+    val truth = s1BruteTopK(spark, dir).select(col("qid"), col("nid"))
+    val served = s3IvfTopK(spark, dir).select(col("qid"), col("nid"))
+    val hits = truth.join(served, Seq("qid", "nid"))
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+    truth.groupBy("qid").agg(count(lit(1)).as("k"))
+      .join(hits, Seq("qid"), "left")
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      .withColumn("recall", col("hits").cast("double") / col("k"))
+      .select("qid", "k", "hits", "recall")
+      .orderBy("qid")
+  }
+
+  val s13Oracle: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+       |bscored AS (
+       |  SELECT a.vec_id qid, b.vec_id nid, $cosSql AS cos
+       |  FROM e a JOIN e b ON a.vec_id < $QueryBlock AND b.vec_id <> a.vec_id),
+       |bt AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM bscored)
+       |  WHERE rank <= $TopK),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $Cells),
+       |ranked_cells AS (
+       |  SELECT a.vec_id, b.cid,
+       |         row_number() OVER (PARTITION BY a.vec_id ORDER BY $cosSqlAB DESC, b.cid) AS crank
+       |  FROM e a CROSS JOIN c b),
+       |assigned AS (SELECT vec_id, cid FROM ranked_cells WHERE crank = 1),
+       |probes AS (SELECT vec_id AS qid, cid FROM ranked_cells WHERE crank <= $Probes AND vec_id < $QueryBlock),
+       |iscored AS (
+       |  SELECT p.qid, x.vec_id nid, $cosSql AS cos
+       |  FROM probes p JOIN assigned x ON p.cid = x.cid AND x.vec_id <> p.qid
+       |  JOIN e a ON a.vec_id = p.qid JOIN e b ON b.vec_id = x.vec_id),
+       |it AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM iscored)
+       |  WHERE rank <= $TopK),
+       |hits AS (SELECT bt.qid, count(*) AS h FROM bt JOIN it ON bt.qid = it.qid AND bt.nid = it.nid GROUP BY bt.qid),
+       |base AS (SELECT qid, count(*) AS k FROM bt GROUP BY qid)
+       |SELECT base.qid, CAST(base.k AS BIGINT) AS k,
+       |       CAST(coalesce(hits.h, 0) AS BIGINT) AS hits,
+       |       CAST(coalesce(hits.h, 0) AS DOUBLE) / base.k AS recall
+       |FROM base LEFT JOIN hits ON base.qid = hits.qid
+       |ORDER BY base.qid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s13_ann_recall" -> (s13AnnRecall _),
     "s12_knn_probe" -> (s12KnnProbe _),
     "s11_semantic_decontam" -> (s11SemanticDecontam _),
     "s10_hard_negatives" -> (s10HardNegatives _),
@@ -983,6 +1042,7 @@ object SimilarityQueries {
     "s9_ivfpq" -> (s9IvfPq _))
 
   val oracles: Map[String, String] = Map(
+    "s13_ann_recall" -> s13Oracle,
     "s12_knn_probe" -> s12Oracle,
     "s11_semantic_decontam" -> s11Oracle,
     "s10_hard_negatives" -> s10Oracle,

@@ -28,6 +28,26 @@ class ApproxOpsSpec extends AnyFunSuite {
       s"recall ${lsh.size}/${exact.size} — banding config regressed")
   }
 
+  test("s13 recall audit equals a driver-side recount of s1 truth vs s3 serve") {
+    val truth = SimilarityQueries.s1BruteTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val served = SimilarityQueries.s3IvfTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val audit = SimilarityQueries.s13AnnRecall(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(audit.keySet == truth.keySet) // one verdict per query in the sample
+    audit.foreach { case (qid, (k, hits, recall)) =>
+      val t = truth(qid)
+      val expectHits = (t intersect served.getOrElse(qid, Set.empty)).size.toLong
+      assert(k == t.size.toLong && hits == expectHits, s"qid=$qid")
+      assert(recall == expectHits.toDouble / t.size, s"qid=$qid")
+      assert(recall >= 0.0 && recall <= 1.0)
+    }
+    // the audit must be able to show imperfection: on the near-random
+    // corpus the 2/16-probe IVF cannot be a perfect index
+    assert(audit.values.exists(_._3 < 1.0))
+  }
+
   test("exact dedup marks exactly the planted duplicates") {
     val rows = DedupQueries.d1ExactDedup(spark, dir).collect()
     val dups = rows.filter(_.getLong(1) > 1)

@@ -62,8 +62,13 @@ class ConcurrentWriterSpec extends AnyFunSuite {
 
     // Ingest: the standard optimistic loop — read current, append one
     // marker, writeIf; on a lost race re-read and retry the transform.
+    // a thread that DIES would otherwise read as a lost update in the
+    // final assertions — capture and rethrow its real failure instead
+    val died = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    def guarded(body: => Unit): Runnable = () =>
+      try body catch { case t: Throwable => died.compareAndSet(null, t) }
     val ingestRetries = new java.util.concurrent.atomic.AtomicInteger(0)
-    val ingest = new Thread(() => {
+    val ingest = new Thread(guarded {
       markers.foreach { m =>
         var committed = false
         while (!committed) {
@@ -80,7 +85,7 @@ class ConcurrentWriterSpec extends AnyFunSuite {
     // claim at most 4 times — inside its 5-attempt budget, so the verb
     // always converges here (a loss implies a concurrent commit).
     val maintRetries = new java.util.concurrent.atomic.AtomicInteger(0)
-    val maint = new Thread(() => {
+    val maint = new Thread(guarded {
       (1 to 2).foreach { _ =>
         val before = st.currentVersion(spark)
         val v = st.optimizeCurrent(spark, Seq("n"), targetBytes = 1L << 20)
@@ -89,7 +94,13 @@ class ConcurrentWriterSpec extends AnyFunSuite {
       }
     })
     ingest.start(); maint.start()
-    ingest.join(120000); maint.join(120000)
+    // generous join budget: each commit is several Spark jobs on the
+    // SHARED test session, and under full-suite co-tenancy (parallel
+    // suites + host load) the six commits have been observed to need
+    // multiples of their isolated ~14 s — 120 s flaked once at a 1.5×
+    // slower battery; the race semantics don't depend on the deadline
+    ingest.join(600000); maint.join(600000)
+    if (died.get() != null) throw died.get()
     assert(!ingest.isAlive && !maint.isAlive, "race threads did not finish")
 
     // No lost update: the final snapshot is the base ∪ every marker, no
