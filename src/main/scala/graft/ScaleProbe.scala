@@ -260,10 +260,17 @@ object ScaleProbe {
     }
     val (whist, whSec) = capped(Bpe.wordTypes(spark, outDir))
     println(f"[bpedepth] word histogram: ${whist.length} types in $whSec%.1fs")
-    val s0 = System.nanoTime()
-    val wm = Bpe.trainInMemory(whist, 32768)
-    val wSec = (System.nanoTime() - s0) / 1e9
-    println(f"[bpedepth] word  depth= 32768 merges=${wm.merges.length}%6d wall=$wSec%8.2fs")
+    // full word-level depth sweep (r14): the r12 sweep covered only the
+    // byte-level path, and the SHALLOW word-level regime regressed 3.5×
+    // under the per-change heap enqueues without any probe noticing —
+    // shallow depths are what the t15 gate query actually runs
+    val wordRows = depths.map { d =>
+      val s = System.nanoTime()
+      val m = Bpe.trainInMemory(whist, d)
+      val sec = (System.nanoTime() - s) / 1e9
+      println(f"[bpedepth] word  depth=$d%6d merges=${m.merges.length}%6d wall=$sec%8.2fs")
+      (d, m.merges.length, sec)
+    }
     // Cap-saturating run: the ×100 corpus tops out well under MaxTypes, so
     // the trainer's driver-memory bound (10⁶ types) had only been
     // extrapolated. Upsample the REAL tail with deterministic variants —
@@ -282,11 +289,12 @@ object ScaleProbe {
     val capSec = (System.nanoTime() - s1) / 1e9
     println(f"[bpedepth] word  depth= 32768 types=${capHist.length} (cap) " +
       f"merges=${cm.merges.length}%6d wall=$capSec%8.2fs")
-    val dj = byteRows.map { case (d, m, sec) =>
-      s""""$d":{"merges":$m,"sec":$sec}""" }.mkString("{", ",", "}")
+    def depthJson(rows: Seq[(Int, Int, Double)]): String =
+      rows.map { case (d, m, sec) =>
+        s""""$d":{"merges":$m,"sec":$sec}""" }.mkString("{", ",", "}")
     val line = s"""{"metric":"bpe_depth_probe","factor":$factor,"byte_types":${bhist.length},""" +
-      s""""byte_hist_sec":$bhSec,"byte_depths":$dj,"word_types":${whist.length},""" +
-      s""""word_hist_sec":$whSec,"word_32768":{"merges":${wm.merges.length},"sec":$wSec},""" +
+      s""""byte_hist_sec":$bhSec,"byte_depths":${depthJson(byteRows)},"word_types":${whist.length},""" +
+      s""""word_hist_sec":$whSec,"word_depths":${depthJson(wordRows)},""" +
       s""""word_cap_32768":{"types":${capHist.length},"merges":${cm.merges.length},"sec":$capSec}}"""
     println(line)
     Files.createDirectories(Paths.get("target"))

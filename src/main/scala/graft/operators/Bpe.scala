@@ -153,10 +153,11 @@ object Bpe {
 
     // Lazy-invalidation max-heap for winner selection: a full pairCount
     // scan per round is O(P) and dominates at production merge depth
-    // (32k merges × millions of pairs). Every count CHANGE pushes a
-    // fresh (count, a, b) snapshot; on pop, entries whose count no
-    // longer matches pairCount are stale and discarded. Each live pair
-    // always has a snapshot at its current count, so the first fresh pop
+    // (32k merges × millions of pairs). Pairs whose counts change are
+    // batched per round and ONE fresh (count, a, b) snapshot per dirty
+    // pair is pushed at its end-of-round count; on pop, entries whose
+    // count no longer matches pairCount are stale and discarded. Each
+    // live pair always has a snapshot at its current count, so the first fresh pop
     // IS argmax by (count desc, a, b code-point asc) — bit-identical to a
     // code-point-collated scan (and it FIXES the tie-break the old scan
     // had: Scala String `<` orders by UTF-16 code unit, which disagrees
@@ -174,20 +175,43 @@ object Bpe {
       }
     val heap = mutable.PriorityQueue.empty[(Long, String, String)](heapOrd)
 
+    // Dirty-pair batching (round 14): diffWord no longer snapshots every
+    // count CHANGE — early word-level rounds re-diff ~10⁵ types apiece
+    // (the 'e·r'-frequency pairs), and per-change enqueues made 256
+    // merges over the 440k-type ×100 histogram cost ~65 s of heap churn,
+    // 3.5× the pre-heap trainer (caught by the r14 t-family rotation;
+    // r12 only depth-swept the byte-level path). Changed pairs go into a
+    // set; [[flushDirty]] pushes ONE snapshot per dirty pair at its
+    // END-OF-ROUND count. The lazy-heap invariant — every live pair has a
+    // snapshot at exactly its current count (stale pops discard) — holds
+    // because each flush covers every count that changed since the last
+    // one, so winner selection is bit-identical, just with |dirty pairs|
+    // heap ops per round instead of 2×Σ(affected word lengths).
+    val dirty = mutable.HashSet.empty[(String, String)]
     def diffWord(i: Int, sign: Long): Unit = {
       val s = words(i)
       var j = 0
       while (j < s.length - 1) {
         val p = (s(j), s(j + 1))
         val c = pairCount.getOrElse(p, 0L) + sign * cnts(i)
-        if (c == 0L) pairCount.remove(p)
-        else { pairCount(p) = c; heap.enqueue((c, p._1, p._2)) }
+        if (c == 0L) pairCount.remove(p) else pairCount(p) = c
+        dirty += p
         if (sign > 0 && inSet.add((i, p)))
           pairWords.getOrElseUpdate(p, mutable.ArrayBuffer.empty) += i
         j += 1
       }
     }
+    def flushDirty(): Unit = {
+      dirty.foreach { p =>
+        pairCount.get(p) match {
+          case Some(c) => heap.enqueue((c, p._1, p._2))
+          case None    => () // dropped to zero — nothing to snapshot
+        }
+      }
+      dirty.clear()
+    }
     words.indices.foreach(diffWord(_, 1L))
+    flushDirty()
 
     // greedy left-to-right non-overlapping — the `replace` rule
     def applyMerge(s: Array[String], a: String, b: String): Array[String] = {
@@ -217,6 +241,7 @@ object Bpe {
           diffWord(i, 1L)
         }
       }
+      flushDirty()
       r += 1
     }
     new BpeModel(merges.toSeq,
