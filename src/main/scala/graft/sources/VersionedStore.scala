@@ -416,12 +416,27 @@ final class VersionedStore(val base: String) {
         else src.repartition(nOut, keys: _*)
       claimAndPublish(spark, stageSnapshot(spark, out, parts), v) match {
         case Some(next) => return next
-        case None       => () // an ingest writer committed on v first — recompact the new current
+        case None =>
+          // An ingest writer holds the claim on v — but its POINTER FLIP
+          // lags the claim, so retrying while current == v is guaranteed
+          // futile and re-stages the whole snapshot for nothing (at scale,
+          // a full-table write per spin). Wait for the winner's commit to
+          // become visible before recompacting; each consumed attempt then
+          // really means "one concurrent ingest commit overtook us", which
+          // is what the 5-attempt budget prices. If the pointer never
+          // moves (a crashed winner — claim taken, publish unfinished),
+          // the bounded wait expires and the next attempt loses again:
+          // the loud exception below then points the operator at
+          // recoverClaims, which is the correct tool for that state.
+          val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+          while (currentVersion(spark) == v && System.nanoTime() < deadline)
+            Thread.sleep(50)
       }
     }
     throw new IllegalStateException(
       s"$base: compaction lost the commit race $attempt times in a row — " +
-        "ingest rate exceeds maintenance throughput; rerun when ingest quiesces")
+        "ingest rate exceeds maintenance throughput (or a claim winner " +
+        "crashed mid-publish: run recoverClaims); rerun when ingest quiesces")
   }
 
   /** GC: delete superseded snapshots older than the `keep` most recent
