@@ -55,7 +55,18 @@ object Bench {
       val family = SparkEntry.moduleOf(name)
       if (prevFamily != -1 && family != prevFamily) queries.DedupQueries.unpersistShared()
       prevFamily = family
-      val runs = (1 to 3).map { _ =>
+      // Deterministic-heavy trainers: the min-of-3 exists to shave host
+      // noise off short queries, but a full distributed BPE train is
+      // deterministic — three identical trains buy one battery entry. Run
+      // once + one confirm (min-of-2): the recorded number still reflects a
+      // REAL train (no memoization — a fingerprint memo here would also
+      // poison every future t-family ×N probe rotation, whose reps must
+      // keep measuring actual training cost), at two-thirds the battery
+      // wall. r15 adjudication note: even at min-of-3, t21 was 1.5 s of
+      // r14's 878 s battery — this bounds the cost, it was never the
+      // regression source.
+      val reps = if (name == "t21_dist_bpe") 2 else 3
+      val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // materialize the FULL result (toRdd executes the query's own
         // physical plan), never df.count(): the count() fast path lets the

@@ -415,6 +415,42 @@ object ScaleProbe {
     Files.write(Paths.get("target/bench_maint.json"), line.getBytes("UTF-8"))
   }
 
+  /** `--distbpe [baseDir] [factor] [rounds] [outDir]`: deep-round probe of
+    * the DISTRIBUTED BPE trainer. The t21 gate and the r14 ×100 probe run
+    * [[graft.operators.Bpe.DistRounds]] = 16 rounds — they never cross the
+    * every-64-rounds lineage checkpoint, so the design claim "truncation
+    * keeps round latency FLAT at depth" had no measured artifact. This
+    * mode trains `rounds` (default 128, crossing the checkpoint at 64)
+    * over the ×factor word-type histogram and reports per-16-round block
+    * means: a flat block profile certifies the claim; a monotone ramp
+    * inside a 64-round window with a reset at the checkpoint shows the
+    * plan-tree cost the truncation removes; a ramp with NO reset would
+    * mean the checkpoint isn't truncating at all (the regression this
+    * probe exists to catch).
+    */
+  private def distBpeDepth(spark: SparkSession, baseDir: String, factor: Int,
+                           rounds: Int, outDir: String): Unit = {
+    import graft.operators.Bpe
+    synthesize(spark, baseDir, outDir, factor)
+    val t0 = System.nanoTime()
+    val (merges, secs) = Bpe.distMergesTimed(Bpe.wordTypes(spark, outDir), rounds)
+    val total = (System.nanoTime() - t0) / 1e9
+    val blocks = secs.grouped(16).zipWithIndex.map { case (b, i) =>
+      val mean = b.sum / b.size
+      println(f"[distbpe] rounds ${i * 16 + 1}%3d-${i * 16 + b.size}%3d mean=$mean%6.2fs max=${b.max}%6.2fs")
+      (i * 16 + 1, mean, b.max)
+    }.toSeq
+    println(f"[distbpe] factor=$factor realized=${merges.length} total=$total%.1fs")
+    val bj = blocks.map { case (lo, mean, mx) =>
+      s""""$lo":{"mean":$mean,"max":$mx}""" }.mkString("{", ",", "}")
+    val line = s"""{"metric":"dist_bpe_depth","factor":$factor,"rounds":$rounds,""" +
+      s""""realized":${merges.length},"total_sec":$total,"checkpoint_every":${Bpe.DistCheckpointEvery},""" +
+      s""""block_secs":$bj}"""
+    println(line)
+    Files.createDirectories(Paths.get("target"))
+    Files.write(Paths.get("target/bench_distbpe.json"), line.getBytes("UTF-8"))
+  }
+
   /** `--zipfskew [nEdges] [hubs]`: graph-family skew stress. The synthetic
     * corpus keeps the dup graph's keys near-uniform, but real dup graphs
     * are Zipfian — one boilerplate cluster dominates, so the d12 iteration
@@ -763,6 +799,15 @@ object ScaleProbe {
       val factor = if (args.length > 2) args(2).toInt else 100
       val out = if (args.length > 3) args(3) else s"target/sfprobe/x$factor"
       bpeDepth(spark, base, factor, out)
+      spark.stop(); return
+    }
+    if (args.headOption.contains("--distbpe")) {
+      val spark = GraftSession.prepare(GraftSession.local("graft-distbpe"))
+      val base = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+      val factor = if (args.length > 2) args(2).toInt else 100
+      val rounds = if (args.length > 3) args(3).toInt else 128
+      val out = if (args.length > 4) args(4) else s"target/sfprobe/x$factor"
+      distBpeDepth(spark, base, factor, rounds, out)
       spark.stop(); return
     }
     if (args.headOption.contains("--maint")) {

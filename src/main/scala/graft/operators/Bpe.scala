@@ -275,13 +275,24 @@ object Bpe {
     * histogram), `w0..wN` (wrapped vocab per round), `b1..bN` (per-round
     * winning pair + count), `tt` (type→subword count), `dw` (doc_id, w)
     * for encode tails. Callers append their own final SELECT.
+    *
+    * `capped = false` replays the UNCAPPED histogram (`wc` = `wt`
+    * verbatim) — the t21 oracle needs it because [[trainDistributed]]
+    * never caps: with the capped replay the two would diverge by
+    * construction exactly in the beyond-[[MaxTypes]] regime t21 exists to
+    * certify (below the cap the variants are value-identical).
     */
-  def oracleCtes(rounds: Int = Rounds): String = {
+  def oracleCtes(rounds: Int = Rounds, capped: Boolean = true): String = {
+    val wc =
+      if (capped)
+        s"wc AS MATERIALIZED (SELECT w, cnt FROM (SELECT w, cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rn FROM wt) WHERE rn <= $MaxTypes)"
+      else
+        "wc AS MATERIALIZED (SELECT w, cnt FROM wt)"
     val head =
       s"""WITH d AS MATERIALIZED (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM documents),
         |dw AS MATERIALIZED (SELECT doc_id, w FROM (SELECT doc_id, unnest(string_split(norm, ' ')) AS w FROM d) WHERE length(w) > 0),
         |wt AS MATERIALIZED (SELECT w, count(*) AS cnt FROM dw GROUP BY w),
-        |wc AS MATERIALIZED (SELECT w, cnt FROM (SELECT w, cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rn FROM wt) WHERE rn <= $MaxTypes),
+        |$wc,
         |w0 AS MATERIALIZED (SELECT w, cnt, array_to_string(list_transform(string_split(w, ''), c -> chr(1) || c || chr(2)), '') AS sym FROM wc)""".stripMargin
     s"$head,\n${mergeRoundsSql(rounds)}"
   }
@@ -420,22 +431,38 @@ object Bpe {
   /** The distributed merge loop over any (w, cnt) type relation —
     * package-private so specs can drive it on synthetic histograms.
     */
-  private[graft] def distMerges(types: DataFrame, rounds: Int): Seq[(String, String, Long)] = {
+  private[graft] def distMerges(types: DataFrame, rounds: Int): Seq[(String, String, Long)] =
+    distMergesTimed(types, rounds)._1
+
+  /** [[distMerges]] plus per-round wall seconds — the probe surface for
+    * certifying that the every-[[DistCheckpointEvery]] lineage truncation
+    * actually FLATTENS round latency at depth (without it, each round
+    * re-analyzes a plan tree one `replace` deeper, and past ~100 rounds
+    * the tree — not the data — dominates).
+    */
+  private[graft] def distMergesTimed(types: DataFrame, rounds: Int): (Seq[(String, String, Long)], Seq[Double]) = {
     import scala.collection.mutable
     val S = "\u0001"; val E = "\u0002"
     // round-0 symbolization: one sentinel-wrapped code point per symbol.
     // Java-regex '.' matches a full code point (surrogate pairs stay
-    // whole), so this agrees with trainInMemory's codePoints split.
+    // whole), so this agrees with trainInMemory's codePoints split —
+    // but ONLY under DOTALL: bare '.' excludes line terminators
+    // (U+0085/U+2028/U+2029), which survive the ASCII-only \s+
+    // tokenization and would fuse into the next symbol, diverging from
+    // the oracle's string_split(w, '') in the multilingual regime this
+    // uncapped path exists for.
     var cur = types
       .select(col("cnt"),
-        regexp_replace(col("w"), "(.)", S + "$1" + E).as("sym"))
+        regexp_replace(col("w"), "(?s)(.)", S + "$1" + E).as("sym"))
       .localCheckpoint()
     var pinned = cur // the checkpoint whose blocks we currently own
     val merges = mutable.ArrayBuffer.empty[(String, String, Long)]
+    val roundSecs = mutable.ArrayBuffer.empty[Double]
     try {
       var r = 0
       var drained = false
       while (r < rounds && !drained) {
+        val t0 = System.nanoTime()
         val l = filter(split(translate(col("sym"), S, ""), E), x => x =!= lit(""))
         val win = cur
           .select(col("cnt"), l.as("l"))
@@ -460,10 +487,11 @@ object Bpe {
             freeCheckpoint(pinned)
             pinned = ck; cur = ck
           }
+          roundSecs += (System.nanoTime() - t0) / 1e9
         }
       }
     } finally freeCheckpoint(pinned)
-    merges.toSeq
+    (merges.toSeq, roundSecs.toSeq)
   }
 
   /** Release a localCheckpoint's executor blocks (same contract and

@@ -997,7 +997,11 @@ object TextQueries {
     val branches = (1 to R).map { k =>
       s"SELECT CAST($k AS INTEGER) AS rank, a || b AS merged, CAST(c AS BIGINT) AS pair_cnt FROM b$k"
     }.mkString("\n  UNION ALL ")
-    s"""${graft.operators.Bpe.oracleCtes(R)}
+    // capped = false: trainDistributed never caps the histogram, so the
+    // replay must not either — a capped oracle would diverge from the
+    // engine by construction exactly in the beyond-MaxTypes regime this
+    // query certifies (no-op at gate corpora, which sit below the cap).
+    s"""${graft.operators.Bpe.oracleCtes(R, capped = false)}
        |SELECT rank, merged, pair_cnt FROM (
        |  $branches
        |) ORDER BY rank""".stripMargin

@@ -329,19 +329,36 @@ final class VersionedStore(val base: String) {
     */
   private def createClaim(f: FileSystem, p: Path, payload: String): Boolean =
     f match {
+      // ObjectStoreFileSystem EXTENDS RawLocalFileSystem, so it must be
+      // matched first or the objstore wire tests would silently exercise
+      // the POSIX branch instead of the conditional-create path they are
+      // meant to certify.
+      case _: ObjectStoreFileSystem =>
+        createClaimNonPosix(f, p, payload)
       case _: org.apache.hadoop.fs.LocalFileSystem | _: org.apache.hadoop.fs.RawLocalFileSystem =>
         val file = new java.io.File(p.toUri.getPath)
         file.createNewFile() && {
+          // crash window: claim visible but empty until this write lands;
+          // recoverClaims refuses such a claim with an actionable message
           java.nio.file.Files.write(file.toPath, payload.getBytes(StandardCharsets.UTF_8))
           true
         }
       case _ =>
-        try {
-          val out = f.create(p, false)
-          try out.write(payload.getBytes(StandardCharsets.UTF_8)) finally out.close()
-          true
-        } catch { case _: java.io.IOException => false }
+        createClaimNonPosix(f, p, payload)
     }
+
+  /** The conditional-create branch (HDFS atomic create; S3 conditional PUT
+    * with If-None-Match). Same crash window as the POSIX branch: between
+    * the create winning and the payload write/close, the claim is visible
+    * but EMPTY — [[recoverClaims]] refuses that state loudly
+    * (`ObjectStoreSpec` "zero-byte claim" drives it on this branch).
+    */
+  private def createClaimNonPosix(f: FileSystem, p: Path, payload: String): Boolean =
+    try {
+      val out = f.create(p, false)
+      try out.write(payload.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      true
+    } catch { case _: java.io.IOException => false }
 
   private def writeSmall(f: FileSystem, p: Path, s: String): Unit = {
     val out = f.create(p, true)
@@ -423,14 +440,25 @@ final class VersionedStore(val base: String) {
           // a full-table write per spin). Wait for the winner's commit to
           // become visible before recompacting; each consumed attempt then
           // really means "one concurrent ingest commit overtook us", which
-          // is what the 5-attempt budget prices. If the pointer never
-          // moves (a crashed winner — claim taken, publish unfinished),
-          // the bounded wait expires and the next attempt loses again:
-          // the loud exception below then points the operator at
-          // recoverClaims, which is the correct tool for that state.
+          // is what the 5-attempt budget prices.
           val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
           while (currentVersion(spark) == v && System.nanoTime() < deadline)
             Thread.sleep(50)
+          // Pointer still unmoved after the full wait: the claim winner is
+          // not making progress (a claim is created only AFTER staging
+          // finishes, so post-claim work is metadata-sized — 60 s of
+          // silence means it crashed mid-publish, or its copy-publish on a
+          // rename-less store outlasts the wait). Every further attempt
+          // would re-stage a full snapshot only to lose to the same dead
+          // claim, so fail fast to the operator instead of burning the
+          // remaining budget on guaranteed-futile full-table writes.
+          if (currentVersion(spark) == v)
+            throw new IllegalStateException(
+              s"$base: claim on v=$v is held but its pointer flip never " +
+                "landed within 60 s - the claim winner likely crashed " +
+                "mid-publish: run recoverClaims, then rerun compaction " +
+                "(if a live publish merely outlasts the wait, rerun once " +
+                "it completes)")
       }
     }
     throw new IllegalStateException(

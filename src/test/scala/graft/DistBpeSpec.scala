@@ -52,6 +52,22 @@ class DistBpeSpec extends AnyFunSuite {
     assert(dist == Seq((e, "x", 1L)))
   }
 
+  test("line terminators inside a token symbolize as their own code points (DOTALL round 0)") {
+    // U+2028 LINE SEPARATOR survives the ASCII-only \s+ tokenization, so a
+    // web-scraped token can carry it mid-word. Bare Java-regex '.' skips
+    // line terminators — round-0 symbolization would leave U+2028 unwrapped
+    // and fuse it into the following symbol, diverging from the driver
+    // trainer's codePoints split. Cover U+2028/U+2029/U+0085.
+    for (sep <- Seq('\u2028', '\u2029', '\u0085')) {
+      val hist = Seq((s"a${sep}b", 2L))
+      val dist = distOnHist(hist, 2)
+      val mem = Bpe.trainInMemory(hist.toArray, 2).merges
+      assert(dist == mem, s"diverged on U+${sep.toInt.toHexString}")
+      // first merge must pair 'a' with the separator alone, not " b"
+      assert(dist.head == ("a", sep.toString, 2L))
+    }
+  }
+
   test("drains when the pair space is exhausted") {
     // one 2-char type: a single merge exhausts all pairs; extra rounds no-op
     assert(distOnHist(Seq(("ab", 5L)), 16) == Seq(("a", "b", 5L)))

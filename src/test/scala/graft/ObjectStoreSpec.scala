@@ -152,7 +152,8 @@ class ObjectStoreSpec extends AnyFunSuite {
     st.stageSnapshot(spark, (1 to 9).toDF("n"))
     val f = new org.apache.hadoop.fs.Path(st.base)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // the HDFS create-then-write window: claim visible but empty
+    // the create-then-write window of createClaim's NON-POSIX branch (the
+    // one this objstore FS dispatches to): claim visible but empty
     f.mkdirs(new org.apache.hadoop.fs.Path(st.base, "_claims"))
     f.create(new org.apache.hadoop.fs.Path(st.base, "_claims/claim-1"), false).close()
 
