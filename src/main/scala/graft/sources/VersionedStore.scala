@@ -441,12 +441,15 @@ final class VersionedStore(val base: String) {
           // become visible before recompacting; each consumed attempt then
           // really means "one concurrent ingest commit overtook us", which
           // is what the 5-attempt budget prices.
-          val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+          // (graft.claimWaitMs is a spec hook — the fail-fast path below
+          // is only testable without a production-length sleep)
+          val waitMs = sys.props.get("graft.claimWaitMs").map(_.toLong).getOrElse(60000L)
+          val deadline = System.nanoTime() + waitMs * 1000000L
           while (currentVersion(spark) == v && System.nanoTime() < deadline)
-            Thread.sleep(50)
+            Thread.sleep(math.min(50L, waitMs))
           // Pointer still unmoved after the full wait: the claim winner is
           // not making progress (a claim is created only AFTER staging
-          // finishes, so post-claim work is metadata-sized — 60 s of
+          // finishes, so post-claim work is metadata-sized — a minute of
           // silence means it crashed mid-publish, or its copy-publish on a
           // rename-less store outlasts the wait). Every further attempt
           // would re-stage a full snapshot only to lose to the same dead
@@ -455,10 +458,10 @@ final class VersionedStore(val base: String) {
           if (currentVersion(spark) == v)
             throw new IllegalStateException(
               s"$base: claim on v=$v is held but its pointer flip never " +
-                "landed within 60 s - the claim winner likely crashed " +
-                "mid-publish: run recoverClaims, then rerun compaction " +
-                "(if a live publish merely outlasts the wait, rerun once " +
-                "it completes)")
+                s"landed within ${waitMs / 1000.0} s - the claim winner " +
+                "likely crashed mid-publish: run recoverClaims, then rerun " +
+                "compaction (if a live publish merely outlasts the wait, " +
+                "rerun once it completes)")
       }
     }
     throw new IllegalStateException(

@@ -54,6 +54,38 @@ class ConcurrentWriterSpec extends AnyFunSuite {
     assert(st.versions(spark) == Seq(1L, 2L, 3L))
   }
 
+  test("crashed claim winner: compaction fails fast with the recoverClaims message instead of burning its attempt budget") {
+    import spark.implicits._
+    val st = freshStore()
+    st.write(spark, (1 to 100).toDF("n"))                 // v1
+    // a winner that staged, claimed, and DIED before publishing: its
+    // staging dir and claim file exist, the pointer never moves
+    val deadStaging = st.stageSnapshot(spark, (1 to 50).toDF("n"))
+    val f = new org.apache.hadoop.fs.Path(st.base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(new org.apache.hadoop.fs.Path(st.base, "_claims"))
+    val out = f.create(new org.apache.hadoop.fs.Path(st.base, "_claims/claim-1"), false)
+    out.write(deadStaging.getName.getBytes("UTF-8")); out.close()
+
+    sys.props("graft.claimWaitMs") = "200" // spec hook: shrink the 60 s wait
+    try {
+      val t0 = System.nanoTime()
+      val boom = intercept[IllegalStateException] { st.compactCurrent(spark) }
+      val sec = (System.nanoTime() - t0) / 1e9
+      // the FAIL-FAST message (dead winner), not the 5-attempt race message
+      assert(boom.getMessage.contains("recoverClaims"))
+      assert(boom.getMessage.contains("never"), boom.getMessage)
+      // one stage + one bounded wait — not five restage/wait cycles
+      assert(sec < 30.0, s"took $sec s — burned the attempt budget instead of failing fast")
+    } finally sys.props.remove("graft.claimWaitMs")
+
+    // recoverClaims is exactly the tool the message names: it completes
+    // the dead winner's publish, after which compaction succeeds
+    assert(st.recoverClaims(spark).contains(2L))
+    assert(st.read(spark).count() == 50L)
+    assert(st.compactCurrent(spark) == 3L)
+  }
+
   test("live two-thread race: ingest writeIf loop vs optimizeCurrent — every commit lands exactly once") {
     import spark.implicits._
     val st = freshStore()
