@@ -218,31 +218,43 @@ object MultimodalQueries {
     * hamming ≤ 3) → candidate equi-join → exact `bit_count(xor)` verify →
     * per-doc group representative. The fixture's third variant class
     * flips ONE sampled grid pixel, moving ≤2 dHash bits — an edit
-    * exact-hash grouping (m6) misses and the band join must catch. Output
-    * is linear (one row per doc); the pair set stays bounded by cohort
-    * structure exactly as d5's contract describes.
+    * exact-hash grouping (m6) misses and the band join must catch.
+    *
+    * Scale shape — HASH-LEVEL COLLAPSE (r15; the ×100 rotation caught the
+    * doc-level band join timing out): a doc's group representative is
+    * min(doc_id) over every doc whose hash lies within hamming ≤ 3 of its
+    * own, which is a function of the HASH alone. So the candidate join
+    * runs over DISTINCT hashes carrying their min-doc (one hash groupBy),
+    * and docs join the per-hash verdict back at the end. Bit-identical
+    * output (same-hash docs are each other's hamming-0 neighbors exactly
+    * as before — the per-hash min-doc folds them), but the pair space is
+    * bounded by HASH DIVERSITY, not corpus size: a re-crawl that clones
+    * one image a million times adds one row to the band join. This is
+    * d21's component-collapse move applied to the LSH candidate stage;
+    * the oracle is unchanged because the semantics are.
     */
   def m7PhashNeardup(spark: SparkSession, dir: String): DataFrame = {
     val imgs = MultimodalOps.syntheticTexturedVariants(spark, Tables.documents(spark, dir))
     val hashed = MultimodalOps.decodeDHash(spark, imgs).toDF()
       .select("doc_id", "dhash")
-    val bands = hashed
-      .select(col("doc_id"), col("dhash"),
+    val perHash = hashed.groupBy("dhash").agg(min("doc_id").as("min_doc"))
+    val bands = perHash
+      .select(col("dhash"), col("min_doc"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("bkey", expr("(dhash >> (band * 16)) & 65535"))
-    val pairs = bands.as("a").join(bands.as("b"), Seq("band", "bkey"))
-      .where(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-        col("a.dhash").as("ha"), col("b.dhash").as("hb"))
-      .distinct()
-      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
-      .where(col("hamming") <= 3)
-    val sym = pairs.select(col("da").as("doc_id"), col("db").as("nb"))
-      .unionAll(pairs.select(col("db").as("doc_id"), col("da").as("nb")))
-    hashed.select("doc_id").join(sym, Seq("doc_id"), "left")
-      .groupBy("doc_id").agg(min("nb").as("mn"))
-      .select(col("doc_id"),
-        least(col("doc_id"), coalesce(col("mn"), col("doc_id"))).as("group_min"))
+    // distinct-hash pairs within hamming ≤ 3 (0 is impossible — the
+    // hashes differ); a pair surfacing through several bands just feeds
+    // the same min twice into the neighbor aggregate
+    val nb = bands.as("a").join(bands.as("b"), Seq("band", "bkey"))
+      .where(col("a.dhash") =!= col("b.dhash"))
+      .where(bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))) <= 3)
+      .groupBy(col("a.dhash").as("dhash"))
+      .agg(min(col("b.min_doc")).as("nb_min"))
+    val gm = perHash.join(nb, Seq("dhash"), "left")
+      .select(col("dhash"),
+        least(col("min_doc"), coalesce(col("nb_min"), col("min_doc"))).as("group_min"))
+    hashed.join(gm, Seq("dhash"))
+      .select(col("doc_id"), col("group_min"))
       .orderBy("doc_id")
   }
 
