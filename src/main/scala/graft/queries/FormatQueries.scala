@@ -22,15 +22,31 @@ import graft.sources.Tables
   */
 object FormatQueries {
 
-  private def tmp(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+  /** Deterministic per-(format, corpus) scratch dir under java.io.tmpdir.
+    * Every writer here uses mode("overwrite"), so one path per
+    * (prefix, corpus dir) keeps round-trip scratch space BOUNDED — one
+    * table copy per query per corpus — where a fresh createTempDirectory
+    * per call leaked a copy per INVOCATION (min-of-N benches and probes
+    * re-invoke every query: the ×1000 probe's f2 reps left 2 × 10 GB of
+    * JSON in /tmp and ran the host out of disk, r15). Deterministic
+    * naming is race-free in this repo's drivers: Verify/Bench run
+    * queries sequentially and forked scalatest runs suites in one JVM.
+    */
+  private def tmp(prefix: String, dir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(6).map("%02x".format(_)).mkString
+    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), s"$prefix-$key")
+    Files.createDirectories(p)
+    p.toString
+  }
 
   /** f1: nation → CSV (header, quoted strings) → declared-schema read →
     * join region → per-region nation count. The CSV reader must survive
     * commas inside quoted text fields.
     */
   def f1CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = tmp("graft-csv")
+    val out = tmp("graft-csv", dir)
     Tables.nation(spark, dir).write.mode("overwrite")
       .option("header", "true").csv(out)
     val nation = spark.read
@@ -51,7 +67,7 @@ object FormatQueries {
     * the sum, exact vs the oracle.
     */
   def f2JsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = tmp("graft-json")
+    val out = tmp("graft-json", dir)
     Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderpriority"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
@@ -78,7 +94,7 @@ object FormatQueries {
     * through which schema vintage.
     */
   def f3SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
-    val out = tmp("graft-evo")
+    val out = tmp("graft-evo", dir)
     val orders = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderpriority"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
@@ -109,7 +125,7 @@ object FormatQueries {
     * the parquet-reading oracle must agree bit-for-bit.
     */
   def f4OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = tmp("graft-orc")
+    val out = tmp("graft-orc", dir)
     Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderstatus"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
@@ -142,7 +158,7 @@ object FormatQueries {
   private val AvroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
 
   def f7AvroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = tmp("graft-avro")
+    val out = tmp("graft-avro", dir)
     Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_returnflag"),
         round(col("l_extendedprice") * 100).cast("long").as("cents"))
@@ -174,7 +190,7 @@ object FormatQueries {
     * shuffle is added over the equivalent typed pipeline.
     */
   def f5VariantExtract(spark: SparkSession, dir: String): DataFrame = {
-    val out = tmp("graft-variant")
+    val out = tmp("graft-variant", dir)
     Tables.orders(spark, dir)
       .select(to_json(struct(
         col("o_orderkey").as("id"),
@@ -211,7 +227,13 @@ object FormatQueries {
     * the exported log names exactly the right file set at every version.
     */
   def f6DeltaRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val st = new graft.sources.VersionedStore(tmp("graft-delta") + "/t")
+    // fresh store per call: the two-snapshot history IS the fixture, so
+    // the deterministic scratch dir is wiped rather than overwritten
+    // (appending snapshots per invocation would grow disk per call)
+    val base = tmp("graft-delta", dir) + "/t"
+    val hp = new org.apache.hadoop.fs.Path(base)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    val st = new graft.sources.VersionedStore(base)
     val docs = Tables.documents(spark, dir)
     st.write(spark, docs.where(col("doc_id") % 2 === 0))
     st.write(spark, docs)
