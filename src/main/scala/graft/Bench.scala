@@ -7,6 +7,19 @@ import org.apache.spark.sql.SparkSession
   * engine cost, not first-query JVM compilation.
   */
 object Bench {
+  /** Deterministic-heavy trainers run once + one confirm (min-of-2): the
+    * min-of-3 exists to shave host noise off short queries, but a full
+    * distributed BPE train is deterministic — a third identical train
+    * buys nothing. The recorded number still reflects a REAL train (no
+    * memoization: a fingerprint memo would also poison every future
+    * t-family ×N probe rotation, whose reps must keep measuring actual
+    * training cost). Membership is asserted against the registry at
+    * startup so a query rename can't silently revert its rep policy.
+    * r15 adjudication note: even at min-of-3, t21 was 1.5 s of r14's
+    * 878 s battery — this bounds cost; it was never a regression source.
+    */
+  private val DeterministicHeavy = Set("t21_dist_bpe")
+
   /** Locale-pinned "%.4f": the f-interpolator honors the default locale,
     * and a comma decimal separator would corrupt the JSON line. */
   private def s4(v: Double): String =
@@ -23,6 +36,9 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
       case None        => SparkEntry.queries
     }
+    require(DeterministicHeavy.subsetOf(SparkEntry.queries.keySet),
+      s"Bench.DeterministicHeavy names unknown queries: " +
+        (DeterministicHeavy -- SparkEntry.queries.keySet).mkString(", "))
     val spark = GraftSession.prepare(GraftSession.local("graft-bench"))
 
     val warmDir = "/root/testdata/sf0.001"
@@ -55,17 +71,7 @@ object Bench {
       val family = SparkEntry.moduleOf(name)
       if (prevFamily != -1 && family != prevFamily) queries.DedupQueries.unpersistShared()
       prevFamily = family
-      // Deterministic-heavy trainers: the min-of-3 exists to shave host
-      // noise off short queries, but a full distributed BPE train is
-      // deterministic — three identical trains buy one battery entry. Run
-      // once + one confirm (min-of-2): the recorded number still reflects a
-      // REAL train (no memoization — a fingerprint memo here would also
-      // poison every future t-family ×N probe rotation, whose reps must
-      // keep measuring actual training cost), at two-thirds the battery
-      // wall. r15 adjudication note: even at min-of-3, t21 was 1.5 s of
-      // r14's 878 s battery — this bounds the cost, it was never the
-      // regression source.
-      val reps = if (name == "t21_dist_bpe") 2 else 3
+      val reps = if (DeterministicHeavy(name)) 2 else 3
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // materialize the FULL result (toRdd executes the query's own

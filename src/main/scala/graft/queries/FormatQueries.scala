@@ -22,21 +22,41 @@ import graft.sources.Tables
   */
 object FormatQueries {
 
-  /** Deterministic per-(format, corpus) scratch dir under java.io.tmpdir.
+  /** Per-JVM scratch root, deleted on normal JVM exit. Round-trip scratch
+    * lives under one unique-per-process directory so two drivers on the
+    * same host (sbt test overlapping tools/check.py) can never race each
+    * other's overwrite-deletes against in-flight reads (r15 review
+    * finding); the shutdown hook keeps repeated gate/bench runs from
+    * accumulating copies (only a SIGKILLed JVM leaks, and at most one
+    * copy per query per corpus).
+    */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val p = Files.createTempDirectory("graft-fmt-")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p
+  }
+
+  /** Deterministic per-(format, corpus) scratch dir under [[scratchRoot]].
     * Every writer here uses mode("overwrite"), so one path per
     * (prefix, corpus dir) keeps round-trip scratch space BOUNDED — one
-    * table copy per query per corpus — where a fresh createTempDirectory
-    * per call leaked a copy per INVOCATION (min-of-N benches and probes
-    * re-invoke every query: the ×1000 probe's f2 reps left 2 × 10 GB of
-    * JSON in /tmp and ran the host out of disk, r15). Deterministic
-    * naming is race-free in this repo's drivers: Verify/Bench run
-    * queries sequentially and forked scalatest runs suites in one JVM.
+    * table copy per query per corpus per JVM — where a fresh
+    * createTempDirectory per call leaked a copy per INVOCATION (min-of-N
+    * benches and probes re-invoke every query: the ×1000 probe's f2 reps
+    * left 2 × 10 GB of JSON in /tmp and ran the host out of disk, r15).
+    * Within one JVM the drivers run queries sequentially (Verify/Bench
+    * loops; forked scalatest runs suites in one JVM), so reuse is
+    * race-free by construction.
     */
   private def tmp(prefix: String, dir: String): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(6).map("%02x".format(_)).mkString
-    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), s"$prefix-$key")
+    val p = scratchRoot.resolve(s"$prefix-$key")
     Files.createDirectories(p)
     p.toString
   }

@@ -70,6 +70,35 @@ final class ObjectStoreFileSystem extends RawLocalFileSystem {
     }
   }
 
+  /** Conditional create — the S3 If-None-Match PUT. `RawLocalFileSystem`'s
+    * inherited `create(overwrite = false)` is a NON-atomic exists() check
+    * followed by a truncating open, so two racing claim writers could both
+    * "win" the create and the commit protocol's CAS would silently admit
+    * two winners (r15 review finding). Reserve the name with an atomic
+    * O_EXCL `Files.createFile` first — exactly one caller survives — then
+    * open the stream over the reservation. Fidelity note: real S3 makes
+    * the object visible atomically at PUT completion; this emulation (like
+    * HDFS create-then-write) exposes an empty object between reserve and
+    * close — the crash window `recoverClaims` refuses loudly
+    * (`ObjectStoreSpec` "zero-byte claim").
+    */
+  override def create(f: Path, permission: org.apache.hadoop.fs.permission.FsPermission,
+      overwrite: Boolean, bufferSize: Int, replication: Short, blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable): org.apache.hadoop.fs.FSDataOutputStream = {
+    if (!overwrite) {
+      val file = pathToFile(f)
+      Option(file.getParentFile).foreach(_.mkdirs())
+      try Files.createFile(file.toPath)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+            s"objstore: conditional PUT lost - $f already exists")
+      }
+    }
+    // the reservation holds the name; the stream truncates our own file
+    super.create(f, permission, true, bufferSize, replication, blockSize, progress)
+  }
+
   /** S3A-shaped rename: copy every object under `src` to its `dst`
     * counterpart (all copies first), then delete the source tree. Hadoop
     * rename semantics preserved as S3A implements them: existing-directory

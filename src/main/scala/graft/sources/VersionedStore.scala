@@ -441,27 +441,48 @@ final class VersionedStore(val base: String) {
           // become visible before recompacting; each consumed attempt then
           // really means "one concurrent ingest commit overtook us", which
           // is what the 5-attempt budget prices.
-          // (graft.claimWaitMs is a spec hook — the fail-fast path below
-          // is only testable without a production-length sleep)
+          // Wait for the flip, but judge the winner by PROGRESS, not by a
+          // fixed deadline: on a rename-less object store the post-claim
+          // publish is a per-object COPY of the whole snapshot (hours at
+          // TB scale), so "no flip within a window" alone cannot
+          // distinguish a crashed winner from a healthy slow one — and
+          // sending the operator to recoverClaims against a LIVE winner
+          // would violate its single-maintainer contract (r15 review
+          // finding). Progress observables: the intent record appearing,
+          // and the target v=K tree growing. As long as either changes
+          // across a window, keep waiting (the copy is monotone, so this
+          // terminates); a full window with the pointer unmoved AND the
+          // snapshot unchanged means the winner is dead — fail fast
+          // instead of burning the remaining attempts on guaranteed-futile
+          // full-table re-stages. (graft.claimWaitMs is a spec hook — the
+          // no-progress window is only testable without a 60 s sleep.)
           val waitMs = sys.props.get("graft.claimWaitMs").map(_.toLong).getOrElse(60000L)
-          val deadline = System.nanoTime() + waitMs * 1000000L
-          while (currentVersion(spark) == v && System.nanoTime() < deadline)
-            Thread.sleep(math.min(50L, waitMs))
-          // Pointer still unmoved after the full wait: the claim winner is
-          // not making progress (a claim is created only AFTER staging
-          // finishes, so post-claim work is metadata-sized — a minute of
-          // silence means it crashed mid-publish, or its copy-publish on a
-          // rename-less store outlasts the wait). Every further attempt
-          // would re-stage a full snapshot only to lose to the same dead
-          // claim, so fail fast to the operator instead of burning the
-          // remaining budget on guaranteed-futile full-table writes.
+          def publishProgress(): (Boolean, Long) = {
+            val intentP = new Path(base, s"_claims/intent-$v")
+            if (!f.exists(intentP)) (false, 0L)
+            else scala.util.Try {
+              val next = readSmall(f, intentP).dropWhile(_ != ':').tail.toLong
+              val vd = versionDir(next)
+              (true, if (f.exists(vd)) f.getContentSummary(vd).getLength else 0L)
+            }.getOrElse((true, -1L)) // intent mid-write: counts as movement
+          }
+          var last = publishProgress()
+          var deadline = System.nanoTime() + waitMs * 1000000L
+          var stalled = false
+          while (currentVersion(spark) == v && !stalled) {
+            if (System.nanoTime() >= deadline) {
+              val cur = publishProgress()
+              if (cur == last) stalled = true
+              else { last = cur; deadline = System.nanoTime() + waitMs * 1000000L }
+            } else Thread.sleep(math.min(50L, waitMs))
+          }
           if (currentVersion(spark) == v)
             throw new IllegalStateException(
-              s"$base: claim on v=$v is held but its pointer flip never " +
-                s"landed within ${waitMs / 1000.0} s - the claim winner " +
-                "likely crashed mid-publish: run recoverClaims, then rerun " +
-                "compaction (if a live publish merely outlasts the wait, " +
-                "rerun once it completes)")
+              s"$base: claim on v=$v made no publish progress for " +
+                s"${waitMs / 1000.0} s and its pointer flip never landed - " +
+                "the claim winner crashed mid-publish: run recoverClaims " +
+                "(single-maintainer - ensure no writer is live first), " +
+                "then rerun compaction")
       }
     }
     throw new IllegalStateException(

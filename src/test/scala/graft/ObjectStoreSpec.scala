@@ -54,6 +54,37 @@ class ObjectStoreSpec extends AnyFunSuite {
     assert(sumN(st) == 55L)
   }
 
+  test("two-thread claim race on objstore: the conditional create admits exactly one winner") {
+    import spark.implicits._
+    // RawLocalFileSystem.create(overwrite = false) is exists-then-open —
+    // NOT atomic — so without ObjectStoreFileSystem's O_EXCL reservation
+    // two racing claimAndPublish calls could both win the same version
+    // and publish colliding v=K snapshots (lost update). Race the claim
+    // step directly, three rounds for scheduling variety.
+    ObjectStoreFileSystem.clearFaults()
+    (1 to 3).foreach { round =>
+      val st = freshStore()
+      st.write(spark, (1 to 10).toDF("n"))                // v1
+      val sA = st.stageSnapshot(spark, (1 to 3).toDF("n"))
+      val sB = st.stageSnapshot(spark, (1 to 7).toDF("n"))
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[Option[Long]]()
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      def racer(stg: org.apache.hadoop.fs.Path) = new Thread(() => {
+        gate.await()
+        results.add(st.claimAndPublish(spark, stg, 1L))
+      })
+      val (a, b) = (racer(sA), racer(sB))
+      a.start(); b.start(); gate.countDown()
+      a.join(60000); b.join(60000)
+      val wins = scala.jdk.CollectionConverters.CollectionHasAsScala(results).asScala.toSeq
+      assert(wins.count(_.isDefined) == 1, s"round $round: claim winners = $wins")
+      assert(wins.flatten == Seq(2L))
+      assert(st.currentVersion(spark) == 2L)
+      val n = st.read(spark).count()
+      assert(n == 3L || n == 7L, s"round $round: merged/corrupt snapshot ($n rows)")
+    }
+  }
+
   test("crash mid-publish-rename: pointer never flips, reader keeps old snapshot; recoverClaims completes the publish") {
     import spark.implicits._
     ObjectStoreFileSystem.clearFaults()
