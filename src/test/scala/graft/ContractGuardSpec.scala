@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{DedupQueries, SimilarityQueries}
+
+/** The two documented contract boundaries (SCALE.md: the d5/d6 pair-output
+  * ceiling, the s5/s6 Lloyd escape) enforced as LOUD pre-flight guards —
+  * a user past the boundary gets the routing answer, not a silent
+  * quadratic join or a day-long brute fit. Gate- and probe-scale inputs
+  * must keep passing (the guards sit above every measured-good regime);
+  * collapsed-cohort corpora one order past the envelope must be refused
+  * BEFORE any quadratic work is scheduled.
+  */
+class ContractGuardSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("Lloyd n*k budget: gate/probe sizes pass; past ~1e6 vectors refuses, routing to IvfIndex") {
+    // gate SFs (500 / 2000 vectors) and the largest measured probe (200k)
+    assert(SimilarityQueries.lloydGuardedK(500) > 0)
+    assert(SimilarityQueries.lloydGuardedK(2000) > 0)
+    assert(SimilarityQueries.lloydGuardedK(200000) == 781) // n·k = 1.6e8, the measured regime
+    val boom = intercept[IllegalStateException] {
+      SimilarityQueries.lloydGuardedK(2000000) // k = 7812 → n·k = 1.56e10
+    }
+    assert(boom.getMessage.contains("IvfIndex"), boom.getMessage)
+    assert(boom.getMessage.contains("k-means upper boundary"), boom.getMessage)
+  }
+
+  test("d5 pair ceiling: a collapsed-cohort corpus (40k docs, one fingerprint) is refused before the quadratic join") {
+    import spark.implicits._
+    // every doc identical → one simhash value → every band bucket holds
+    // the whole corpus: estimate = 4 · C(40000, 2) ≈ 3.2e9 > the 2e9 budget
+    val dir = Files.createTempDirectory("graft-guard-d5").toString
+    (0L until 40000L).toDF("doc_id")
+      .withColumn("text", lit("alpha beta gamma delta epsilon zeta"))
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("synth"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val boom = intercept[IllegalStateException] {
+      DedupQueries.d5SimhashPairs(spark, dir)
+    }
+    assert(boom.getMessage.contains("pair-output budget"), boom.getMessage)
+    assert(boom.getMessage.contains("d5b_top_pairs"), boom.getMessage)
+    DedupQueries.unpersistShared()
+  }
+
+  test("d6 pair ceiling: 40k identical embeddings are refused before the candidate join") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-guard-d6").toString
+    val vec = array((0 until 64).map(i => lit(0.1f * (i % 7 + 1))): _*)
+    (0L until 40000L).toDF("vec_id")
+      .withColumn("embedding", vec)
+      .withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val boom = intercept[IllegalStateException] {
+      DedupQueries.d6EmbeddingNearDup(spark, dir)
+    }
+    assert(boom.getMessage.contains("pair-output budget"), boom.getMessage)
+    assert(boom.getMessage.contains("IvfIndex cells"), boom.getMessage)
+  }
+
+  test("guards stay silent at the gate SF: d5 and d6 still construct over the real corpus") {
+    val dir = "/root/testdata/sf0.001"
+    // construction runs the pre-flight; materialization proves no refusal
+    assert(DedupQueries.d5SimhashPairs(spark, dir).count() >= 0)
+    assert(DedupQueries.d6EmbeddingNearDup(spark, dir).count() >= 0)
+    DedupQueries.unpersistShared()
+  }
+}

@@ -54,6 +54,41 @@ class ObjectStoreSpec extends AnyFunSuite {
     assert(sumN(st) == 55L)
   }
 
+  test("conditional create is atomic on the 2-arg dispatch path (the one createClaimNonPosix uses)") {
+    // FileSystem.create(path, overwrite) dispatches to the 6-arg
+    // create(Path, boolean, int, short, long, Progressable), which
+    // RawLocalFileSystem overrides and routes to a PRIVATE 8-arg create —
+    // NEVER reaching the 7-arg FsPermission override (r16 review finding:
+    // the r15 fix only covered the 7-arg form, leaving the actual claim
+    // path non-atomic). Prove our reservation is on THIS dispatch path by
+    // asserting the objstore-specific failure message, which the inherited
+    // exists-then-open code can never produce.
+    val base = new org.apache.hadoop.fs.Path(
+      s"objstore://${Files.createTempDirectory("graft-objstore-dispatch")}")
+    val f = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(base, "claim-x")
+    f.create(p, false).close()
+    val boom = intercept[org.apache.hadoop.fs.FileAlreadyExistsException] {
+      f.create(p, false)
+    }
+    assert(boom.getMessage.contains("conditional PUT lost"),
+      s"2-arg create(path, false) bypassed the O_EXCL reservation: ${boom.getMessage}")
+
+    // and a straight N-thread race on the raw verb: exactly one winner
+    val p2 = new org.apache.hadoop.fs.Path(base, "claim-race")
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val threads = (1 to 8).map { _ =>
+      new Thread(() => {
+        gate.await()
+        try { f.create(p2, false).close(); wins.incrementAndGet() }
+        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => () }
+      })
+    }
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join(60000))
+    assert(wins.get() == 1, s"raw conditional-PUT race admitted ${wins.get()} winners")
+  }
+
   test("two-thread claim race on objstore: the conditional create admits exactly one winner") {
     import spark.implicits._
     // RawLocalFileSystem.create(overwrite = false) is exists-then-open —
