@@ -654,6 +654,102 @@ object ScaleProbe {
     Files.write(Paths.get("target/bench_dfskew.json"), line.getBytes("UTF-8"))
   }
 
+  /** `--cohort [nRows] [distinct] [outDir]`: ADVERSARIAL collapsed-cohort
+    * probe for the band-join families — the m7 lesson generalized: a
+    * passing ×N ratio on re-crawl-shaped synthesis certifies the measured
+    * cohort structure, not the asymptotic shape, so this mode synthesizes
+    * the degenerate structure directly (80% of rows collapse onto
+    * `distinct` bucket keys — duplicate storms, template farms, the
+    * regime that killed m7 at ×100) and measures each family against it:
+    *
+    *  - d2/d3 (shingle inverted index, MinHash bands): collapsed docs'
+    *    shingles exceed the DF cap and drop out — candidates stay near
+    *    zero BY DESIGN (the documented recall trade); wall must stay flat.
+    *  - d5/d6 (SimHash / hyperplane bands): the cohort mass drives the
+    *    banded pair estimate past `PairOutputBudget`, so the new
+    *    pre-flight guard must REFUSE loudly (recorded as status=refused;
+    *    a run under the budget is covered by the d6 cell at nRows/5).
+    *  - d17 (linkage blocks): collapsed identities defeat the 10³
+    *    position-counting block bound — the quadratic regime the m7
+    *    hash-collapse pattern exists for.
+    *
+    * d19 is excluded by its documented quadratic contract (SCALE.md).
+    */
+  private def cohortProbe(spark: SparkSession, nRows: Long, distinctKeys: Int, outDir: String): Unit = {
+    def md5Words(c: org.apache.spark.sql.Column, salt: String, n: Int) =
+      concat_ws(" ", (0 until n).map(i => md5(concat(lit(s"$salt$i:"), c.cast("string")))): _*)
+    val cohortShare = 80 // % of rows collapsed onto the distinct keys
+
+    spark.range(nRows).toDF("doc_id")
+      .withColumn("cohort", pmod(hash(col("doc_id"), lit(7)), lit(distinctKeys)))
+      .withColumn("text",
+        when(pmod(hash(col("doc_id")), lit(100)) < cohortShare, md5Words(col("cohort"), "c", 20))
+          .otherwise(md5Words(col("doc_id"), "u", 20)))
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("cohort").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    spark.range(nRows / 5).toDF("vec_id")
+      .withColumn("seed",
+        when(pmod(hash(col("vec_id")), lit(100)) < cohortShare,
+          pmod(hash(col("vec_id"), lit(7)), lit(distinctKeys)).cast("long"))
+          .otherwise(col("vec_id") + lit(1000000000L)))
+      .withColumn("embedding", expr(
+        "transform(sequence(0, 63), i -> CAST(pmod(hash(seed, i), 1000) AS FLOAT) / 500.0F - 1.0F)"))
+      .select(col("vec_id"), col("embedding"), lit(0).as("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    // collapsed identity strings WITH a shared nation (the composited
+    // trusted attribute must not rescue the block) — a registry where 80%
+    // of rows are re-registrations of `distinct` entities
+    spark.range(nRows).toDF("c_custkey")
+      .withColumn("ident",
+        when(pmod(hash(col("c_custkey")), lit(100)) < cohortShare,
+          pmod(hash(col("c_custkey"), lit(7)), lit(distinctKeys)).cast("long"))
+          .otherwise(col("c_custkey") + lit(2000000000L)))
+      .withColumn("c_name", concat(lit("Customer#"),
+        lpad(pmod(col("ident") * 2654435761L, lit(1000000000L)).cast("string"), 9, "0")))
+      .withColumn("c_nationkey", pmod(hash(col("ident")), lit(25)))
+      .select("c_custkey", "c_name", "c_nationkey")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+
+    val probes = Seq("d2_ngram_jaccard", "d3_minhash_lsh", "d5_simhash_pairs",
+      "d6_embedding_neardup", "d17_record_linkage")
+    val results = probes.map { q =>
+      val fn = SparkEntry.queries(q)
+      // guards fire at CONSTRUCTION (pre-flight) — distinguish a loud
+      // refusal from a timeout/failure inside the timed run
+      val status =
+        try { fn(spark, outDir); None }
+        catch { case e: IllegalStateException if e.getMessage.contains("refused") =>
+          Some(e.getMessage.takeWhile(_ != '(').trim) }
+      queries.DedupQueries.unpersistShared()
+      val cell = status match {
+        case Some(msg) =>
+          System.err.println(s"[cohort] $q REFUSED: $msg")
+          s""""$q":{"status":"refused","detail":"${msg.replace("\"", "'")}"}"""
+        case None =>
+          val r = time(spark, outDir, q, fn, reps = 2)
+          queries.DedupQueries.unpersistShared()
+          System.err.println(f"[cohort] $q%-22s ${r.map(_._1).getOrElse(Double.NaN)}%8.2fs rows=${r.map(_._2).getOrElse(-1L)}")
+          r match {
+            case Some((sec, rows)) => s""""$q":{"status":"ok","sec":$sec,"rows":$rows}"""
+            case None => s""""$q":{"status":"timeout_or_failed"}"""
+          }
+      }
+      cell
+    }
+    val line = s"""{"metric":"cohort_probe","n_rows":$nRows,"distinct_keys":$distinctKeys,""" +
+      s""""cohort_share_pct":$cohortShare,"queries":${results.mkString("{", ",", "}")},""" +
+      s""""excluded_by_contract":["d19_setsim_join"]}"""
+    println(line)
+    Files.createDirectories(Paths.get("target"))
+    Files.write(Paths.get("target/bench_cohort.json"), line.getBytes("UTF-8"))
+  }
+
   /** `--segskew [nDocs] [hotPct]`: d15 keep-first-window skew stress — the
     * boilerplate mega-segment case (a cookie-banner/header segment shared
     * by a large fraction of the corpus). The keep-first window partitions
@@ -784,6 +880,14 @@ object ScaleProbe {
       val nDocs = if (args.length > 1) args(1).toLong else 100000L
       val hotPct = if (args.length > 2) args(2).toInt else 20
       dfSkew(spark, nDocs, hotPct)
+      spark.stop(); return
+    }
+    if (args.headOption.contains("--cohort")) {
+      val spark = GraftSession.prepare(GraftSession.local("graft-cohort"))
+      val n = if (args.length > 1) args(1).toLong else 500000L
+      val k = if (args.length > 2) args(2).toInt else 150
+      val out = if (args.length > 3) args(3) else "target/sfprobe/cohort"
+      cohortProbe(spark, n, k, out)
       spark.stop(); return
     }
     if (args.headOption.contains("--segskew")) {

@@ -1526,19 +1526,27 @@ object DedupQueries {
     * equi-joins, verified with `levenshtein ≤ 1` (identical edit-distance
     * semantics in DuckDB).
     *
-    * Scale: never all-pairs, and every pass's block size is bounded by
-    * POSITION COUNTING, independent of n: each key drops ONE 3-digit
-    * segment and fixes the other six positions, so a block holds at most
-    * 10³ identities (the dropped segment's value space) — a cap that
-    * holds at any corpus size, unlike a plain prefix/suffix split, whose
-    * suffix pass has fixed block COUNT and therefore n-proportional block
-    * size (quadratic at scale; the first cut of this operator had exactly
-    * that flaw). Compositing each key with a TRUSTED attribute (nation —
-    * the standard block-on-state practice) divides blocks further by its
-    * cardinality. Three equi-join shuffles, candidates ≤ 3·n·10³/|nation|.
-    * The `n_true = n` invariant (every entity re-found despite its typo)
-    * is what the hash gate certifies, alongside the coincidental-neighbor
-    * count the verify stage filters.
+    * Scale: never all-pairs, on TWO independent bounds. (1) Block width:
+    * each key drops ONE 3-digit segment and fixes the other six
+    * positions, so a block holds at most 10³ DISTINCT identities (the
+    * dropped segment's value space) — position counting, independent of
+    * n, unlike a plain prefix/suffix split whose suffix pass has fixed
+    * block COUNT and therefore n-proportional block size (the first cut
+    * of this operator had exactly that flaw); compositing with a TRUSTED
+    * attribute (nation — block-on-state) divides further. (2) Cohort
+    * width: the block joins run over the DISTINCT (name, nation) relation
+    * carrying multiplicity (the m7 hash-level collapse), so a registry
+    * where many rows re-register ONE identity — a duplicate storm, which
+    * the 10³ bound does NOT cap because it bounds distinct identities,
+    * not rows per identity — adds one row per block join instead of a
+    * Θ(cohort²) clique; counts re-expand exactly as ma·mb (each id
+    * carries one name, so the expansion is bit-identical to the id-level
+    * join — the r16 cohort probe measured the id-level form timing out at
+    * 500k rows / 150 identities and this form at 3.4 s on the same
+    * corpus). n_true (same id on both sides) is a linear 1:1 id-spine
+    * join. The `n_true = n` invariant (every entity re-found despite its
+    * typo) is what the hash gate certifies, alongside the
+    * coincidental-neighbor count the verify stage filters.
     *
     * Reference trigger: the reconciliation joins of yq_dag.py:85-96 match
     * rows across PG and S3 by exact 6-col key; linkage is the same
@@ -1564,16 +1572,41 @@ object DedupQueries {
       .withColumn("k1", expr(s"concat($nat, ':', substring($name, 13, 6))"))
       .withColumn("k2", expr(s"concat($nat, ':', substring($name, 10, 3), substring($name, 16, 3))"))
       .withColumn("k3", expr(s"concat($nat, ':', substring($name, 10, 6))"))
-    val ka = keyed(a, "name_a", "nat_a"); val kb = keyed(b, "name_b", "nat_b")
+    // m7 hash-level collapse (r16): the blocking keys and the
+    // edit-distance verify depend ONLY on (name, nation), so candidates
+    // are generated over the DISTINCT name relation carrying multiplicity
+    // and the counts re-expand as ma·mb. The former id-level join was
+    // quadratic in identity-cohort width — the position-counting 10³
+    // block bound caps DISTINCT identities per block, not rows per
+    // identity, so a registry where many rows re-register one entity (a
+    // duplicate storm) built Θ(cohort²) candidate rows; the r16 cohort
+    // probe timed it out at 500k rows over 150 identities. Collapsed, a
+    // million-row identity adds ONE row to every block join — the same
+    // fix as m7's phash cohorts. Counts are bit-identical by functional
+    // dependence (each id carries exactly one name).
+    val ga = a.groupBy("name_a", "nat_a").agg(count(lit(1)).as("ma"))
+    val gb = b.groupBy("name_b", "nat_b").agg(count(lit(1)).as("mb"))
+    val ka = keyed(ga, "name_a", "nat_a"); val kb = keyed(gb, "name_b", "nat_b")
     val cand = Seq("k1", "k2", "k3")
-      .map(k => ka.join(kb, k).select("id_a", "name_a", "id_b", "name_b"))
+      .map(k => ka.join(kb, k).select("name_a", "nat_a", "ma", "name_b", "mb"))
       .reduce(_ unionAll _)
       .distinct()
-    cand
+    val pairAgg = cand
       .withColumn("m", (levenshtein(col("name_a"), col("name_b")) <= 1).cast("long"))
-      .agg(count(lit(1)).cast("long").as("n_candidates"),
-        sum(col("m")).as("n_matched"),
-        sum(when(col("m") === 1 && col("id_a") === col("id_b"), 1L).otherwise(0L)).as("n_true"))
+      .agg(coalesce(sum(col("ma") * col("mb")), lit(0L)).cast("long").as("n_candidates"),
+        coalesce(sum(col("m") * col("ma") * col("mb")), lit(0L)).cast("long").as("n_matched"))
+    // n_true (id_a = id_b, lev ≤ 1, blocked) on the id spine directly — a
+    // 1:1 join, linear in rows whatever the cohort structure
+    val kbId = keyed(b, "name_b", "nat_b")
+      .withColumnRenamed("k1", "k1b").withColumnRenamed("k2", "k2b")
+      .withColumnRenamed("k3", "k3b")
+    val trueAgg = keyed(a, "name_a", "nat_a")
+      .join(kbId, col("id_a") === col("id_b"))
+      .where((col("k1") === col("k1b") || col("k2") === col("k2b") ||
+          col("k3") === col("k3b")) &&
+        levenshtein(col("name_a"), col("name_b")) <= 1)
+      .agg(count(lit(1)).cast("long").as("n_true"))
+    pairAgg.crossJoin(trueAgg)
   }
 
   val d17Oracle: String =
