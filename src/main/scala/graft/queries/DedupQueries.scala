@@ -63,39 +63,56 @@ object DedupQueries {
     while (df != null) { df.unpersist(blocking = false); df = persistedShared.poll() }
   }
 
-  /** Budget for the contractually-quadratic FULL-pair forms (d5, d6):
-    * their OUTPUT is Σ C(cohort, 2) over band buckets — quadratic in
-    * duplicate-cohort width, a documented operator boundary (SCALE.md
-    * "d5's full pair materialization"), and past it the pairwise relation
-    * is the WRONG deliverable whatever the engine. The ceiling sits one
-    * order above the largest measured-good regime (the ×1000-density
-    * probe's 208M pairs) and one below the m7-class collapse that times
-    * out (~10⁹+). [[guardPairBudget]] enforces it as a loud pre-flight
-    * (the `DsirScoreCap` precedent: a documented boundary a user can hit
-    * gets a check, not silence).
+  /** Budgets for the contractually-quadratic FULL-pair forms (d5, d6) —
+    * two bounds, because candidates and output diverge by orders of
+    * magnitude (the ×100 probe corpus generates a 3.6e9 banded candidate
+    * estimate but only 24M verified pairs, and the engine runs it in
+    * 27 s):
+    *
+    *  - [[PairOutputBudget]] is the documented OUTPUT ceiling (SCALE.md
+    *    "d5/d6 excluded at their documented ≥2 B-pair output ceiling") —
+    *    enforced against a PROVABLE lower bound on output (pairs of
+    *    identical keys, which verify trivially), so it only refuses when
+    *    the result itself is certainly past the contract.
+    *  - [[CandidateBudget]] is the JOIN-WORK bound: the largest
+    *    measured-good candidate volume is ×100's 3.6e9 (27 s); the
+    *    m7-class full-collapse regimes sit ≥ 2e10 and time out. 1e10
+    *    splits the decided cases.
+    *
+    * [[guardPairBudget]] enforces both as a loud pre-flight (the
+    * `DsirScoreCap` precedent: a documented boundary a user can hit gets
+    * a check with the routing answer, not silence).
     */
   private[graft] val PairOutputBudget = 2_000_000_000L
+  private[graft] val CandidateBudget = 10_000_000_000L
 
-  /** Loud pre-flight for [[PairOutputBudget]]: `cohorts` must carry one
+  /** Loud pre-flight for the two pair budgets. `cohorts` must carry one
     * row per band bucket with member count `c` (DOUBLE — C(c,2) on a
-    * 10¹¹-doc cohort overflows a long). The estimate Σ c(c−1)/2 is the
-    * banded candidate count BEFORE verification — an upper bound on the
-    * pair output and a lower bound on the join work — computed from the
-    * slim band-key relations (for d5, the collapsed fingerprint groups:
-    * cost one pass over the cached signature, never the quadratic join
-    * itself).
+    * 10¹¹-doc cohort overflows a long); Σ c(c−1)/2 over it is the exact
+    * banded candidate count BEFORE verification. `outputLowerBound` is a
+    * provable lower bound on the VERIFIED pair output (identical-key
+    * pairs — hamming 0 / cosine 1 — always pass verification). Both are
+    * computed from slim collapsed relations (for d5, one pass over the
+    * cached signature), never the quadratic join itself.
     */
-  private[queries] def guardPairBudget(cohorts: DataFrame, op: String, route: String): Unit = {
+  private[queries] def guardPairBudget(cohorts: DataFrame, outputLowerBound: Double,
+      op: String, route: String): Unit = {
+    if (outputLowerBound > PairOutputBudget.toDouble)
+      throw new IllegalStateException(
+        f"$op refused: identical-key pairs alone guarantee ${outputLowerBound}%.3g output " +
+          f"rows, past the documented pair-output budget $PairOutputBudget (SCALE.md d5/d6 " +
+          s"pair ceiling). Full pair materialization is quadratic in duplicate-cohort width " +
+          s"by contract; at this density the pairwise relation is the wrong deliverable - " +
+          s"route to $route.")
     val r = cohorts.agg(
       sum(expr("c * (c - 1.0) / 2.0")).as("pairs"), max(col("c")).as("widest")).head
     val pairs = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
-    if (pairs > PairOutputBudget.toDouble)
+    if (pairs > CandidateBudget.toDouble)
       throw new IllegalStateException(
-        f"$op refused: banded candidate estimate ${pairs}%.3g pairs exceeds the " +
-          f"documented pair-output budget $PairOutputBudget (widest band cohort: " +
-          f"${r.getDouble(1)}%.3g members). Full pair materialization is quadratic in " +
-          s"duplicate-cohort width by contract (SCALE.md d5/d6 pair ceiling); at this " +
-          s"density the pairwise relation is the wrong deliverable - route to $route.")
+        f"$op refused: banded candidate estimate ${pairs}%.3g pairs exceeds the join-work " +
+          f"candidate budget $CandidateBudget (widest band cohort: ${r.getDouble(1)}%.3g " +
+          f"members; the measured-good regime tops out at 3.6e9). The bucket structure is " +
+          s"m7-class collapsed (SCALE.md d5/d6 pair ceiling); route to $route.")
   }
 
   private[queries] val MersenneP = (1L << 61) - 1
@@ -351,16 +368,23 @@ object DedupQueries {
     * on both engines.
     */
   def d5SimhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    // pre-flight the pair budget from the COLLAPSED fingerprint groups
-    // (one row per distinct simhash, multiplicity m): per band bucket the
-    // cohort is Σm, so the estimate is exact for the candidate join while
-    // costing one pass over the cached signature — never the join itself
+    // pre-flight both pair budgets from the COLLAPSED fingerprint groups
+    // (one row per distinct simhash, multiplicity m): identical-simhash
+    // pairs Σ C(m,2) are hamming-0 — a provable OUTPUT lower bound — and
+    // per band bucket the cohort is Σm, making the candidate estimate
+    // exact for the join; both cost one pass over the cached signature,
+    // never the join itself
+    val g5 = simhashGroups(spark, dir)
+    val identPairs = {
+      val r = g5.agg(sum(expr("CAST(m AS DOUBLE) * (m - 1) / 2")).cast("double")).head
+      if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    }
     guardPairBudget(
-      simhashGroups(spark, dir)
-        .select(col("simhash"), col("m"),
+      g5.select(col("simhash"), col("m"),
           explode(sequence(lit(0), lit(SimhashBands - 1))).as("band"))
         .withColumn("bkey", expr(s"(simhash >> (band * $SimhashBandBits)) & $SimhashBandMask"))
         .groupBy("band", "bkey").agg(sum("m").cast("double").as("c")),
+      identPairs,
       "d5_simhash_pairs",
       "d5b_top_pairs (budgeted top-k per doc) or d7/d20 component labels (linear output)")
     val sim = d4Simhash(spark, dir)
@@ -523,11 +547,21 @@ object DedupQueries {
       .select(col("vec_id"), explode(array((0 until EmbBands).map(b =>
         struct(lit(b).as("band"), col(s"k$b").as("bkey"))): _*)).as("bk"))
       .select(col("vec_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    // pre-flight the pair budget over the slim band-key relation: one
-    // extra pass over the (vec_id, band, bkey) projection — vectors never
-    // ride along — before committing to the quadratic candidate join
+    // pre-flight both pair budgets: identical-embedding groups give a
+    // provable OUTPUT lower bound (cosine 1 always verifies; C(na,2) over
+    // the probe-side members is sound under the %5 filter whatever the id
+    // order), and the slim (vec_id, band, bkey) projection gives the
+    // exact candidate count — vectors never ride along either pass
+    val identPairs = {
+      val r = Tables.embeddings(spark, dir)
+        .groupBy("embedding")
+        .agg(sum(when(col("vec_id") % 5 === 0, 1L).otherwise(0L)).cast("double").as("na"))
+        .agg(sum(expr("na * (na - 1) / 2")).cast("double")).head
+      if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    }
     guardPairBudget(
       bands.groupBy("band", "bkey").agg(count(lit(1)).cast("double").as("c")),
+      identPairs,
       "d6_embedding_near_dup",
       "s1/s2 top-k ANN serve (IvfIndex cells) or a d5b-style per-vector cap")
     val cand = bands.where(col("vec_id") % 5 === 0).as("a")

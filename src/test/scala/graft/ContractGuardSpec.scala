@@ -30,12 +30,13 @@ class ContractGuardSpec extends AnyFunSuite {
     assert(boom.getMessage.contains("k-means upper boundary"), boom.getMessage)
   }
 
-  test("d5 pair ceiling: a collapsed-cohort corpus (40k docs, one fingerprint) is refused before the quadratic join") {
+  test("d5 pair ceiling: a corpus whose identical-fingerprint pairs alone exceed the output budget is refused") {
     import spark.implicits._
-    // every doc identical → one simhash value → every band bucket holds
-    // the whole corpus: estimate = 4 · C(40000, 2) ≈ 3.2e9 > the 2e9 budget
+    // every doc identical → one simhash value → hamming-0 pairs alone are
+    // C(70000, 2) ≈ 2.45e9 > the documented 2e9 OUTPUT ceiling: the
+    // output-bound arm must refuse (provable result size, not join work)
     val dir = Files.createTempDirectory("graft-guard-d5").toString
-    (0L until 40000L).toDF("doc_id")
+    (0L until 70000L).toDF("doc_id")
       .withColumn("text", lit("alpha beta gamma delta epsilon zeta"))
       .withColumn("lang", lit("en"))
       .withColumn("source", lit("synth"))
@@ -49,19 +50,34 @@ class ContractGuardSpec extends AnyFunSuite {
     DedupQueries.unpersistShared()
   }
 
-  test("d6 pair ceiling: 40k identical embeddings are refused before the candidate join") {
+  test("d6 pair ceiling: an m7-class collapsed embedding corpus is refused on the candidate budget") {
     import spark.implicits._
+    // 80k identical vectors → every band bucket holds the whole corpus:
+    // candidates = bands · C(80000, 2) ≥ 1.28e10 > the 1e10 join-work
+    // budget (the output lower bound C(16000, 2) ≈ 1.3e8 stays under the
+    // 2e9 output ceiling — this case must trip the CANDIDATE arm)
     val dir = Files.createTempDirectory("graft-guard-d6").toString
     val vec = array((0 until 64).map(i => lit(0.1f * (i % 7 + 1))): _*)
-    (0L until 40000L).toDF("vec_id")
+    (0L until 80000L).toDF("vec_id")
       .withColumn("embedding", vec)
       .withColumn("label", lit(0))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val boom = intercept[IllegalStateException] {
       DedupQueries.d6EmbeddingNearDup(spark, dir)
     }
-    assert(boom.getMessage.contains("pair-output budget"), boom.getMessage)
+    assert(boom.getMessage.contains("candidate budget"), boom.getMessage)
     assert(boom.getMessage.contains("IvfIndex cells"), boom.getMessage)
+  }
+
+  test("the x100 probe regime stays under both budgets: d5 constructs on a 100x-shaped corpus estimate") {
+    // the r16 recalibration lesson pinned as a spec: the standard ×100
+    // probe corpus generates a ~3.6e9 banded candidate estimate with only
+    // 24M verified output pairs, and the engine measures it at 27 s — a
+    // guard refusing it would be mis-calibrated (it did, at first cut).
+    // Cheap proxy: thresholds must order output ceiling < measured-good
+    // candidates < candidate budget.
+    assert(DedupQueries.PairOutputBudget < 3_600_000_000L)
+    assert(3_600_000_000L < DedupQueries.CandidateBudget)
   }
 
   test("guards stay silent at the gate SF: d5 and d6 still construct over the real corpus") {
