@@ -133,7 +133,29 @@ object SimilarityQueries {
 
   // ------------------------------------------------------- graph ANN (s8)
 
-  private val GraphPlanes = 4 // 16 buckets per bucketing — dense candidates for graph BUILD
+  private val GraphPlanes = 4 // floor: 16 buckets per bucketing — dense candidates for graph BUILD
+  private val GraphTargetBucket = 256 // hold E[build bucket] ≈ this as n grows
+
+  /** Adaptive plane count for the graph-BUILD bucketings — the
+    * `embPlanesFor` rule with a denser target (the build wants rich
+    * candidate sets; each node still sees ~2·bucket candidates for its
+    * top-M). With the bucket COUNT fixed the build join is n²/buckets —
+    * quadratic in n: the r16 s-family rotation timed out s8's first ×100
+    * row exactly there (200k vectors → 12.5k-wide buckets → ~5e9 cosine
+    * evaluations). planes ∝ log₂(n) holds E[bucket] ≈ [[GraphTargetBucket]]
+    * and the join at ~n·bucket. The floor binds at every gate SF
+    * (n ≤ [[GraphFloorMaxVectors]] — the static-oracle contract,
+    * asserted in `ScaleProbeSpec`).
+    */
+  private def graphPlanesFor(n: Long): Int =
+    math.max(GraphPlanes,
+      math.ceil(math.log(math.max(1L, n).toDouble / GraphTargetBucket) / math.log(2)).toInt)
+
+  /** Largest corpus for which [[graphPlanesFor]] still returns the floor —
+    * the boundary of s8's static-oracle contract. */
+  private[graft] val GraphFloorMaxVectors: Long =
+    (GraphTargetBucket.toLong << GraphPlanes) // n/256 ≤ 2^4 ⇔ n ≤ 4096
+
   private val GraphM = 8      // out-degree of the k-NN graph
   private val BeamB = 16      // beam width per hop
   private val GraphHops = 3   // search hops
@@ -179,11 +201,14 @@ object SimilarityQueries {
   def s8GraphAnn(spark: SparkSession, dir: String): DataFrame = {
     graft.GraftSession.prepare(spark)
     val e = ivfEmb(spark, dir)
-    // candidates from TWO independent bucketings (planes 0–3 and 4–7),
-    // unioned before the per-node top-M — connects regions either
-    // bucketing alone would isolate
-    val cand = Seq(0, GraphPlanes).map { from =>
-      val eb = e.withColumn("bucket", bucketColRange(col("v"), from, GraphPlanes))
+    // adaptive build-bucket width (count() is metadata-only on parquet);
+    // the floor binds at every gate SF so the static oracle stays exact
+    val p = graphPlanesFor(Tables.embeddings(spark, dir).count())
+    // candidates from TWO independent bucketings (disjoint plane ranges
+    // [0,p) and [p,2p)), unioned before the per-node top-M — connects
+    // regions either bucketing alone would isolate
+    val cand = Seq(0, p).map { from =>
+      val eb = e.withColumn("bucket", bucketColRange(col("v"), from, p))
       val left = eb.select(col("bucket"), col("vec_id").as("src"), col("v").as("sv"), col("n2").as("sn2"))
       val right = eb.select(col("bucket"), col("vec_id").as("nbr"), col("v").as("nv"), col("n2").as("nn2"))
       left.join(right, Seq("bucket"))
@@ -329,6 +354,12 @@ object SimilarityQueries {
   private def cosSqlQX: String = cosSql
 
   val s8Oracle: String = {
+    // CONTRACT: the oracle is a static SQL string pinning the 4-plane
+    // floor bucketings (d6's EmbFloorMaxVectors pattern) — valid while
+    // every gate corpus sits at the floor (≤ GraphFloorMaxVectors = 4096
+    // vectors; sf0.001/sf0.01: 500, sf0.1: 2000). ScaleProbeSpec asserts
+    // this against the real gate parquet.
+    assert(GraphPlanes == graphPlanesFor(500) && GraphPlanes == graphPlanesFor(GraphFloorMaxVectors))
     def hop(k: Int): String =
       s"""f$k AS (SELECT qid, node FROM (
          |  SELECT qid, node, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, node) rn

@@ -103,6 +103,11 @@ class ScaleProbeSpec extends AnyFunSuite {
         queries.DedupQueries.embPlanesFor(n) == queries.DedupQueries.embPlanesFor(1),
         s"$dir has $n vectors — above the adaptive floor; d6Oracle's pinned " +
           "banding no longer matches the Spark side (re-pin the oracle)")
+      // same contract for s8's adaptive BUILD bucketings (r16: the fixed
+      // 16-bucket build was n²/16 and timed out the first ×100 rotation)
+      assert(n <= queries.SimilarityQueries.GraphFloorMaxVectors,
+        s"$dir has $n vectors — above s8's adaptive-plane floor; s8Oracle's " +
+          "pinned 4-plane bucketings no longer match the Spark side (re-pin the oracle)")
     }
   }
 }
