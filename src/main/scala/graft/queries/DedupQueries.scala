@@ -86,6 +86,24 @@ object DedupQueries {
   private[graft] val PairOutputBudget = 2_000_000_000L
   private[graft] val CandidateBudget = 10_000_000_000L
 
+  /** Per-JVM pre-flight memo keyed on dir + manifest fingerprint (the
+    * `Tables.fitKey` precedent): d5's guard is consumed by five queries
+    * per battery (d5/d5b/d7/d8/t5) and its estimate aggregations cost
+    * ~0.6 s per call at sf0.1 — the corpus hasn't changed between them,
+    * so neither has the verdict. A REFUSAL is never cached (the exception
+    * propagates before the memo write), so an over-budget corpus
+    * re-checks and re-refuses on every call; an in-place corpus rewrite
+    * changes the fingerprint and re-runs the check
+    * (`ContractGuardSpec` "rewrite re-arms").
+    */
+  private val pairGuardMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private def memoizedGuard(spark: SparkSession, dir: String, table: String)(check: => Unit): Unit = {
+    pairGuardMemo.computeIfAbsent(s"$table|${Tables.fitKey(spark, dir, table)}",
+      _ => { check; java.lang.Boolean.TRUE })
+    ()
+  }
+
   /** Loud pre-flight for the two pair budgets. `cohorts` must carry one
     * row per band bucket with member count `c` (DOUBLE — C(c,2) on a
     * 10¹¹-doc cohort overflows a long); Σ c(c−1)/2 over it is the exact
@@ -374,19 +392,21 @@ object DedupQueries {
     // per band bucket the cohort is Σm, making the candidate estimate
     // exact for the join; both cost one pass over the cached signature,
     // never the join itself
-    val g5 = simhashGroups(spark, dir)
-    val identPairs = {
-      val r = g5.agg(sum(expr("CAST(m AS DOUBLE) * (m - 1) / 2")).cast("double")).head
-      if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    memoizedGuard(spark, dir, "documents") {
+      val g5 = simhashGroups(spark, dir)
+      val identPairs = {
+        val r = g5.agg(sum(expr("CAST(m AS DOUBLE) * (m - 1) / 2")).cast("double")).head
+        if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+      }
+      guardPairBudget(
+        g5.select(col("simhash"), col("m"),
+            explode(sequence(lit(0), lit(SimhashBands - 1))).as("band"))
+          .withColumn("bkey", expr(s"(simhash >> (band * $SimhashBandBits)) & $SimhashBandMask"))
+          .groupBy("band", "bkey").agg(sum("m").cast("double").as("c")),
+        identPairs,
+        "d5_simhash_pairs",
+        "d5b_top_pairs (budgeted top-k per doc) or d7/d20 component labels (linear output)")
     }
-    guardPairBudget(
-      g5.select(col("simhash"), col("m"),
-          explode(sequence(lit(0), lit(SimhashBands - 1))).as("band"))
-        .withColumn("bkey", expr(s"(simhash >> (band * $SimhashBandBits)) & $SimhashBandMask"))
-        .groupBy("band", "bkey").agg(sum("m").cast("double").as("c")),
-      identPairs,
-      "d5_simhash_pairs",
-      "d5b_top_pairs (budgeted top-k per doc) or d7/d20 component labels (linear output)")
     val sim = d4Simhash(spark, dir)
     val bands = sim.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(SimhashBands - 1))).as("band"))
@@ -552,18 +572,20 @@ object DedupQueries {
     // the probe-side members is sound under the %5 filter whatever the id
     // order), and the slim (vec_id, band, bkey) projection gives the
     // exact candidate count — vectors never ride along either pass
-    val identPairs = {
-      val r = Tables.embeddings(spark, dir)
-        .groupBy("embedding")
-        .agg(sum(when(col("vec_id") % 5 === 0, 1L).otherwise(0L)).cast("double").as("na"))
-        .agg(sum(expr("na * (na - 1) / 2")).cast("double")).head
-      if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    memoizedGuard(spark, dir, "embeddings") {
+      val identPairs = {
+        val r = Tables.embeddings(spark, dir)
+          .groupBy("embedding")
+          .agg(sum(when(col("vec_id") % 5 === 0, 1L).otherwise(0L)).cast("double").as("na"))
+          .agg(sum(expr("na * (na - 1) / 2")).cast("double")).head
+        if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+      }
+      guardPairBudget(
+        bands.groupBy("band", "bkey").agg(count(lit(1)).cast("double").as("c")),
+        identPairs,
+        "d6_embedding_near_dup",
+        "s1/s2 top-k ANN serve (IvfIndex cells) or a d5b-style per-vector cap")
     }
-    guardPairBudget(
-      bands.groupBy("band", "bkey").agg(count(lit(1)).cast("double").as("c")),
-      identPairs,
-      "d6_embedding_near_dup",
-      "s1/s2 top-k ANN serve (IvfIndex cells) or a d5b-style per-vector cap")
     val cand = bands.where(col("vec_id") % 5 === 0).as("a")
       .join(bands.as("b"), Seq("band", "bkey"))
       .where(col("a.vec_id") < col("b.vec_id"))

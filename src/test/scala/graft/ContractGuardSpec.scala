@@ -80,6 +80,32 @@ class ContractGuardSpec extends AnyFunSuite {
     assert(3_600_000_000L < DedupQueries.CandidateBudget)
   }
 
+  test("guard memo re-arms on an in-place corpus rewrite (fingerprint key, not path)") {
+    import spark.implicits._
+    // pass on a safe corpus (verdict memoized), then rewrite the same
+    // path with an over-budget corpus: the fitKey fingerprint changes, so
+    // the memo must re-run the check and refuse — a path-keyed memo would
+    // serve the stale pass (the MemoStalenessSpec hazard, guard edition)
+    val dir = Files.createTempDirectory("graft-guard-rearm").toString
+    def write(n: Long): Unit =
+      (0L until n).toDF("doc_id")
+        .withColumn("text", lit("alpha beta gamma delta epsilon zeta"))
+        .withColumn("lang", lit("en"))
+        .withColumn("source", lit("synth"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    write(50)
+    DedupQueries.d5SimhashPairs(spark, dir) // memoizes a PASS
+    DedupQueries.unpersistShared()
+    Thread.sleep(1100) // mtime granularity: ensure the rewrite changes the fingerprint
+    write(70000)
+    val boom = intercept[IllegalStateException] {
+      DedupQueries.d5SimhashPairs(spark, dir)
+    }
+    assert(boom.getMessage.contains("pair-output budget"), boom.getMessage)
+    DedupQueries.unpersistShared()
+  }
+
   test("guards stay silent at the gate SF: d5 and d6 still construct over the real corpus") {
     val dir = "/root/testdata/sf0.001"
     // construction runs the pre-flight; materialization proves no refusal
