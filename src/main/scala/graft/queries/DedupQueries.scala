@@ -74,10 +74,16 @@ object DedupQueries {
     *    enforced against a PROVABLE lower bound on output (pairs of
     *    identical keys, which verify trivially), so it only refuses when
     *    the result itself is certainly past the contract.
-    *  - [[CandidateBudget]] is the JOIN-WORK bound: the largest
-    *    measured-good candidate volume is ×100's 3.6e9 (27 s); the
-    *    m7-class full-collapse regimes sit ≥ 2e10 and time out. 1e10
-    *    splits the decided cases.
+    *  - The candidate budget is the JOIN-WORK bound, and it is
+    *    PER-OPERATOR because it must equalize work, not rows — the
+    *    per-candidate verify costs differ ~30×. d5 verifies with one
+    *    XOR+popcount: its largest measured-good volume is ×100's 3.6e9
+    *    (27 s) and the m7-class collapses sit ≥ 2e10 and time out, so
+    *    [[CandidateBudget]] = 1e10 splits the decided cases. d6 verifies
+    *    with a 64-dim cosine: ~1e8 cosine candidates measure at 6 s and
+    *    8.5e9 TIMED OUT the ×1000 cohort battery straight past the d5
+    *    budget (the r16 catch), so [[CosineCandidateBudget]] = 2e9
+    *    (~2 min of fused-dot work at 32 cores) bounds it.
     *
     * [[guardPairBudget]] enforces both as a loud pre-flight (the
     * `DsirScoreCap` precedent: a documented boundary a user can hit gets
@@ -85,6 +91,7 @@ object DedupQueries {
     */
   private[graft] val PairOutputBudget = 2_000_000_000L
   private[graft] val CandidateBudget = 10_000_000_000L
+  private[graft] val CosineCandidateBudget = 2_000_000_000L
 
   /** Per-JVM pre-flight memo keyed on dir + manifest fingerprint (the
     * `Tables.fitKey` precedent): d5's guard is consumed by five queries
@@ -114,7 +121,7 @@ object DedupQueries {
     * cached signature), never the quadratic join itself.
     */
   private[queries] def guardPairBudget(cohorts: DataFrame, outputLowerBound: Double,
-      op: String, route: String): Unit = {
+      candidateBudget: Long, op: String, route: String): Unit = {
     if (outputLowerBound > PairOutputBudget.toDouble)
       throw new IllegalStateException(
         f"$op refused: identical-key pairs alone guarantee ${outputLowerBound}%.3g output " +
@@ -125,12 +132,13 @@ object DedupQueries {
     val r = cohorts.agg(
       sum(expr("c * (c - 1.0) / 2.0")).as("pairs"), max(col("c")).as("widest")).head
     val pairs = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
-    if (pairs > CandidateBudget.toDouble)
+    if (pairs > candidateBudget.toDouble)
       throw new IllegalStateException(
-        f"$op refused: banded candidate estimate ${pairs}%.3g pairs exceeds the join-work " +
-          f"candidate budget $CandidateBudget (widest band cohort: ${r.getDouble(1)}%.3g " +
-          f"members; the measured-good regime tops out at 3.6e9). The bucket structure is " +
-          s"m7-class collapsed (SCALE.md d5/d6 pair ceiling); route to $route.")
+        f"$op refused: banded candidate estimate ${pairs}%.3g pairs exceeds this operator's " +
+          f"join-work candidate budget $candidateBudget (widest band cohort: " +
+          f"${r.getDouble(1)}%.3g members; budgets are per verify cost - one XOR+popcount vs " +
+          f"a 64-dim cosine differ ~30x per candidate). The bucket structure is m7-class " +
+          s"collapsed (SCALE.md d5/d6 pair ceiling); route to $route.")
   }
 
   private[queries] val MersenneP = (1L << 61) - 1
@@ -404,6 +412,7 @@ object DedupQueries {
           .withColumn("bkey", expr(s"(simhash >> (band * $SimhashBandBits)) & $SimhashBandMask"))
           .groupBy("band", "bkey").agg(sum("m").cast("double").as("c")),
         identPairs,
+        CandidateBudget,
         "d5_simhash_pairs",
         "d5b_top_pairs (budgeted top-k per doc) or d7/d20 component labels (linear output)")
     }
@@ -583,6 +592,7 @@ object DedupQueries {
       guardPairBudget(
         bands.groupBy("band", "bkey").agg(count(lit(1)).cast("double").as("c")),
         identPairs,
+        CosineCandidateBudget,
         "d6_embedding_near_dup",
         "s1/s2 top-k ANN serve (IvfIndex cells) or a d5b-style per-vector cap")
     }

@@ -78,6 +78,11 @@ class ContractGuardSpec extends AnyFunSuite {
     // candidates < candidate budget.
     assert(DedupQueries.PairOutputBudget < 3_600_000_000L)
     assert(3_600_000_000L < DedupQueries.CandidateBudget)
+    // d6's budget is per VERIFY COST (64-dim cosine ≈ 30× a popcount):
+    // 8.5e9 cosine candidates timed out the ×1000 cohort battery while
+    // sitting under d5's row budget — the two must stay distinct
+    assert(DedupQueries.CosineCandidateBudget < DedupQueries.CandidateBudget)
+    assert(100_000_000L < DedupQueries.CosineCandidateBudget) // ~1e8 measured at 6 s
   }
 
   test("guard memo re-arms on an in-place corpus rewrite (fingerprint key, not path)") {
