@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// FormatQueries' per-(format, corpus) round-trip scratch dirs and the
+// shared SparkTestSession assume suites run SEQUENTIALLY in the forked
+// test JVM. That is sbt's default for forked tests, but nothing enforced
+// it (r16 advice: one `parallelExecution := true` away from intermittent
+// f1-f7 scratch corruption) — pin both knobs explicitly.
+Test / parallelExecution := false
+Test / testForkedParallel := false
 // Forward forked-process output raw instead of through sbt's logger: the
 // logger prefixes every stdout line with "[info] ", which breaks the
 // driver's JSON parse of graft.Bench's one-line summary (BENCH_r0N.json

@@ -17,8 +17,10 @@ object Bench {
     * startup so a query rename can't silently revert its rep policy.
     * r15 adjudication note: even at min-of-3, t21 was 1.5 s of r14's
     * 878 s battery — this bounds cost; it was never a regression source.
+    * r17: extended to the other two trainer-class queries (t15 BPE vocab,
+    * s13 recall train) so no trainer ever re-enters min-of-3 cold.
     */
-  private val DeterministicHeavy = Set("t21_dist_bpe")
+  private val DeterministicHeavy = Set("t21_dist_bpe", "t15_bpe_vocab", "s13_ann_recall")
 
   /** Locale-pinned "%.4f": the f-interpolator honors the default locale,
     * and a comma decimal separator would corrupt the JSON line. */

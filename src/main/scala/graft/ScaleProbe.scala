@@ -675,6 +675,25 @@ object ScaleProbe {
     *
     * d19 is excluded by its documented quadratic contract (SCALE.md).
     */
+
+  /** Classify one query's CONSTRUCTION (pre-flight) outcome for a probe
+    * cell. Refusals are matched by TYPE ([[ContractRefusedException]]),
+    * not message substring, so a reworded guard can't escape; any OTHER
+    * construction-time failure becomes that query's own
+    * `failed_at_construction` cell instead of aborting the whole probe
+    * run (r16 advice: the old `getMessage.contains("refused")` match let
+    * one unrelated exception kill every remaining cell).
+    */
+  private[graft] def classifyConstruction(build: => Unit): Either[(String, String), Unit] =
+    try { build; Right(()) }
+    catch {
+      case e: ContractRefusedException =>
+        Left(("refused", e.getMessage.takeWhile(_ != '(').trim))
+      case scala.util.control.NonFatal(e) =>
+        Left(("failed_at_construction",
+          s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"))
+    }
+
   private def cohortProbe(spark: SparkSession, nRows: Long, distinctKeys: Int, outDir: String): Unit = {
     def md5Words(c: org.apache.spark.sql.Column, salt: String, n: Int) =
       concat_ws(" ", (0 until n).map(i => md5(concat(lit(s"$salt$i:"), c.cast("string")))): _*)
@@ -720,18 +739,13 @@ object ScaleProbe {
       "d6_embedding_neardup", "d17_record_linkage")
     val results = probes.map { q =>
       val fn = SparkEntry.queries(q)
-      // guards fire at CONSTRUCTION (pre-flight) — distinguish a loud
-      // refusal from a timeout/failure inside the timed run
-      val status =
-        try { fn(spark, outDir); None }
-        catch { case e: IllegalStateException if e.getMessage.contains("refused") =>
-          Some(e.getMessage.takeWhile(_ != '(').trim) }
+      val status = classifyConstruction { fn(spark, outDir); () }
       queries.DedupQueries.unpersistShared()
       val cell = status match {
-        case Some(msg) =>
-          System.err.println(s"[cohort] $q REFUSED: $msg")
-          s""""$q":{"status":"refused","detail":"${msg.replace("\"", "'")}"}"""
-        case None =>
+        case Left((st, msg)) =>
+          System.err.println(s"[cohort] $q ${st.toUpperCase}: $msg")
+          s""""$q":{"status":"$st","detail":"${msg.replace("\"", "'")}"}"""
+        case Right(()) =>
           val r = time(spark, outDir, q, fn, reps = 2)
           queries.DedupQueries.unpersistShared()
           System.err.println(f"[cohort] $q%-22s ${r.map(_._1).getOrElse(Double.NaN)}%8.2fs rows=${r.map(_._2).getOrElse(-1L)}")

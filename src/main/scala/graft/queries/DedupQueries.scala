@@ -97,16 +97,25 @@ object DedupQueries {
     * `Tables.fitKey` precedent): d5's guard is consumed by five queries
     * per battery (d5/d5b/d7/d8/t5) and its estimate aggregations cost
     * ~0.6 s per call at sf0.1 — the corpus hasn't changed between them,
-    * so neither has the verdict. A REFUSAL is never cached (the exception
-    * propagates before the memo write), so an over-budget corpus
-    * re-checks and re-refuses on every call; an in-place corpus rewrite
-    * changes the fingerprint and re-runs the check
-    * (`ContractGuardSpec` "rewrite re-arms").
+    * so neither has the verdict. The key carries the OPERATOR identity,
+    * not just the table: d5 (documents) and d6 (embeddings) happen not to
+    * collide today, but two guards over the same table with different
+    * budgets must never share a pass verdict (r16 advice). A REFUSAL is
+    * never cached (the exception propagates before the memo write), so an
+    * over-budget corpus re-checks and re-refuses on every call; an
+    * in-place corpus rewrite changes the fingerprint and re-runs the check
+    * (`ContractGuardSpec` "rewrite re-arms"). Staleness window: `fitKey`
+    * fingerprints at mtime granularity (seconds on some filesystems), so
+    * a same-second in-place rewrite can reuse the prior verdict until the
+    * clock ticks — acceptable for a per-JVM cache whose misses are only
+    * ever conservative re-checks, but specs that rewrite a corpus must
+    * sleep past the tick to re-arm (`ContractGuardSpec` does).
     */
   private val pairGuardMemo =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
-  private def memoizedGuard(spark: SparkSession, dir: String, table: String)(check: => Unit): Unit = {
-    pairGuardMemo.computeIfAbsent(s"$table|${Tables.fitKey(spark, dir, table)}",
+  private def memoizedGuard(spark: SparkSession, dir: String, op: String,
+      table: String)(check: => Unit): Unit = {
+    pairGuardMemo.computeIfAbsent(s"$op|$table|${Tables.fitKey(spark, dir, table)}",
       _ => { check; java.lang.Boolean.TRUE })
     ()
   }
@@ -123,7 +132,7 @@ object DedupQueries {
   private[queries] def guardPairBudget(cohorts: DataFrame, outputLowerBound: Double,
       candidateBudget: Long, op: String, route: String): Unit = {
     if (outputLowerBound > PairOutputBudget.toDouble)
-      throw new IllegalStateException(
+      throw new graft.ContractRefusedException(
         f"$op refused: identical-key pairs alone guarantee ${outputLowerBound}%.3g output " +
           f"rows, past the documented pair-output budget $PairOutputBudget (SCALE.md d5/d6 " +
           s"pair ceiling). Full pair materialization is quadratic in duplicate-cohort width " +
@@ -133,7 +142,7 @@ object DedupQueries {
       sum(expr("c * (c - 1.0) / 2.0")).as("pairs"), max(col("c")).as("widest")).head
     val pairs = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
     if (pairs > candidateBudget.toDouble)
-      throw new IllegalStateException(
+      throw new graft.ContractRefusedException(
         f"$op refused: banded candidate estimate ${pairs}%.3g pairs exceeds this operator's " +
           f"join-work candidate budget $candidateBudget (widest band cohort: " +
           f"${r.getDouble(1)}%.3g members; budgets are per verify cost - one XOR+popcount vs " +
@@ -400,7 +409,7 @@ object DedupQueries {
     // per band bucket the cohort is Σm, making the candidate estimate
     // exact for the join; both cost one pass over the cached signature,
     // never the join itself
-    memoizedGuard(spark, dir, "documents") {
+    memoizedGuard(spark, dir, "d5_simhash_pairs", "documents") {
       val g5 = simhashGroups(spark, dir)
       val identPairs = {
         val r = g5.agg(sum(expr("CAST(m AS DOUBLE) * (m - 1) / 2")).cast("double")).head
@@ -581,7 +590,7 @@ object DedupQueries {
     // the probe-side members is sound under the %5 filter whatever the id
     // order), and the slim (vec_id, band, bkey) projection gives the
     // exact candidate count — vectors never ride along either pass
-    memoizedGuard(spark, dir, "embeddings") {
+    memoizedGuard(spark, dir, "d6_embedding_near_dup", "embeddings") {
       val identPairs = {
         val r = Tables.embeddings(spark, dir)
           .groupBy("embedding")

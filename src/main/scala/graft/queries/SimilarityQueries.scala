@@ -201,9 +201,11 @@ object SimilarityQueries {
   def s8GraphAnn(spark: SparkSession, dir: String): DataFrame = {
     graft.GraftSession.prepare(spark)
     val e = ivfEmb(spark, dir)
-    // adaptive build-bucket width (count() is metadata-only on parquet);
+    // adaptive build-bucket width, sized from parquet FOOTERS (driver-side
+    // metadata — df.count() would launch a cluster scan just to pick a
+    // plane count, and plane selection doesn't need an exact row count);
     // the floor binds at every gate SF so the static oracle stays exact
-    val p = graphPlanesFor(Tables.embeddings(spark, dir).count())
+    val p = graphPlanesFor(Tables.rowCountFromFooters(spark, dir, "embeddings"))
     // candidates from TWO independent bucketings (disjoint plane ranges
     // [0,p) and [p,2p)), unioned before the per-node top-M — connects
     // regions either bucketing alone would isolate
@@ -580,7 +582,7 @@ object SimilarityQueries {
   private[graft] def lloydGuardedK(n: Long): Int = {
     val k = kmKFor(n)
     if (n * k.toLong > LloydNkBudget)
-      throw new IllegalStateException(
+      throw new graft.ContractRefusedException(
         s"brute Lloyd fit (s5/s6/s11/s12) refused: n=$n vectors at adaptive k=$k gives " +
           s"n*k=${n * k.toLong}, past the measured-regime budget $LloydNkBudget " +
           "(SCALE.md 'k-means upper boundary': assignment is Theta(n*k*dim) per iteration " +

@@ -119,6 +119,33 @@ final class ObjectStoreFileSystem extends RawLocalFileSystem {
     super.create(f, permission, true, bufferSize, replication, blockSize, progress)
   }
 
+  /** `createNonRecursive` is a third public entry into the same
+    * exists-then-open flaw class (r16 advice): `RawLocalFileSystem`
+    * implements it with its own non-atomic overwrite check, so a future
+    * caller using `createNonRecursive(overwrite = false)` for a claim
+    * would silently lose conditional-PUT semantics. Both public overloads
+    * reserve first and pass overwrite/OVERWRITE downward so the inherited
+    * code never runs its own check (and cross-delegation between the
+    * overloads can't double-reserve — the inner call always sees
+    * overwrite = true).
+    */
+  override def createNonRecursive(f: Path, permission: org.apache.hadoop.fs.permission.FsPermission,
+      overwrite: Boolean, bufferSize: Int, replication: Short, blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable): org.apache.hadoop.fs.FSDataOutputStream = {
+    reserveIfConditional(f, overwrite)
+    super.createNonRecursive(f, permission, true, bufferSize, replication, blockSize, progress)
+  }
+
+  override def createNonRecursive(f: Path, permission: org.apache.hadoop.fs.permission.FsPermission,
+      flags: java.util.EnumSet[org.apache.hadoop.fs.CreateFlag], bufferSize: Int,
+      replication: Short, blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable): org.apache.hadoop.fs.FSDataOutputStream = {
+    reserveIfConditional(f, flags.contains(org.apache.hadoop.fs.CreateFlag.OVERWRITE))
+    val fl = java.util.EnumSet.copyOf(flags)
+    fl.add(org.apache.hadoop.fs.CreateFlag.OVERWRITE)
+    super.createNonRecursive(f, permission, fl, bufferSize, replication, blockSize, progress)
+  }
+
   /** S3A-shaped rename: copy every object under `src` to its `dst`
     * counterpart (all copies first), then delete the source tree. Hadoop
     * rename semantics preserved as S3A implements them: existing-directory

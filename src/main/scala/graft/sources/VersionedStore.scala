@@ -457,6 +457,17 @@ final class VersionedStore(val base: String) {
           // full-table re-stages. (graft.claimWaitMs is a spec hook — the
           // no-progress window is only testable without a 60 s sleep.)
           val waitMs = sys.props.get("graft.claimWaitMs").map(_.toLong).getOrElse(60000L)
+          // (intentExists, publishedBytes); publishedBytes = -1 flags an
+          // UNREADABLE intent record (mid-write / torn). Unreadable is
+          // INDETERMINATE, not "unchanged": a live winner rewriting the
+          // record reads exactly like a crashed one whose torn record
+          // froze, so two unreadable windows comparing equal must not
+          // count as a stall (r16 verdict: that misdiagnosis routes the
+          // operator to recoverClaims against a LIVE winner). Unreadable
+          // windows accrue on a separate counter; only a bounded
+          // consecutive run of them — the few-byte intent write frozen
+          // torn across several full windows, which no live writer does —
+          // reads as a crash. Any readable observation resets the counter.
           def publishProgress(): (Boolean, Long) = {
             val intentP = new Path(base, s"_claims/intent-$v")
             if (!f.exists(intentP)) (false, 0L)
@@ -464,16 +475,25 @@ final class VersionedStore(val base: String) {
               val next = readSmall(f, intentP).dropWhile(_ != ':').tail.toLong
               val vd = versionDir(next)
               (true, if (f.exists(vd)) f.getContentSummary(vd).getLength else 0L)
-            }.getOrElse((true, -1L)) // intent mid-write: counts as movement
+            }.getOrElse((true, -1L)) // intent mid-write: indeterminate
           }
+          val unreadable = (true, -1L)
+          val maxUnreadableWindows = 3
+          var unreadableRun = 0
           var last = publishProgress()
           var deadline = System.nanoTime() + waitMs * 1000000L
           var stalled = false
           while (currentVersion(spark) == v && !stalled) {
             if (System.nanoTime() >= deadline) {
               val cur = publishProgress()
-              if (cur == last) stalled = true
-              else { last = cur; deadline = System.nanoTime() + waitMs * 1000000L }
+              if (cur != last) {
+                last = cur; unreadableRun = 0
+                deadline = System.nanoTime() + waitMs * 1000000L
+              } else if (cur == unreadable) {
+                unreadableRun += 1
+                if (unreadableRun >= maxUnreadableWindows) stalled = true
+                else deadline = System.nanoTime() + waitMs * 1000000L
+              } else stalled = true
             } else Thread.sleep(math.min(50L, waitMs))
           }
           if (currentVersion(spark) == v)

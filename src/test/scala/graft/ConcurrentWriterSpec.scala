@@ -86,6 +86,104 @@ class ConcurrentWriterSpec extends AnyFunSuite {
     assert(st.compactCurrent(spark) == 3L)
   }
 
+  test("torn intent held mid-write across two full windows: a LIVE winner is not declared crashed") {
+    import spark.implicits._
+    // r16 verdict finding: publishProgress mapped every unreadable intent
+    // to the constant (true, -1L), so two consecutive unreadable windows
+    // compared EQUAL and a live-but-mid-write winner was declared crashed,
+    // routing the operator to the destructive recoverClaims path. The fix
+    // counts unreadable windows separately (indeterminate, not
+    // "unchanged") — this test holds a torn intent across >2 full windows
+    // while the winner is demonstrably alive, then lets it finish, and
+    // asserts compaction retries instead of throwing.
+    val st = freshStore()
+    st.write(spark, (1 to 100).toDF("n"))                 // v1
+    val winnerStaging = st.stageSnapshot(spark, (1 to 50).toDF("n"))
+    val winnerName = winnerStaging.getName
+    val f = new org.apache.hadoop.fs.Path(st.base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(new org.apache.hadoop.fs.Path(st.base, "_claims"))
+    def put(name: String, content: String): Unit = {
+      val out = f.create(new org.apache.hadoop.fs.Path(st.base, s"_claims/$name"), true)
+      out.write(content.getBytes("UTF-8")); out.close()
+    }
+    put("claim-1", winnerName)
+    put("intent-1", "mid-write-torn") // no ':'-suffixed version → unreadable
+
+    val waitMs = 400L
+    sys.props("graft.claimWaitMs") = waitMs.toString
+    val died = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    val winner = new Thread(() => {
+      try {
+        // the compactor stages under _staging, loses the claim, and the
+        // loser deletes its own staging dir just before entering the wait
+        // loop — appearance-then-disappearance of a second staging dir
+        // therefore places the compactor provably INSIDE the no-progress
+        // windows before we start the hold
+        def others() = stagingDirs(st).filterNot(_ == winnerName)
+        while (others().isEmpty) Thread.sleep(10)
+        while (others().nonEmpty) Thread.sleep(10)
+        // hold the torn record across two FULL windows (the pre-fix code
+        // declared a stall at the second window), then finish the publish
+        // exactly as the live winner would
+        Thread.sleep(2 * waitMs + waitMs / 2)
+        put("intent-1", s"$winnerName:2")
+        st.recoverClaims(spark)
+        ()
+      } catch { case t: Throwable => died.compareAndSet(null, t) }
+    })
+    winner.start()
+    try {
+      val v = st.compactCurrent(spark)
+      winner.join(60000)
+      if (died.get() != null) throw died.get()
+      // the winner's v2 (50 rows) landed, then the compactor's retry
+      // compacted it as v3 — nobody was sent to recoverClaims in anger
+      assert(v == 3L, s"expected the retry to publish v3, got v$v")
+      assert(st.read(spark).count() == 50L)
+      assert(st.currentVersion(spark) == 3L)
+    } finally {
+      sys.props.remove("graft.claimWaitMs")
+      winner.join(60000)
+    }
+  }
+
+  test("torn intent frozen forever (winner crashed mid-intent-write): fail-fast still fires, and clearing the torn record recovers") {
+    import spark.implicits._
+    // the bounded-unreadable-window counter must not turn the liveness fix
+    // into an infinite wait: a torn intent NOBODY is rewriting reads as
+    // unreadable every window, and after the budget the stall verdict
+    // lands with the recoverClaims routing message
+    val st = freshStore()
+    st.write(spark, (1 to 100).toDF("n"))                 // v1
+    val deadStaging = st.stageSnapshot(spark, (1 to 50).toDF("n"))
+    val f = new org.apache.hadoop.fs.Path(st.base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(new org.apache.hadoop.fs.Path(st.base, "_claims"))
+    def put(name: String, content: String): Unit = {
+      val out = f.create(new org.apache.hadoop.fs.Path(st.base, s"_claims/$name"), true)
+      out.write(content.getBytes("UTF-8")); out.close()
+    }
+    put("claim-1", deadStaging.getName)
+    put("intent-1", "mid-write-torn")
+
+    sys.props("graft.claimWaitMs") = "200"
+    try {
+      val t0 = System.nanoTime()
+      val boom = intercept[IllegalStateException] { st.compactCurrent(spark) }
+      val sec = (System.nanoTime() - t0) / 1e9
+      assert(boom.getMessage.contains("recoverClaims"))
+      assert(sec < 30.0, s"took $sec s — burned the attempt budget instead of failing fast")
+    } finally sys.props.remove("graft.claimWaitMs")
+
+    // the operator clears the torn record (it names no version, so nothing
+    // was published); recoverClaims then completes the dead winner's
+    // publish from the claim alone
+    f.delete(new org.apache.hadoop.fs.Path(st.base, "_claims/intent-1"), false)
+    assert(st.recoverClaims(spark).contains(2L))
+    assert(st.read(spark).count() == 50L)
+  }
+
   test("live two-thread race: ingest writeIf loop vs optimizeCurrent — every commit lands exactly once") {
     import spark.implicits._
     val st = freshStore()

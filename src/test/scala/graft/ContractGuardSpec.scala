@@ -118,4 +118,28 @@ class ContractGuardSpec extends AnyFunSuite {
     assert(DedupQueries.d6EmbeddingNearDup(spark, dir).count() >= 0)
     DedupQueries.unpersistShared()
   }
+
+  test("probe construction classification: refusal by type, foreign failure becomes a cell, success passes") {
+    // the cohort probe classifies refusals by ContractRefusedException TYPE
+    // — a guard message without the word 'refused' still classifies, and
+    // an unrelated construction failure records its own cell instead of
+    // aborting the probe run (r16 advice)
+    assert(ScaleProbe.classifyConstruction(()) == Right(()))
+    ScaleProbe.classifyConstruction {
+      throw new ContractRefusedException("d5_x over the documented pair budget (detail)")
+    } match {
+      case Left(("refused", msg)) => assert(msg == "d5_x over the documented pair budget")
+      case other => fail(s"reworded guard escaped the type match: $other")
+    }
+    ScaleProbe.classifyConstruction { throw new RuntimeException("boom at plan build") } match {
+      case Left(("failed_at_construction", msg)) =>
+        assert(msg.contains("RuntimeException") && msg.contains("boom at plan build"))
+      case other => fail(s"foreign failure should be a recorded cell, got: $other")
+    }
+    // the real guards throw the dedicated type (not a bare ISE)
+    val realBoom = intercept[ContractRefusedException] {
+      SimilarityQueries.lloydGuardedK(2_000_000)
+    }
+    assert(realBoom.getMessage.contains("IvfIndex"))
+  }
 }

@@ -89,6 +89,40 @@ class ObjectStoreSpec extends AnyFunSuite {
     assert(wins.get() == 1, s"raw conditional-PUT race admitted ${wins.get()} winners")
   }
 
+  test("conditional create is atomic on the createNonRecursive dispatch paths too") {
+    // RawLocalFileSystem.createNonRecursive inherits the same non-atomic
+    // exists-then-open flaw the create() overloads had (r16 advice): a
+    // future caller using createNonRecursive(overwrite = false) for a
+    // claim would silently lose conditional-PUT semantics. Both public
+    // overloads (boolean and EnumSet[CreateFlag]) must hit the O_EXCL
+    // reservation — proven by the objstore-specific failure message.
+    val base = new org.apache.hadoop.fs.Path(
+      s"objstore://${Files.createTempDirectory("graft-objstore-nonrec")}")
+    val f = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    val p = new org.apache.hadoop.fs.Path(base, "claim-bool")
+    f.createNonRecursive(p, false, 4096, 1.toShort, 1L << 20, null).close()
+    val boom = intercept[org.apache.hadoop.fs.FileAlreadyExistsException] {
+      f.createNonRecursive(p, false, 4096, 1.toShort, 1L << 20, null)
+    }
+    assert(boom.getMessage.contains("conditional PUT lost"),
+      s"boolean createNonRecursive bypassed the O_EXCL reservation: ${boom.getMessage}")
+
+    val p2 = new org.apache.hadoop.fs.Path(base, "claim-flags")
+    val createOnly = java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE)
+    f.createNonRecursive(p2, org.apache.hadoop.fs.permission.FsPermission.getFileDefault,
+      createOnly, 4096, 1.toShort, 1L << 20, null).close()
+    val boom2 = intercept[org.apache.hadoop.fs.FileAlreadyExistsException] {
+      f.createNonRecursive(p2, org.apache.hadoop.fs.permission.FsPermission.getFileDefault,
+        createOnly, 4096, 1.toShort, 1L << 20, null)
+    }
+    assert(boom2.getMessage.contains("conditional PUT lost"),
+      s"EnumSet createNonRecursive bypassed the O_EXCL reservation: ${boom2.getMessage}")
+
+    // overwrite = true keeps working (no reservation in the way)
+    f.createNonRecursive(p, true, 4096, 1.toShort, 1L << 20, null).close()
+  }
+
   test("two-thread claim race on objstore: the conditional create admits exactly one winner") {
     import spark.implicits._
     // RawLocalFileSystem.create(overwrite = false) is exists-then-open —
