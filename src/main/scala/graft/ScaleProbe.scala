@@ -694,7 +694,8 @@ object ScaleProbe {
           s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"))
     }
 
-  private def cohortProbe(spark: SparkSession, nRows: Long, distinctKeys: Int, outDir: String): Unit = {
+  private def cohortProbe(spark: SparkSession, nRows: Long, distinctKeys: Int, outDir: String,
+      serve: Boolean = false): Unit = {
     def md5Words(c: org.apache.spark.sql.Column, salt: String, n: Int) =
       concat_ws(" ", (0 until n).map(i => md5(concat(lit(s"$salt$i:"), c.cast("string")))): _*)
     val cohortShare = 80 // % of rows collapsed onto the distinct keys
@@ -735,20 +736,35 @@ object ScaleProbe {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
 
-    val probes = Seq("d2_ngram_jaccard", "d3_minhash_lsh", "d5_simhash_pairs",
-      "d6_embedding_neardup", "d17_record_linkage")
+    // serve=true runs the SERVE/BUILD bucketed shapes instead of the
+    // document-dedup battery: s8's r16 catch proved the fixed-bucket
+    // flaw class recurs in structures the d2–d17 battery never touches,
+    // so each bucketed serve gets its own collapsed-cohort cell — s2 LSH
+    // buckets, s3/s7 IVF cells, d19b's postings-capped prefix serve, and
+    // the m4/m6/m8 fingerprint band joins/windows (m7 itself is proven).
+    // Expected shapes at degenerate density: s2/s3/s7 serve a FIXED query
+    // block against one storm bucket/cell (|Q|·bucket, linear in n);
+    // d19b's postings cap bounds join rows at docs·R·C; m4/m6/m8 are
+    // per-key windows/aggregates plus star-edge CC (linear edges). A
+    // timeout or superlinear wall here means a cap stopped binding.
+    val probes =
+      if (serve) Seq("s2_lsh_topk", "s3_ivf_topk", "s7_incremental_ivf",
+        "d19b_top_setsim", "m4_frame_dedup", "m6_perceptual_dedup", "m8_crossmodal_dedup")
+      else Seq("d2_ngram_jaccard", "d3_minhash_lsh", "d5_simhash_pairs",
+        "d6_embedding_neardup", "d17_record_linkage")
+    val tag = if (serve) "cohort-serve" else "cohort"
     val results = probes.map { q =>
       val fn = SparkEntry.queries(q)
       val status = classifyConstruction { fn(spark, outDir); () }
       queries.DedupQueries.unpersistShared()
       val cell = status match {
         case Left((st, msg)) =>
-          System.err.println(s"[cohort] $q ${st.toUpperCase}: $msg")
+          System.err.println(s"[$tag] $q ${st.toUpperCase}: $msg")
           s""""$q":{"status":"$st","detail":"${msg.replace("\"", "'")}"}"""
         case Right(()) =>
           val r = time(spark, outDir, q, fn, reps = 2)
           queries.DedupQueries.unpersistShared()
-          System.err.println(f"[cohort] $q%-22s ${r.map(_._1).getOrElse(Double.NaN)}%8.2fs rows=${r.map(_._2).getOrElse(-1L)}")
+          System.err.println(f"[$tag] $q%-22s ${r.map(_._1).getOrElse(Double.NaN)}%8.2fs rows=${r.map(_._2).getOrElse(-1L)}")
           r match {
             case Some((sec, rows)) => s""""$q":{"status":"ok","sec":$sec,"rows":$rows}"""
             case None => s""""$q":{"status":"timeout_or_failed"}"""
@@ -756,12 +772,14 @@ object ScaleProbe {
       }
       cell
     }
-    val line = s"""{"metric":"cohort_probe","n_rows":$nRows,"distinct_keys":$distinctKeys,""" +
+    val metric = if (serve) "cohort_serve_probe" else "cohort_probe"
+    val line = s"""{"metric":"$metric","n_rows":$nRows,"distinct_keys":$distinctKeys,""" +
       s""""cohort_share_pct":$cohortShare,"queries":${results.mkString("{", ",", "}")},""" +
       s""""excluded_by_contract":["d19_setsim_join"]}"""
     println(line)
     Files.createDirectories(Paths.get("target"))
-    Files.write(Paths.get("target/bench_cohort.json"), line.getBytes("UTF-8"))
+    val outName = if (serve) "target/bench_cohort_serve.json" else "target/bench_cohort.json"
+    Files.write(Paths.get(outName), line.getBytes("UTF-8"))
   }
 
   /** `--segskew [nDocs] [hotPct]`: d15 keep-first-window skew stress — the
@@ -896,12 +914,14 @@ object ScaleProbe {
       dfSkew(spark, nDocs, hotPct)
       spark.stop(); return
     }
-    if (args.headOption.contains("--cohort")) {
+    if (args.headOption.contains("--cohort") || args.headOption.contains("--cohortserve")) {
+      val serve = args.headOption.contains("--cohortserve")
       val spark = GraftSession.prepare(GraftSession.local("graft-cohort"))
       val n = if (args.length > 1) args(1).toLong else 500000L
       val k = if (args.length > 2) args(2).toInt else 150
-      val out = if (args.length > 3) args(3) else "target/sfprobe/cohort"
-      cohortProbe(spark, n, k, out)
+      val out = if (args.length > 3) args(3)
+        else if (serve) "target/sfprobe/cohortserve" else "target/sfprobe/cohort"
+      cohortProbe(spark, n, k, out, serve)
       spark.stop(); return
     }
     if (args.headOption.contains("--segskew")) {
