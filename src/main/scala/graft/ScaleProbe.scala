@@ -158,6 +158,20 @@ object ScaleProbe {
   private val QueryTimeoutSec: Int =
     sys.env.getOrElse("SPARK_GRAFT_PROBE_TIMEOUT_SEC", "300").toInt
 
+  /** Per-query budget multipliers for operators whose HONEST full-width
+    * ×100 time is documented above the default budget — not a blow-up, a
+    * measured envelope (SCALE.md ledger). d14's output-driven cohort
+    * verify has measured 265–379 s across r8/r14/r17 at byte-identical
+    * 5.02M-pair output; under the 300 s default every d-family rotation
+    * would re-pay a false timeout plus a manual solo re-run (it did in
+    * r14 and r17). The multiplier scales with any env override, so a
+    * throttled run that raises the base budget raises these with it.
+    */
+  private[graft] val BudgetMultiplier: Map[String, Int] =
+    Map("d14_incremental_lsh" -> 3)
+  private def budgetFor(name: String): Int =
+    QueryTimeoutSec * BudgetMultiplier.getOrElse(name, 1)
+
   /** Min-of-`reps` wall-clock of materializing the FULL result
     * (`toRdd.count()` — df.count()'s fast path lets the optimizer prune
     * per-row projections and unique-key left joins, timing
@@ -189,12 +203,12 @@ object ScaleProbe {
         spark.sparkContext.setJobGroup(s"probe-$name", name, interruptOnCancel = true)
         try fn(spark, dir).queryExecution.toRdd.count() finally spark.sparkContext.clearJobGroup()
       }
-      try { val n = Await.result(attempt, QueryTimeoutSec.seconds)
+      try { val n = Await.result(attempt, budgetFor(name).seconds)
             runs += (((System.nanoTime() - t0) / 1e9, n)) }
       catch {
         case _: java.util.concurrent.TimeoutException =>
           spark.sparkContext.cancelJobGroup(s"probe-$name")
-          System.err.println(s"[probe] TIMEOUT after ${QueryTimeoutSec}s: $name")
+          System.err.println(s"[probe] TIMEOUT after ${budgetFor(name)}s: $name")
           timedOut = true
         case t: Throwable =>
           System.err.println(s"[probe] FAILED: ${t.getClass.getSimpleName}: ${t.getMessage}")

@@ -88,6 +88,16 @@ class ScaleProbeSpec extends AnyFunSuite {
     assert(Files.getLastModifiedTime(marker) == before)
   }
 
+  test("probe budget multipliers name real queries (a rename can't silently drop the d14 budget)") {
+    // SCALE.md-documented slow-by-envelope operators get a budget
+    // multiplier so family rotations stop re-paying false timeouts plus
+    // manual solo re-runs (r14 and r17 both did for d14)
+    val unknown = ScaleProbe.BudgetMultiplier.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"BudgetMultiplier names unknown queries: $unknown")
+    assert(ScaleProbe.BudgetMultiplier.values.forall(_ >= 2),
+      "a multiplier of 1 is a no-op entry — delete it instead")
+  }
+
   test("every gate SF sits at the d6 adaptive-plane floor (static-oracle contract)") {
     // d6Oracle is a static SQL string pinning the 4-plane floor banding;
     // that contract holds only while every gate corpus has at most
