@@ -810,22 +810,30 @@ object TextQueries {
       w.sliding(2).map(b => (p, b.mkString(" "), w.length - 1))
     }
     val pb = broadcast(spark.createDataFrame(phraseBigrams).toDF("phrase", "bigram", "n_needed"))
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), Text.normText(col("text")).as("norm"))
-    val bigrams = docs
+    // materialize the token array BEFORE the bigram lambda: HOFs run
+    // interpreted (no codegen/CSE), so an inlined split(norm, ' ') would
+    // re-split the whole doc for every element_at — O(tokens²) per doc
+    // (the v2Decontaminate lesson; this was the one remaining inlined site)
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(Text.normText(col("text")), " ").as("toks"))
+    val bigrams = toks
       // a one-token (or empty) doc has no bigrams and can never match a
       // multi-word phrase; without this guard sequence(1, 0) descends to
       // [1, 0] and element_at(arr, 0) throws on the first such doc
-      .where(size(split(col("norm"), " ")) >= 2)
-      .select(col("doc_id"), col("norm"), explode(expr(
-        """transform(sequence(1, size(split(norm, ' ')) - 1),
-          |  i -> concat(element_at(split(norm, ' '), i), ' ', element_at(split(norm, ' '), i + 1)))""".stripMargin))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))""".stripMargin))
         .as("bigram"))
     val cand = bigrams.join(pb, "bigram")
       .groupBy("phrase", "doc_id", "n_needed")
       .agg(count_distinct(col("bigram")).as("n_hit"))
       .where(col("n_hit") === col("n_needed"))
-    cand.join(docs, "doc_id")
+    // verify pass: normText runs only on the few candidate docs — the join
+    // on doc_id lands first, the full-corpus regex pass of the old
+    // cand.join(docs) form is gone
+    cand.join(Tables.documents(spark, dir).select("doc_id", "text"), "doc_id")
+      .withColumn("norm", Text.normText(col("text")))
       // space-padded: token-sequence match, not substring ("stable part"
       // must not match "table part" — the bigram index is token-level, so
       // substring semantics would make it miss what the oracle finds)
