@@ -25,6 +25,19 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // let AQE re-plan INSIDE cached relations: off (the default), a
+      // .cache() materializes with the raw spark.sql.shuffle.partitions
+      // fan-out, and every downstream consumer — including each broadcast
+      // subquery, which is its own job — pays a partition-count-sized task
+      // wave to scan a cache whose bytes fit in a handful of partitions.
+      // With it on, cache partitioning is byte-adaptive (AQE coalescing),
+      // the same §2.2 fewer-larger-partitions rule the rest of the session
+      // already applies; at cluster scale big caches stay wide because
+      // coalescing targets bytes, not a constant. Measured on the r17
+      // single-JVM interleaved A/B at 32 cpus: x18 0.49x, v13 0.46x,
+      // d12 0.78x, d21 0.82x, v10 0.94x, s7 0.93x, s8/s9 1.0x, d2 1.13x
+      // (the one mild loser; battery-level net is strongly positive).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
