@@ -53,7 +53,21 @@ object DedupQueries {
     * life of the SparkSession.
     */
   private val persistedShared = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
-  private[queries] def tracked(df: DataFrame): DataFrame = { persistedShared.add(df); df }
+
+  /** Register a persisted intermediate for family-boundary release AND
+    * rebase the returned frame onto its InMemoryRelation leaf
+    * ([[org.apache.spark.sql.GraftCacheBridge.cachedLeaf]]): downstream
+    * trees stay shallow, so the per-Dataset-op eager re-analysis cost —
+    * which the r17 PhaseTime profile measured at 3.5-6.6 s of driver
+    * build time per v10 construction, 5-10x its execution — collapses.
+    * Execution is unchanged (the cache manager would substitute the same
+    * IMR at planning time anyway); the lifecycle queue keeps the ORIGINAL
+    * handle so unpersist still resolves the registered entry.
+    */
+  private[queries] def tracked(df: DataFrame): DataFrame = {
+    persistedShared.add(df)
+    org.apache.spark.sql.GraftCacheBridge.cachedLeaf(df).getOrElse(df)
+  }
 
   /** Drop every cached intermediate this module has registered. Safe to
     * call at any point: queries simply re-persist on next use.
