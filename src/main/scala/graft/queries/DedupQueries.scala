@@ -69,6 +69,22 @@ object DedupQueries {
     org.apache.spark.sql.GraftCacheBridge.cachedLeaf(df).getOrElse(df)
   }
 
+  /** Pin a COMPUTE-DENSE relation's partitioning to the configured shuffle
+    * width on the given key columns. AQE's byte-based partition coalescing
+    * sizes stages by bytes, so a stage whose per-row work is heavy but
+    * whose rows are narrow — the levenshtein / array_intersect verify
+    * stages of the blocked-join family — collapses to one or two tasks
+    * and runs serially (the r17 d17 profile: one 3.3 s task on 32 idle
+    * cores over a 0.4 MB candidate relation). A user-numbered repartition
+    * is exempt from AQE coalescing, and because it is KEYED on exactly
+    * the distribution the downstream window/join requires, it replaces
+    * that exchange instead of adding one. N rides
+    * `spark.sql.shuffle.partitions` — cores locally, the documented
+    * 2-3x-executor-count ceiling on a cluster — never a constant.
+    */
+  private def computeWide(df: DataFrame, cols: Column*): DataFrame =
+    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, cols: _*)
+
   /** Drop every cached intermediate this module has registered. Safe to
     * call at any point: queries simply re-persist on next use.
     */
@@ -1676,9 +1692,15 @@ object DedupQueries {
     val ga = a.groupBy("name_a", "nat_a").agg(count(lit(1)).as("ma"))
     val gb = b.groupBy("name_b", "nat_b").agg(count(lit(1)).as("mb"))
     val ka = keyed(ga, "name_a", "nat_a"); val kb = keyed(gb, "name_b", "nat_b")
-    val cand = Seq("k1", "k2", "k3")
-      .map(k => ka.join(kb, k).select("name_a", "nat_a", "ma", "name_b", "mb"))
-      .reduce(_ unionAll _)
+    // computeWide: the levenshtein verify is compute-dense over narrow
+    // rows — keyed on a subset of the distinct's grouping columns, so the
+    // pinned exchange IS the distinct's exchange (no extra shuffle) and
+    // the verify aggregation's partial phase runs wide
+    val cand = computeWide(
+      Seq("k1", "k2", "k3")
+        .map(k => ka.join(kb, k).select("name_a", "nat_a", "ma", "name_b", "mb"))
+        .reduce(_ unionAll _),
+      col("name_a"), col("name_b"))
       .distinct()
     val pairAgg = cand
       .withColumn("m", (levenshtein(col("name_a"), col("name_b")) <= 1).cast("long"))
@@ -1791,10 +1813,16 @@ object DedupQueries {
     // candidates (real token overlap, sub-threshold Jaccard) carry
     // |set|-row verify cost each, and at 10× tokens the verify shuffle
     // was candidates × 2·10³ rows. Arrays ship once per candidate side.
-    val arrs = sh.groupBy("doc_id")
+    // computeWide: the packed-array agg's own exchange is hash(doc_id),
+    // so the pin replaces it (collect_list has no partial reduction to
+    // lose) and stops byte-coalescing from building every array serially
+    val arrs = computeWide(sh, col("doc_id")).groupBy("doc_id")
       .agg(sort_array(collect_list(col("sh64"))).as("arr"))
-    cand
+    // computeWide on each verify join's key: array_intersect per candidate
+    // is the dense work; the pinned exchanges are the joins' own
+    computeWide(cand, col("da"))
       .join(arrs.select(col("doc_id").as("da"), col("arr").as("aa")), "da")
+      .transform(computeWide(_, col("db")))
       .join(arrs.select(col("doc_id").as("db"), col("arr").as("ab")), "db")
       .withColumn("i", size(array_intersect(col("aa"), col("ab"))).cast("long"))
       .where(col("i") * 3 >= col("na") + col("nb"))
@@ -1886,16 +1914,24 @@ object DedupQueries {
         col("a.n").as("na"), col("b.n").as("nb"))
       .distinct()
     val wb = Window.partitionBy("doc_id").orderBy(col("ub").desc, col("partner"))
-    val budgeted = cand
-      .withColumn("ub", expr("(least(na, nb) * 1000000) DIV greatest(na, nb)"))
+    // computeWide keyed on the window/join distributions (see d17/d19):
+    // the budget window and the array_intersect verify are compute-dense
+    // over narrow rows, exactly what byte-based coalescing serializes
+    val budgeted = computeWide(
+        cand.withColumn("ub", expr("(least(na, nb) * 1000000) DIV greatest(na, nb)")),
+        col("doc_id"))
       .withColumn("brk", row_number().over(wb))
       .where(col("brk") <= SetSimBudget)
       .select("doc_id", "partner", "na", "nb")
-    val arrs = sh.groupBy("doc_id")
+    // computeWide: the packed-array agg's own exchange is hash(doc_id),
+    // so the pin replaces it (collect_list has no partial reduction to
+    // lose) and stops byte-coalescing from building every array serially
+    val arrs = computeWide(sh, col("doc_id")).groupBy("doc_id")
       .agg(sort_array(collect_list(col("sh64"))).as("arr"))
     val wk = Window.partitionBy("doc_id").orderBy(col("jaccard").desc, col("partner"))
     budgeted
       .join(arrs.select(col("doc_id"), col("arr").as("aa")), "doc_id")
+      .transform(computeWide(_, col("partner")))
       .join(arrs.select(col("doc_id").as("partner"), col("arr").as("ab")), "partner")
       .withColumn("i", size(array_intersect(col("aa"), col("ab"))).cast("long"))
       .where(col("i") * 3 >= col("na") + col("nb"))
