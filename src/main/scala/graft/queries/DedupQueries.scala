@@ -215,15 +215,26 @@ object DedupQueries {
     * tracked cache so the scan+tokenize+explode runs once per battery.
     */
   private def rawShingles(spark: SparkSession, dir: String): DataFrame =
-    tracked(tokensDf(spark, dir)
-      .select(col("doc_id"), explode(Text.shingles(col("tk"))).as("shingle"))
-      .select(col("doc_id"), Text.md5Long(col("shingle")).as("sh64"))
+    // cache build pinned wide on hash(doc_id): (a) byte-based AQE
+    // coalescing otherwise materializes this few-MB-at-gate-SF relation
+    // into 1-2 partitions and every compute-dense consumer (minhash
+    // projections, band aggs, verify joins) runs serially off the cache
+    // read; (b) the doc_id-keyed consumers (per-doc sizes, prefix
+    // windows, id-keyed verify joins) read the IMR's preserved
+    // hash(doc_id) partitioning and skip their own exchange at ANY scale.
+    tracked(computeWide(
+      tokensDf(spark, dir)
+        .select(col("doc_id"), explode(Text.shingles(col("tk"))).as("shingle"))
+        .select(col("doc_id"), Text.md5Long(col("shingle")).as("sh64")),
+      col("doc_id"))
       .cache())
 
   private def shinglesDf(spark: SparkSession, dir: String): DataFrame = {
     val sh = rawShingles(spark, dir)
     val df = sh.groupBy("sh64").agg(count(lit(1)).as("df"))
       .where(col("df") <= ShingleDfCap)
+    // the cap join-back preserves sh's hash(doc_id) partitioning (df is
+    // the broadcast side), so the capped cache inherits the wide layout
     sh.join(df, "sh64").select("doc_id", "sh64")
   }
 
@@ -272,7 +283,10 @@ object DedupQueries {
   def d2NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = tracked(shinglesDf(spark, dir).cache())
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"), Seq("sh64"))
+    // computeWide on the pair join's own hash(sh64) exchange: the
+    // candidate blow-up + pair partial-agg is the dense work
+    val shJ = computeWide(sh, col("sh64"))
+    val inter = shJ.as("a").join(shJ.as("b"), Seq("sh64"))
       .where(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("i"))
@@ -1037,12 +1051,14 @@ object DedupQueries {
   def d14IncrementalLsh(spark: SparkSession, dir: String): DataFrame = {
     def hashedShingles(docs: DataFrame, idCol: String): DataFrame = lshShingles(docs, idCol)
     def bandsOf(sh: DataFrame, idCol: String): DataFrame = lshBands(sh, idCol)
-    val corpusDocs = Tables.documents(spark, dir)
-      .select(col("doc_id").as("corp_id"), col("text"))
     val incDocs = Tables.documents(spark, dir).where(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 1000000L).as("in_id"),
         concat(col("text"), lit(" updated revision two")).as("text"))
-    val corpusSh = hashedShingles(corpusDocs, "corp_id") // persisted at scale
+    // the resident index side IS the raw shingle relation (same
+    // tokenize+shingle+md5 derivation) — read it from the family's
+    // tracked cache instead of re-running the corpus scan per execution
+    // (persisted at scale either way)
+    val corpusSh = rawShingles(spark, dir).withColumnRenamed("doc_id", "corp_id")
     val incSh = hashedShingles(incDocs, "in_id")
     val cand = bandsOf(incSh, "in_id")
       .join(bandsOf(corpusSh, "corp_id"), Seq("band", "key")) // Δ bands ⋈ the index
