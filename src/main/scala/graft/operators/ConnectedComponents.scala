@@ -141,15 +141,21 @@ object ConnectedComponents {
     * pays a single iteration.
     */
   def alternatingStars(edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    val nodes = edges.toDF("a", "b")
+    // materialize the RAW edge list once: the node set and the contraction
+    // both derive from it, and without this checkpoint the caller's edge
+    // lineage (e.g. m8's two dedup-window pipelines) executed TWICE — once
+    // for nodes, once for the normalized contraction input. nodes itself
+    // no longer needs its own eager checkpoint: it re-derives from e0 with
+    // one cheap explode+distinct at the final join.
+    val e0 = edges.toDF("a", "b").localCheckpoint(true)
+    val nodes = e0
       .select(explode(array(col("a"), col("b"))).as("id")).distinct()
-      .localCheckpoint(true)
     // normalized edge list; self-loops dropped (their nodes are restored
     // as singleton components at the end). The distinct shuffle is AQE-
     // coalesced, so the contraction that follows sees few, dense
     // partitions at gate scale.
     var e = contractPartitions(
-      edges.toDF("a", "b")
+      e0
         .where(col("a") =!= col("b"))
         .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
         .distinct())

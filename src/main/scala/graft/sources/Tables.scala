@@ -14,7 +14,21 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+    else loadMemo.computeIfAbsent(
+      s"${System.identityHashCode(spark)}|$dir|$name|${manifestFingerprint(spark, dir, name)}",
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Relation-handle memo: `spark.read.parquet` pays a fresh file listing
+    * plus a footer schema read on EVERY call, and every query construction
+    * calls it for each table it touches (the y-family re-registers all ten
+    * views per run). The memo key carries the session identity and the
+    * [[manifestFingerprint]] (one driver-side listing, no footer opens), so
+    * a rewritten table re-resolves — the same staleness rule [[fitKey]]
+    * already applies to model memos. This memoizes a LOGICAL relation
+    * (schema + file index), never data or results: execution still scans
+    * the parquet files on every invocation.
+    */
+  private val loadMemo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   /** Exact row count from parquet FOOTER metadata — driver-side file-meta
     * reads, no Spark job, no data pages touched. The stand-in for the
@@ -98,7 +112,9 @@ object Tables {
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
+    loadMemo.computeIfAbsent(
+      s"${System.identityHashCode(spark)}|$dir|events|${manifestFingerprint(spark, dir, "events")}",
+      _ => normalizeEventTs(spark.read.parquet(s"$dir/events.parquet")))
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
