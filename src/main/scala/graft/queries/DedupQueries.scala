@@ -82,8 +82,10 @@ object DedupQueries {
     * `spark.sql.shuffle.partitions` — cores locally, the documented
     * 2-3x-executor-count ceiling on a cluster — never a constant.
     */
-  private def computeWide(df: DataFrame, cols: Column*): DataFrame =
-    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, cols: _*)
+  private[queries] def computeWide(df: DataFrame, cols: Column*): DataFrame =
+    // typed, default-aware conf read (r17 advice): string conf.get + toInt
+    // threw NumberFormatException at PLAN-BUILD time on a bad conf value
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions, cols: _*)
 
   /** Drop every cached intermediate this module has registered. Safe to
     * call at any point: queries simply re-persist on next use.
@@ -214,20 +216,25 @@ object DedupQueries {
     * [[shinglesDf]] (d2/d3) and d19's lossless prefix join derive from;
     * tracked cache so the scan+tokenize+explode runs once per battery.
     */
-  private def rawShingles(spark: SparkSession, dir: String): DataFrame =
-    // cache build pinned wide on hash(doc_id): (a) byte-based AQE
-    // coalescing otherwise materializes this few-MB-at-gate-SF relation
-    // into 1-2 partitions and every compute-dense consumer (minhash
-    // projections, band aggs, verify joins) runs serially off the cache
-    // read; (b) the doc_id-keyed consumers (per-doc sizes, prefix
-    // windows, id-keyed verify joins) read the IMR's preserved
-    // hash(doc_id) partitioning and skip their own exchange at ANY scale.
-    tracked(computeWide(
-      tokensDf(spark, dir)
-        .select(col("doc_id"), explode(Text.shingles(col("tk"))).as("shingle"))
-        .select(col("doc_id"), Text.md5Long(col("shingle")).as("sh64")),
-      col("doc_id"))
-      .cache())
+  private def rawShingles(spark: SparkSession, dir: String): DataFrame = {
+    // NOT pinned wide (r18 reversal of the r17 computeWide pin): the r17
+    // rationale — byte-based AQE cache coalescing serializes compute-dense
+    // consumers — did not survive a same-JVM interleaved A/B. With the pin,
+    // EVERY consumer is slower at gate scale (d3 1.72x, d19 1.42x, d2/d19b
+    // 1.27x, d14 1.07x — warm-cache timed runs, build cost excluded), because
+    // the few-MB cache fans every cache-read stage out to shuffle-width task
+    // waves whose scheduling overhead exceeds the compute. At cluster scale
+    // the unpinned cache stays wide anyway (AQE coalescing targets bytes —
+    // the guide §2.2 rule), and the compute-dense VERIFY stages keep their
+    // own keyed computeWide pins (d17/d19/d19b). Set
+    // `graft.pin.rawshingles=true` to re-measure the pinned form.
+    val base = tokensDf(spark, dir)
+      .select(col("doc_id"), explode(Text.shingles(col("tk"))).as("shingle"))
+      .select(col("doc_id"), Text.md5Long(col("shingle")).as("sh64"))
+    val pinned = if (spark.conf.getOption("graft.pin.rawshingles").exists(_.toBoolean))
+      computeWide(base, col("doc_id")) else base
+    tracked(pinned.cache())
+  }
 
   private def shinglesDf(spark: SparkSession, dir: String): DataFrame = {
     val sh = rawShingles(spark, dir)
@@ -2048,7 +2055,21 @@ object DedupQueries {
       .localCheckpoint(true) // pairs feed 3 branches; don't re-run the LSH
     val resident = pairs.where(!col("is_new")).select("da", "db")
     val delta = pairs.where(col("is_new")).select("da", "db")
-    val base = graft.operators.ConnectedComponents.alternatingStars(resident)
+    // materialize the resident labels ONCE: incremental() consumes base in
+    // FOUR places (both contraction endpoint joins, the node union, the r0
+    // relabel join), and alternatingStars' final label join — including the
+    // node-set explode+distinct that lost its own checkpoint in r17 — was
+    // re-executing per consumer (the r17 d20 regression, 3.15→4.16 s).
+    // Node-set-sized (id, comp), never edge- or corpus-payload-sized; at
+    // production scale the resident labels are a persisted table anyway
+    // (see the scaladoc above), so the gate-side materialization mirrors
+    // the real serving shape.
+    val base0 = graft.operators.ConnectedComponents.alternatingStars(resident)
+    val base = if (spark.conf.getOption("graft.d20.ckbase").forall(_.toBoolean))
+      base0.localCheckpoint(true) else base0
+    // (measured, rejected: an eager checkpoint of lbl before the cluster-size
+    // self-join read 1.05x — the duplicate tail is cheaper than its
+    // materialization job at gate scale)
     val lbl = graft.operators.ConnectedComponents.incremental(base, delta)
       .select(col("id").as("doc_id"), col("comp").as("component"))
     lbl.join(lbl.groupBy("component").agg(count(lit(1)).as("cluster_size")), "component")

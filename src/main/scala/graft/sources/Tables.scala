@@ -14,9 +14,7 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)
-    else loadMemo.computeIfAbsent(
-      s"${System.identityHashCode(spark)}|$dir|$name|${manifestFingerprint(spark, dir, name)}",
-      _ => spark.read.parquet(s"$dir/$name.parquet"))
+    else memoLoad(spark, dir, name)(spark.read.parquet(s"$dir/$name.parquet"))
 
   /** Relation-handle memo: `spark.read.parquet` pays a fresh file listing
     * plus a footer schema read on EVERY call, and every query construction
@@ -27,8 +25,27 @@ object Tables {
     * already applies to model memos. This memoizes a LOGICAL relation
     * (schema + file index), never data or results: execution still scans
     * the parquet files on every invocation.
+    *
+    * Keys carry `sessionUUID` — unique and never reused, unlike
+    * `identityHashCode`, whose collision with a later session could serve a
+    * relation bound to a STOPPED session's confs (r17 advice). Entries whose
+    * context has stopped are purged on every miss, so the memo can neither
+    * grow without bound across test sessions nor pin dead sessions.
     */
-  private val loadMemo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val loadMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, DataFrame)]()
+
+  private def memoLoad(spark: SparkSession, dir: String, name: String)
+      (mk: => DataFrame): DataFrame = {
+    val uuid = org.apache.spark.sql.GraftCacheBridge.sessionUUID(spark)
+    val key = s"$uuid|$dir|$name|${manifestFingerprint(spark, dir, name)}"
+    val hit = loadMemo.get(key)
+    if (hit != null) hit._2
+    else {
+      loadMemo.forEach((k, v) => if (v._1.sparkContext.isStopped) loadMemo.remove(k, v))
+      loadMemo.computeIfAbsent(key, _ => (spark, mk))._2
+    }
+  }
 
   /** Exact row count from parquet FOOTER metadata — driver-side file-meta
     * reads, no Spark job, no data pages touched. The stand-in for the
@@ -112,9 +129,8 @@ object Tables {
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    loadMemo.computeIfAbsent(
-      s"${System.identityHashCode(spark)}|$dir|events|${manifestFingerprint(spark, dir, "events")}",
-      _ => normalizeEventTs(spark.read.parquet(s"$dir/events.parquet")))
+    memoLoad(spark, dir, "events")(
+      normalizeEventTs(spark.read.parquet(s"$dir/events.parquet")))
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

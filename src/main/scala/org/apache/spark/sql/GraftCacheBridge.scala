@@ -24,11 +24,24 @@ import org.apache.spark.sql.classic.{Dataset => CDataset}
   * back to the un-truncated frame).
   */
 object GraftCacheBridge {
+  /** `sessionUUID` is `private[sql]` on the classic session; graft's
+    * relation memo keys on it because — unlike `identityHashCode` — it is
+    * unique and never reused across sessions.
+    */
+  def sessionUUID(spark: SparkSession): String =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
+
   def cachedLeaf(df: DataFrame): Option[DataFrame] = {
     val cds = df.asInstanceOf[CDataset[_]]
     val spark = cds.sparkSession
+    // withOutput remaps the IMR's attributes to the CALLER's exprIds (what
+    // CacheManager.useCachedData does): if a structurally-equal plan was
+    // cached first by another query, the raw cachedRepresentation carries
+    // THAT query's attribute ids and attribute-bound Columns (df("col"))
+    // held by this caller would not resolve (r17 advice).
     spark.sharedState.cacheManager
       .lookupCachedData(spark, cds.logicalPlan)
-      .map(cd => CDataset.ofRows(spark, cd.cachedRepresentation))
+      .map(cd => CDataset.ofRows(spark,
+        cd.cachedRepresentation.withOutput(cds.logicalPlan.output)))
   }
 }
