@@ -87,6 +87,15 @@ object DedupQueries {
     // threw NumberFormatException at PLAN-BUILD time on a bad conf value
     df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions, cols: _*)
 
+  /** [[computeWide]] gated on a `graft.pin.*` conf (default ON): every pin
+    * is an empirical call — the r18 interleaved A/Bs overturned one of them
+    * (rawShingles) — so each stays independently measurable without a
+    * rebuild.
+    */
+  private def computeWideIf(flag: String)(df: DataFrame, cols: Column*): DataFrame =
+    if (df.sparkSession.conf.getOption(flag).forall(_.toBoolean))
+      computeWide(df, cols: _*) else df
+
   /** Drop every cached intermediate this module has registered. Safe to
     * call at any point: queries simply re-persist on next use.
     */
@@ -292,7 +301,7 @@ object DedupQueries {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // computeWide on the pair join's own hash(sh64) exchange: the
     // candidate blow-up + pair partial-agg is the dense work
-    val shJ = computeWide(sh, col("sh64"))
+    val shJ = computeWideIf("graft.pin.d2")(sh, col("sh64"))
     val inter = shJ.as("a").join(shJ.as("b"), Seq("sh64"))
       .where(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
@@ -1719,7 +1728,7 @@ object DedupQueries {
     // rows — keyed on a subset of the distinct's grouping columns, so the
     // pinned exchange IS the distinct's exchange (no extra shuffle) and
     // the verify aggregation's partial phase runs wide
-    val cand = computeWide(
+    val cand = computeWideIf("graft.pin.d17")(
       Seq("k1", "k2", "k3")
         .map(k => ka.join(kb, k).select("name_a", "nat_a", "ma", "name_b", "mb"))
         .reduce(_ unionAll _),
@@ -1839,13 +1848,13 @@ object DedupQueries {
     // computeWide: the packed-array agg's own exchange is hash(doc_id),
     // so the pin replaces it (collect_list has no partial reduction to
     // lose) and stops byte-coalescing from building every array serially
-    val arrs = computeWide(sh, col("doc_id")).groupBy("doc_id")
+    val arrs = computeWideIf("graft.pin.d19")(sh, col("doc_id")).groupBy("doc_id")
       .agg(sort_array(collect_list(col("sh64"))).as("arr"))
     // computeWide on each verify join's key: array_intersect per candidate
     // is the dense work; the pinned exchanges are the joins' own
-    computeWide(cand, col("da"))
+    computeWideIf("graft.pin.d19")(cand, col("da"))
       .join(arrs.select(col("doc_id").as("da"), col("arr").as("aa")), "da")
-      .transform(computeWide(_, col("db")))
+      .transform(computeWideIf("graft.pin.d19")(_, col("db")))
       .join(arrs.select(col("doc_id").as("db"), col("arr").as("ab")), "db")
       .withColumn("i", size(array_intersect(col("aa"), col("ab"))).cast("long"))
       .where(col("i") * 3 >= col("na") + col("nb"))
@@ -1940,7 +1949,7 @@ object DedupQueries {
     // computeWide keyed on the window/join distributions (see d17/d19):
     // the budget window and the array_intersect verify are compute-dense
     // over narrow rows, exactly what byte-based coalescing serializes
-    val budgeted = computeWide(
+    val budgeted = computeWideIf("graft.pin.d19b")(
         cand.withColumn("ub", expr("(least(na, nb) * 1000000) DIV greatest(na, nb)")),
         col("doc_id"))
       .withColumn("brk", row_number().over(wb))
@@ -1949,12 +1958,12 @@ object DedupQueries {
     // computeWide: the packed-array agg's own exchange is hash(doc_id),
     // so the pin replaces it (collect_list has no partial reduction to
     // lose) and stops byte-coalescing from building every array serially
-    val arrs = computeWide(sh, col("doc_id")).groupBy("doc_id")
+    val arrs = computeWideIf("graft.pin.d19b")(sh, col("doc_id")).groupBy("doc_id")
       .agg(sort_array(collect_list(col("sh64"))).as("arr"))
     val wk = Window.partitionBy("doc_id").orderBy(col("jaccard").desc, col("partner"))
     budgeted
       .join(arrs.select(col("doc_id"), col("arr").as("aa")), "doc_id")
-      .transform(computeWide(_, col("partner")))
+      .transform(computeWideIf("graft.pin.d19b")(_, col("partner")))
       .join(arrs.select(col("doc_id").as("partner"), col("arr").as("ab")), "partner")
       .withColumn("i", size(array_intersect(col("aa"), col("ab"))).cast("long"))
       .where(col("i") * 3 >= col("na") + col("nb"))

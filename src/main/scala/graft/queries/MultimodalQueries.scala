@@ -245,6 +245,12 @@ object MultimodalQueries {
     // distinct-hash pairs within hamming ≤ 3 (0 is impossible — the
     // hashes differ); a pair surfacing through several bands just feeds
     // the same min twice into the neighbor aggregate
+    // MEASURED AND REJECTED (r18): a computeWide pin on (band, bkey) — the
+    // d17-style fix the r17 verdict proposed for the two ~0.4 s serial
+    // band-join stages — read 1.14x SLOWER on a same-JVM interleaved A/B.
+    // The join input here is the per-HASH collapsed relation (bounded by
+    // hash diversity, not corpus size), so the pinned shuffle-width task
+    // wave costs more than the serial stages it replaces.
     val nb = bands.as("a").join(bands.as("b"), Seq("band", "bkey"))
       .where(col("a.dhash") =!= col("b.dhash"))
       .where(bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))) <= 3)
