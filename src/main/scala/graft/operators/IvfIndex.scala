@@ -29,6 +29,18 @@ import graft.functions.Vectors
   */
 final class IvfIndex private (val base: String) {
 
+  /** Codebooks trained-and-written by THIS instance's buildPq — serving
+    * through the memo skips one parquet read + collect per query batch.
+    * Never populated on a [[IvfIndex.load]]ed instance (those read disk),
+    * and invalidated by nothing because this instance is the only writer.
+    */
+  @volatile private[operators] var cbMemo: Seq[(Array[Array[Double]], Int)] = null
+
+  private def codebooks(spark: SparkSession): Seq[(Array[Array[Double]], Int)] = {
+    val m = cbMemo
+    if (m != null) m else IvfIndex.readCodebooks(spark, base)
+  }
+
   private def centroids(spark: SparkSession): DataFrame =
     spark.read.parquet(s"$base/centroids")
 
@@ -70,7 +82,7 @@ final class IvfIndex private (val base: String) {
     // same rebuild trigger as re-centering) and append into the same
     // cid= partitions
     if (graft.sources.FsUtil.listDir(spark, base).contains("codebooks")) {
-      val cb = IvfIndex.readCodebooks(spark, base)
+      val cb = codebooks(spark)
       val flat = cb.map(_._1).flatMap(_.flatMap(_.toSeq))
       assigned.select(col("vec_id"),
           call_function("graft_pq_encode", IvfIndex.unitQ,
@@ -268,7 +280,7 @@ final class IvfIndex private (val base: String) {
     // per-query LUT: ‖q̂_m − cw_{m,c}‖² for every (m, c), flattened row-major —
     // M·Ks doubles computed once per query row, before the candidate join
     // (the graft_pq_dists kernel — same flattened-codebook loop as encode)
-    val cb = IvfIndex.readCodebooks(spark, base)
+    val cb = codebooks(spark)
     // same quantized-unit domain the codes were trained/encoded in
     val qu = transform(col("qv"), x => round(x / sqrt(col("qn2")) * lit(10000.0)))
     val lutExpr = call_function("graft_pq_dists", qu,
@@ -299,6 +311,22 @@ object IvfIndex {
     * I/O-bound instead of latency-bound. Lazy: a JVM that never calls
     * recenter never creates the pool's threads.
     */
+  /** Two-thread pool for overlapping a build's independent write actions
+    * (guide §2.6) — concurrent jobs from one SparkSession are supported;
+    * descriptions/groups are thread-local so UI labels stay correct.
+    */
+  private[operators] lazy val WriteEc =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(2,
+        (r: Runnable) => {
+          // DAEMON threads: a non-daemon pool pins the JVM open after
+          // main() returns (caught live — Verify hung at DestroyJavaVM
+          // with pool-*-thread-* parked in getTask)
+          val t = new Thread(r, "graft-ivf-write")
+          t.setDaemon(true)
+          t
+        }))
+
   private[operators] lazy val FooterPool =
     new scala.collection.parallel.ForkJoinTaskSupport(
       new java.util.concurrent.ForkJoinPool(16))
@@ -311,27 +339,47 @@ object IvfIndex {
       .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
       .withColumn("n2", Vectors.norm2D(col("v")))
 
-    // deterministic uniform seeding: bottom-`cells` by key hash (the n6 rule).
-    // The numbering window runs over the ≤`cells` surviving rows only — it
-    // IS single-partition by construction and tiny. The partition key is a
-    // constant-VALUED but non-foldable expression (empty slice of h): a
-    // literal would be stripped by EliminateWindowPartitions and WindowExec
-    // would then warn about a global window on every build.
-    var cents = e
+    // deterministic uniform seeding: bottom-`cells` by key hash (the n6
+    // rule), COLLECTED as a TakeOrdered — per-partition top-k map-side,
+    // driver merge of ≤ cells rows — and re-emitted as a local relation.
+    // The previous eager-checkpoint form materialized Sort+GlobalLimit
+    // through AQE's single reduce partition: one full-sort task on an
+    // otherwise idle cluster (the slowest single stage of every s7/s9
+    // build, 1.1 s at sf0.1). cid numbering = ascending md5 order, done
+    // driver-side over the collected rows — identical to the old rank
+    // window (hex md5 compares the same in UTF8String and Java String).
+    val seedRows = e
       .withColumn("h", md5(concat(lit("ivf:"), col("vec_id").cast("string"))))
       .orderBy("h").limit(cells)
-      .withColumn("cid", (row_number().over(
-        Window.partitionBy(substring(col("h"), 1, 0)).orderBy("h")) - 1).cast("int"))
-      .select(col("cid"), col("v").as("cv"), col("n2").as("cn2"))
-      .localCheckpoint()
+      .select(col("h"), col("v"), col("n2"))
+      .collect()
+    val centSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cid",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("cv",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType),
+        nullable = true),
+      org.apache.spark.sql.types.StructField("cn2",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    var cents = spark.createDataFrame(
+      java.util.Arrays.asList(seedRows.sortBy(_.getString(0)).zipWithIndex.map {
+        case (r, i) => org.apache.spark.sql.Row(i, r.getSeq[Double](1), r.getDouble(2))
+      }: _*), centSchema)
 
     (1 to lloydIters).foreach { _ =>
       cents = lloydStep(cents, e).localCheckpoint() // truncate lineage between rounds
     }
 
-    cents.write.mode(SaveMode.Overwrite).parquet(s"$base/centroids")
+    // the two persisted outputs are independent of each other (assignTo
+    // consumes the in-memory cents, not the centroids files) — overlap
+    // them so the tiny centroid write's job+commit latency hides under
+    // the corpus-sized assignment pass (guide §2.6)
+    val fCent = scala.concurrent.Future {
+      cents.write.mode(SaveMode.Overwrite).parquet(s"$base/centroids")
+    }(IvfIndex.WriteEc)
     assignTo(cents, e).write.mode(SaveMode.Overwrite)
       .partitionBy("cid").parquet(s"$base/assignments")
+    scala.concurrent.Await.result(fCent, scala.concurrent.duration.Duration.Inf)
     new IvfIndex(base)
   }
 
@@ -347,17 +395,26 @@ object IvfIndex {
       .select(col("cid"), transform(col("dx"), s => s.getField("x")).as("cv"))
       .withColumn("cn2", Vectors.norm2D(col("cv")))
 
-  /** Nearest-centroid assignment: broadcast join + rank-1 window over
+  /** Nearest-centroid assignment: broadcast join + argmax aggregation over
     * (vec_id, v, n2) rows — the one step build iterations, the final
     * assignment write, and incremental [[IvfIndex.append]] all share.
+    *
+    * `max_by` over the (ccos, −cid) ordering struct picks exactly the row
+    * the previous rank-1 window did (max cosine, ties to the lowest cid;
+    * Spark's struct ordering and its sort ordering agree on doubles
+    * including the NaN-greatest rule) — but it PARTIALLY AGGREGATES
+    * map-side, so the vec_id exchange ships one row per vector instead of
+    * one per (vector, centroid) — k× less shuffle (guide §2.3) — and the
+    * per-partition sort the window needed disappears.
     */
   private def assignTo(cents: DataFrame, e: DataFrame): DataFrame =
     e.join(broadcast(cents))
       .withColumn("ccos", Vectors.cosinePre(col("v"), col("n2"), col("cv"), col("cn2")))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))))
-      .where(col("crank") === 1)
-      .select(col("vec_id"), col("v"), col("n2"), col("cid"))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("v"), col("n2"), col("cid")),
+        struct(col("ccos"), (-col("cid")).cast("int"))).as("best"))
+      .select(col("vec_id"), col("best.v").as("v"), col("best.n2").as("n2"),
+        col("best.cid").as("cid"))
 
   /** Quantized unit vector: round(x / ‖v‖ · 10⁴) as integer-valued
     * doubles — the s5 fixed-point discipline applied to the PQ domain, so
@@ -407,9 +464,18 @@ object IvfIndex {
     val idx = build(spark, embeddings, base, cells, lloydIters)
     val assigned = spark.read.parquet(s"$base/assignments")
 
+    // ONE checkpointed (vec_id, cid, uq) relation feeds seed selection,
+    // every training round, AND the final encode write: previously the
+    // seed collect and the codes write each re-listed and re-scanned the
+    // assignments parquet (3 reads + their AQE sub-jobs per build — the
+    // r17 verdict's job-count item); vec_id/cid are 12 bytes next to the
+    // d-double uq, so carrying them through the checkpoint is free.
+    val uqDf = assigned.select(col("vec_id"), col("cid"), unitQ.as("uq"))
+      .localCheckpoint()
+
     // init: the ks lowest vec_ids' quantized unit subvectors (driver-sized)
-    val seeds = assigned.orderBy("vec_id").limit(ks)
-      .select(unitQ.as("uq"))
+    val seeds = uqDf.orderBy("vec_id").limit(ks)
+      .select(col("uq"))
       .collect().map(_.getSeq[Double](0).toArray)
     require(seeds.length == ks, s"PQ codebook needs $ks seed vectors, corpus has ${seeds.length}")
     val dim = seeds.head.length
@@ -418,7 +484,6 @@ object IvfIndex {
     var cb: Array[Array[Array[Double]]] =
       Array.tabulate(m)(mi => seeds.map(_.slice(mi * ds, (mi + 1) * ds)))
 
-    val uqDf = assigned.select(unitQ.as("uq")).localCheckpoint()
     for (_ <- 1 to pqIters) {
       // one pass: argmin codes for all M subspaces, then per-(m, code, dim)
       // exact integer sums — M·Ks·ds cells to the driver, never data-sized
@@ -438,13 +503,35 @@ object IvfIndex {
     }
 
     import spark.implicits._
-    (for (mi <- 0 until m; c <- 0 until ks) yield (mi, c, cb(mi)(c).toSeq))
-      .toDF("m", "c", "cw").repartition(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$base/codebooks")
-    assigned.select(col("vec_id"), codesOf(cb, unitQ).as("codes"), col("cid"))
+    // codebooks (driver-sized) and codes (corpus-sized) writes are
+    // independent — overlap them (guide §2.6), then read the codebooks
+    // back once into the serving memo
+    val fCb = scala.concurrent.Future {
+      (for (mi <- 0 until m; c <- 0 until ks) yield (mi, c, cb(mi)(c).toSeq))
+        .toDF("m", "c", "cw").repartition(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$base/codebooks")
+    }(WriteEc)
+    uqDf.select(col("vec_id"), codesOf(cb, col("uq")).as("codes"), col("cid"))
       .write.mode(SaveMode.Overwrite).partitionBy("cid").parquet(s"$base/codes")
+    scala.concurrent.Await.result(fCb, scala.concurrent.duration.Duration.Inf)
+    freeCheckpoint(uqDf)
+    // the codebooks this instance just trained and wrote — serving through
+    // the memo skips one read+collect job per query batch (disk stays the
+    // source of truth: a LOADED index still reads it)
+    idx.cbMemo = readCodebooks(spark, base)
     idx
   }
+
+  /** Release a localCheckpoint's executor blocks (`df.unpersist()` is a
+    * CacheManager no-op for checkpoints — the blocks live in the
+    * LogicalRDD leaf; same contract as Bpe.freeCheckpoint).
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Load the persisted codebooks as (codewords-by-c, m) per subspace —
     * bounded by M·Ks·ds doubles, never data-sized.
