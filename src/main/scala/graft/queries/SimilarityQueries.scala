@@ -208,7 +208,16 @@ object SimilarityQueries {
     val p = graphPlanesFor(Tables.rowCountFromFooters(spark, dir, "embeddings"))
     // candidates from TWO independent bucketings (disjoint plane ranges
     // [0,p) and [p,2p)), unioned before the per-node top-M — connects
-    // regions either bucketing alone would isolate
+    // regions either bucketing alone would isolate.
+    //
+    // r18: two restructures of this build were measured on same-JVM
+    // interleaved A/Bs and REJECTED — (a) ship ids only, dedup pairs
+    // across bucketings, attach vectors via two joins (guide §8 shape):
+    // 1.07–1.18× slower, the two extra join stages cost more at gate SF
+    // than the flops they save; (b) score src<nbr once and mirror-union:
+    // 1.06–1.10× slower, the un-cached mirror branch re-executes the
+    // whole half-join subtree, so nothing is saved. The in-join cosine
+    // form below keeps the score in the same codegen stage as the join.
     val cand = Seq(0, p).map { from =>
       val eb = e.withColumn("bucket", bucketColRange(col("v"), from, p))
       val left = eb.select(col("bucket"), col("vec_id").as("src"), col("v").as("sv"), col("n2").as("sn2"))
