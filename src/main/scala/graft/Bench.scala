@@ -27,6 +27,43 @@ object Bench {
   private def s4(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
 
+  /** 3-decimal twin for the compact tail line (1 ms resolution — far below
+    * the host's noise floor). */
+  private def s3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  /** The full-precision contract line: full query names, 4-decimal. */
+  private[graft] def fullLine(ok: Seq[(String, Double)], failed: Seq[String],
+      sfDir: String): String = {
+    val qs = ok.map { case (k, v) => s""""$k":${s4(v)}""" }.mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"metric":"total","value":${s4(ok.map(_._2).sum)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+  }
+
+  /** The compact LAST-line twin sized for the driver's 2000-char stdout
+    * tail capture: survey-id keys (collisions keep their full name — the
+    * key set is the one the driver's per-query record tracks, so it can
+    * never change), 3-decimal values, no decorative fields. r17 verdict #6
+    * arithmetic: 191 keys cost ~1,350 bytes in keys+JSON structure alone,
+    * so a guaranteed sub-2,000-byte fit would need either renamed keys
+    * (prohibited — the driver's round-over-round comparison is keyed on
+    * them) or >1% value quantization; 3-decimal lands ~2.24 KB (from
+    * 2.47 KB), losing at worst the first ~15 entries to a pure tail
+    * capture instead of ~30, and the complete map is always one line up,
+    * in BENCH_last.json (committed with the round) and in
+    * target/bench_compact.json. `BenchLineSpec` pins the bound.
+    */
+  private[graft] def compactLine(ok: Seq[(String, Double)], failed: Seq[String],
+      sfDir: String): String = {
+    val shortKeys = ok.groupBy { case (k, _) => k.takeWhile(_ != '_') }
+      .toSeq.flatMap { case (short, grp) =>
+        if (grp.size == 1) grp.map { case (_, v) => short -> v } else grp
+      }.sortBy(_._1)
+    val qsShort = shortKeys.map { case (k, v) => s""""$k":${s3(v)}""" }.mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"metric":"total","value":${s3(ok.map(_._2).sum)},"unit":"sec","queries":$qsShort,"failed":$failedJson,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // SPARK_GRAFT_BENCH_ONLY=d7_dup_clusters,d3_minhash_lsh — iterate on one
@@ -113,24 +150,14 @@ object Bench {
     // line >4 KiB and the round-6 driver artifact truncated it mid-line
     // (parsed:null, only the last ~64 queries visible). Rounded, the whole
     // line fits a 4 KiB stdout tail.
-    val qs = ok.map { case (k, v) => s""""$k":${s4(v)}""" }.mkString("{", ",", "}")
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = ok.map(_._2).sum
-    val line = s"""{"metric":"total","value":${s4(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    val line = fullLine(ok, failed, sfDir)
     println(line)
     // The full-name line above is ~3.4 KB, but the driver archives only a
-    // 2 KB stdout TAIL (BENCH_r07.json: parsed null, 76/113 timings
-    // visible). So the LAST stdout line is a compact twin that fits the
-    // window whole: keys are the SURVEY.md §2 ids (prefix before the first
-    // '_'; colliding ids keep their full name), values identical. Any
-    // tail-window parse now sees one complete JSON object; the full-name
-    // map stays one line up and in BENCH_last.json.
-    val shortKeys = ok.groupBy { case (k, _) => k.takeWhile(_ != '_') }
-      .toSeq.flatMap { case (short, grp) =>
-        if (grp.size == 1) grp.map { case (_, v) => short -> v } else grp
-      }.sortBy(_._1)
-    val qsShort = shortKeys.map { case (k, v) => s""""$k":${s4(v)}""" }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${s4(total)},"unit":"sec","queries":$qsShort,"failed":$failedJson,"sf":"$sfDir","keys":"survey-ids"}"""
+    // 2 KB stdout TAIL. The LAST stdout line is the compact twin (see
+    // [[compactLine]] for the sizing contract and why sub-2 KB is not
+    // reachable); the full-name map stays one line up and in
+    // BENCH_last.json.
+    val compact = compactLine(ok, failed, sfDir)
     println(compact)
     // the undecorated lines are also left on disk — target/ for tooling,
     // repo root so the round commit preserves the full per-query map even
