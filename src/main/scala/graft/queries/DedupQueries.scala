@@ -762,6 +762,12 @@ object DedupQueries {
     // the collapse is tiny by construction (≤ distinct signatures) and
     // g feeds three branches — persist both, lifecycle-tracked
     val g = tracked(simhashGroups(spark, dir).persist())
+    // MEASURED AND REJECTED (r18): eager checkpoints of labels/byValue —
+    // the d20-style fix for their 2×/2× consumers — read 1.04× slower
+    // interleaved: both relations are collapse-sized and re-derive cheaply
+    // off the cached g, so two extra jobs cost more than the recompute.
+    // (d21's labeled checkpoint already de-duplicates this tail where the
+    // recompute is NOT cheap — it includes the t3 quality pass there.)
     val labels = graft.operators.ConnectedComponents.alternatingStars(groupEdges(g))
     // values with ≥2 docs but no cross-value edge: internal clique only
     val lone = g.where(col("m") >= 2)
@@ -813,7 +819,16 @@ object DedupQueries {
     val clusters = d7DupClusters(spark, dir)
     val q = TextQueries.t3Quality(spark, dir)
       .select(col("doc_id"), col("quality_score").cast("long").as("q"), col("n_tokens"))
-    val labeled = clusters.join(q, "doc_id")
+    // labeled feeds BOTH the per-component argmax and the final verdict
+    // join; un-materialized, d7's component tail and the t3 quality
+    // tokenize both re-executed per consumer (4 of the rep's ~0.65 s
+    // compute stages). Doc-count-sized and 5 narrow columns — at cluster
+    // scale prefer recompute (both passes are linear) or a reliable
+    // checkpoint; the per-execution materialization models the curation
+    // table this verdict feeds anyway.
+    val labeled0 = clusters.join(q, "doc_id")
+    val labeled = if (spark.conf.getOption("graft.d21.cklabeled").forall(_.toBoolean))
+      labeled0.localCheckpoint(true) else labeled0
     val canon = labeled.groupBy("component")
       .agg(max(struct(col("q"), col("n_tokens"),
         (-col("doc_id")).as("neg"), col("doc_id").as("d"))).as("best"))
