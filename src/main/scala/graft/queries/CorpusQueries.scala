@@ -64,10 +64,18 @@ object CorpusQueries {
     val eval_ = broadcast(grams.where(col("doc_id") % 11 === 0)
       .select(col("g64")).distinct())
     val train = grams.where(col("doc_id") % 11 =!= 0)
-    train.join(eval_, Seq("g64"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-      .join(train.groupBy("doc_id").agg(count(lit(1)).as("n_grams")), Seq("doc_id"), "right")
-      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+    // ONE train pass (r18): the semi-join + count / count / right-join
+    // form scanned-and-shingled the train side twice and shuffled two
+    // aggregations just to stitch their outputs back together. A broadcast
+    // LEFT join against the (distinct) eval set marks each gram row, and
+    // one map-side-combinable aggregation yields both counts — identical
+    // output (hit count under a left join vs a distinct build side IS the
+    // semi-join count), half the corpus passes, one exchange instead of
+    // two plus a join.
+    train.join(eval_.withColumn("hit", lit(1L)), Seq("g64"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_grams"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_shared"))
       .withColumn("contaminated", (col("n_shared") >= 1).cast("long"))
       .select("doc_id", "n_grams", "n_shared", "contaminated")
       .orderBy("doc_id")
